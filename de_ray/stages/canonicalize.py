@@ -1,0 +1,65 @@
+"""Canonicalization / exact triple dedup (D2/D5) — the first wide stage.
+
+After entity linking, distinct surface forms in one document can collapse to
+the same canonical IRI, and the same triple can be asserted by many pages —
+the graph must contain each (subj, pred, obj, graph) once (HDT build dedups
+on sorted unique triples; reference behavior visible in
+tests/test-commands.rs:300-326 where unioned inputs answer without dupes).
+
+Scale design (100 TB): a naive ``groupby([subj,pred,obj])`` shuffles every
+row on wide string keys. Instead:
+
+1. **per-batch local dedup** inside ``map_batches`` (combiner — cuts the
+   shuffle volume before it happens; most dupes are doc-local),
+2. **stable int64 bucket key** = deterministic string hash of the triple
+   modulo ``num_buckets`` (pandas ``hash_pandas_object``, fixed hash key →
+   identical across processes/nodes; never Python ``hash()`` which is
+   per-process salted),
+3. ``groupby(bucket).map_groups(drop_duplicates)`` — the shuffle moves rows
+   keyed by a small int; dedup within each bucket is vectorized pandas.
+
+Bucket count is the parallelism knob: hub-entity skew does NOT concentrate
+here because the key hashes the whole triple, which is near-uniform.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+KEY_COLS = ["subj", "pred", "obj", "graph"]
+
+
+def stable_row_hash(df: pd.DataFrame, cols) -> pd.Series:
+    """Deterministic uint64 per row from the given string columns."""
+    key = df[cols[0]].astype(str)
+    for c in cols[1:]:
+        key = key + "\x00" + df[c].astype(str)
+    return pd.util.hash_pandas_object(key, index=False)
+
+
+class _LocalDedupAndBucket:
+    def __init__(self, num_buckets: int, cols):
+        self.num_buckets = num_buckets
+        self.cols = cols
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=self.cols)
+        df = df.assign(_bucket=(stable_row_hash(df, self.cols) % self.num_buckets).astype("int64"))
+        return df
+
+
+def _dedup_group(g: pd.DataFrame, cols) -> pd.DataFrame:
+    return g.drop_duplicates(subset=cols).drop(columns=["_bucket"])
+
+
+def canonicalize_stage(ds, num_buckets: int = 64, cols=None):
+    """Global exact dedup of a triples Dataset; returns distinct rows."""
+    cols = list(cols) if cols is not None else [c for c in KEY_COLS if c in ds.schema().names]
+    ds = ds.map_batches(
+        _LocalDedupAndBucket(num_buckets, cols),
+        batch_format="pandas",
+        batch_size=128 * 1024,
+    )
+    return ds.groupby("_bucket").map_groups(
+        lambda g: _dedup_group(g, cols), batch_format="pandas"
+    )

@@ -1,0 +1,65 @@
+"""HTML→text extraction stage (M6 — the north-rule per-row invariant).
+
+``html:binary → text:string`` must be **byte-identical per url** to the
+reference ``text`` column. The extractor is a fully deterministic pure
+function (no locale/time dependence): drop ``<script>``/``<style>`` and
+page chrome, take the ``<article>`` payload, strip tags per ``<p>``
+paragraph, unescape HTML entities, join paragraphs with a blank line.
+
+Runs as a stateless-looking callable CLASS so the regexes compile once per
+actor (``__init__``), not once per batch; batches are zero-copy Arrow.
+The wide ``html`` column is dropped immediately after extraction to keep
+object-store pressure down (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pyarrow as pa
+
+
+class HtmlTextExtractor:
+    """map_batches(HtmlTextExtractor, batch_format='pyarrow', concurrency=N)."""
+
+    def __init__(self) -> None:
+        self.article_re = re.compile(rb"<article[^>]*>(.*?)</article>", re.S)
+        self.script_re = re.compile(rb"<(script|style)[^>]*>.*?</\1>", re.S)
+        self.para_re = re.compile(rb"<p[^>]*>(.*?)</p>", re.S)
+        self.tag_re = re.compile(rb"<[^>]+>")
+
+    def extract_one(self, html: bytes) -> str:
+        body = self.script_re.sub(b"", html)
+        m = self.article_re.search(body)
+        scope = m.group(1) if m else body
+        paras = self.para_re.findall(scope)
+        if not paras:
+            paras = [self.tag_re.sub(b"", scope)]
+        return "\n\n".join(
+            _html.unescape(p.decode("utf-8", errors="replace")) for p in paras
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [self.extract_one(h) for h in batch.column("html").to_pylist()]
+        keep = [n for n in batch.schema.names if n not in ("html", "text")]
+        out = batch.select(keep)
+        return out.append_column("text", pa.array(texts, pa.string()))
+
+
+def extract_text_stage(ds, batch_size: int = 256, concurrency=None):
+    """Dataset(url, warc_ts, html, lang, ...) → Dataset(..., text) without html.
+
+    Small batch_size because html rows are wide binary payloads (SURVEY §7.4);
+    `concurrency=None` → stateless-style autoscaling task pool of actors.
+    """
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(
+        HtmlTextExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        **kwargs,
+    )
