@@ -1,0 +1,242 @@
+"""FourSectionDictionary build: sort-based global dedup + dense ID ranks.
+
+Rebuilds the HDT dictionary semantics (reference builds it inside
+``hdt::Hdt::read_nt``, called at ``src/create.rs:40``; structure verified
+against ``tests/resources/apple.hdt`` — four sorted deduplicated string
+sections with block-size-16 front coding) as a Ray Data shuffle pipeline:
+
+1. role discovery: per-batch distinct ``(term, is_subj, is_pred, is_obj)``
+   partials (combiner), then ``groupby(term).aggregate(Max)`` — ONE shuffle
+   over distinct terms, not over triples.
+2. section split (semi/anti-join semantics expressed on the flags):
+   shared = subject∩object; subject-only; object-only; predicates are an
+   independent ID space (a term can be both a predicate and a subject).
+3. global lexicographic order: ``sort(section, term)`` — the sort-based
+   dedup the north star names.
+4. dense rank assignment: per-block counts → cumulative offsets on the
+   driver (one small barrier per build), then per-block rank attachment via
+   raw Ray tasks over the materialized Arrow refs. This is one of the few
+   places the Dataset API genuinely can't express the semantics (global
+   rank), so we drop to ``@ray.remote`` per SURVEY §7.4.
+
+ID spaces (HDT spec; ``numSharedSubjectObject`` header key):
+- subject space: shared 1..Nsh, then subject-only Nsh+1..Nsh+Ns
+- object  space: shared 1..Nsh, then object-only  Nsh+1..Nsh+No
+- predicate space: 1..Np
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Max
+
+SECTION_SHARED = 0
+SECTION_SUBJECT = 1
+SECTION_OBJECT = 2
+SECTION_PREDICATE = 3
+
+SECTION_NAMES = {
+    SECTION_SHARED: "shared",
+    SECTION_SUBJECT: "subjects",
+    SECTION_OBJECT: "objects",
+    SECTION_PREDICATE: "predicates",
+}
+
+
+def _role_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch distinct (term, role flags) — shrinks the shuffle input."""
+    out: Dict[str, List[int]] = {}
+    for col, idx in (("subj", 0), ("pred", 1), ("obj", 2)):
+        for v in pc.unique(batch.column(col)).to_pylist():
+            f = out.setdefault(v, [0, 0, 0])
+            f[idx] = 1
+    terms = list(out.keys())
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.large_string()),
+            "is_subj": pa.array([out[t][0] for t in terms], pa.int32()),
+            "is_pred": pa.array([out[t][1] for t in terms], pa.int32()),
+            "is_obj": pa.array([out[t][2] for t in terms], pa.int32()),
+        }
+    )
+
+
+def _to_sections(batch: pa.Table) -> pa.Table:
+    """Flags → section rows; a term may emit an SO-section row AND a predicate row."""
+    term = batch.column("term").to_pylist()
+    s = batch.column("max(is_subj)").to_pylist()
+    p = batch.column("max(is_pred)").to_pylist()
+    o = batch.column("max(is_obj)").to_pylist()
+    terms_out: List[str] = []
+    sections: List[int] = []
+    for t, fs, fp, fo in zip(term, s, p, o):
+        if fs and fo:
+            terms_out.append(t), sections.append(SECTION_SHARED)
+        elif fs:
+            terms_out.append(t), sections.append(SECTION_SUBJECT)
+        elif fo:
+            terms_out.append(t), sections.append(SECTION_OBJECT)
+        if fp:
+            terms_out.append(t), sections.append(SECTION_PREDICATE)
+    return pa.table(
+        {
+            "term": pa.array(terms_out, pa.large_string()),
+            "section": pa.array(sections, pa.int32()),
+        }
+    )
+
+
+@ray.remote
+def _block_section_counts(tbl: pa.Table) -> Dict[int, int]:
+    vc = pc.value_counts(tbl.column("section"))
+    return {v["values"]: v["counts"] for v in vc.to_pylist()}
+
+
+@ray.remote
+def _attach_ids(tbl: pa.Table, start_offsets: Dict[int, int], shared_count: int) -> pa.Table:
+    """Attach per-section rank and final ID-space id to one sorted block."""
+    import numpy as np
+
+    sections = tbl.column("section").to_numpy(zero_copy_only=False)
+    ranks = np.empty(len(sections), dtype="int64")
+    offs = dict(start_offsets)
+    # blocks are sorted by (section, term): runs per section are contiguous
+    i = 0
+    n = len(sections)
+    while i < n:
+        sec = sections[i]
+        j = i
+        while j < n and sections[j] == sec:
+            j += 1
+        base = offs.get(int(sec), 0)
+        ranks[i:j] = np.arange(base, base + (j - i))
+        offs[int(sec)] = base + (j - i)
+        i = j
+    # final id: rank is 0-based within section; HDT ids are 1-based
+    ids = ranks + 1
+    subj_or_obj = (sections == SECTION_SUBJECT) | (sections == SECTION_OBJECT)
+    ids[subj_or_obj] += shared_count
+    return tbl.append_column("sec_rank", pa.array(ranks, pa.int64())).append_column(
+        "id", pa.array(ids, pa.int64())
+    )
+
+
+class DictionaryBuild:
+    """Result handle: the sections Dataset + per-section counts."""
+
+    def __init__(self, sections_ds: rd.Dataset, counts: Dict[int, int]):
+        self.sections = sections_ds  # (term, section, sec_rank, id) sorted by (section, term)
+        self.counts = counts
+
+    @property
+    def shared_count(self) -> int:
+        return self.counts.get(SECTION_SHARED, 0)
+
+    def max_subject_id(self) -> int:
+        return self.shared_count + self.counts.get(SECTION_SUBJECT, 0)
+
+    def max_object_id(self) -> int:
+        return self.shared_count + self.counts.get(SECTION_OBJECT, 0)
+
+    def num_predicates(self) -> int:
+        return self.counts.get(SECTION_PREDICATE, 0)
+
+
+def build_dictionary(triples_ds: rd.Dataset) -> DictionaryBuild:
+    """Triples Dataset (subj,pred,obj[,graph]) → sorted, ranked dictionary."""
+    roles = triples_ds.map_batches(
+        _role_partials, batch_format="pyarrow", batch_size=128 * 1024
+    )
+    merged = roles.groupby("term").aggregate(
+        Max("is_subj"), Max("is_pred"), Max("is_obj")
+    )
+    sections = merged.map_batches(_to_sections, batch_format="pyarrow")
+    sections = sections.sort(["section", "term"]).materialize()
+    refs = sections.to_arrow_refs()
+    per_block = ray.get([_block_section_counts.remote(r) for r in refs])
+    totals: Dict[int, int] = {}
+    offsets: List[Dict[int, int]] = []
+    for c in per_block:
+        offsets.append(dict(totals))
+        for sec, n in c.items():
+            totals[sec] = totals.get(sec, 0) + n
+    shared = totals.get(SECTION_SHARED, 0)
+    new_refs = [
+        _attach_ids.remote(r, off, shared) for r, off in zip(refs, offsets)
+    ]
+    ranked = rd.from_arrow_refs(new_refs)
+    return DictionaryBuild(ranked, totals)
+
+
+# ---------------------------------------------------------------------------
+# Plain front coding (HDT dictionary section export; blockSize 16 matches the
+# reference header key ``hdt#dictionaryblockSize "16"``)
+# ---------------------------------------------------------------------------
+
+
+def _vbyte(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b)
+        else:
+            out.append(b | 0x80)
+            return bytes(out)
+
+
+def pack_front_coded(terms: List[str], block_size: int = 16) -> bytes:
+    """Sorted terms → plain-front-coded byte section (vbyte shared-prefix lens)."""
+    out = bytearray()
+    prev = b""
+    for i, t in enumerate(terms):
+        tb = t.encode("utf-8")
+        if i % block_size == 0:
+            out += _vbyte(len(tb)) + tb
+        else:
+            k = 0
+            m = min(len(prev), len(tb))
+            while k < m and prev[k] == tb[k]:
+                k += 1
+            suffix = tb[k:]
+            out += _vbyte(k) + _vbyte(len(suffix)) + suffix
+        prev = tb
+    return bytes(out)
+
+
+def unpack_front_coded(data: bytes, block_size: int = 16) -> List[str]:
+    """Inverse of :func:`pack_front_coded` (used by tests and `view`)."""
+    terms: List[str] = []
+    i = 0
+    prev = b""
+
+    def read_vbyte(i: int):
+        n = 0
+        shift = 0
+        while True:
+            b = data[i]
+            i += 1
+            n |= (b & 0x7F) << shift
+            shift += 7
+            if b & 0x80:
+                return n, i
+
+    while i < len(data):
+        if len(terms) % block_size == 0:
+            ln, i = read_vbyte(i)
+            cur = data[i : i + ln]
+            i += ln
+        else:
+            k, i = read_vbyte(i)
+            ln, i = read_vbyte(i)
+            cur = prev[:k] + data[i : i + ln]
+            i += ln
+        terms.append(cur.decode("utf-8"))
+        prev = cur
+    return terms

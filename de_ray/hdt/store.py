@@ -1,0 +1,279 @@
+"""HDT-style store: distributed layout, write orchestration, load + scans.
+
+The reference writes one ``.hdt`` file (ControlInfo + Header + Dictionary +
+BitmapTriples; ``src/create.rs:43-50``). The distributed equivalent is a
+directory (SURVEY §2.2 K1):
+
+    out/
+      header.json                    # G1 stats (+ per-graph counts)
+      dictionary/*.parquet           # (term, section, sec_rank, id), sorted
+      front_coded/<section>.bin   # block-16 plain front coding
+      triples/*.parquet              # (s_id,p_id,o_id,graph), SPO-sorted blocks
+      adjacency/*.parquet            # BitmapTriples segments (Y/Z + bitmaps)
+      _SUCCESS                       # checkpoint marker (resumable layout)
+
+Pattern scans (J1) read ``triples/`` with pyarrow filter expressions —
+predicate pushdown prunes parquet row groups on the sorted s_id, exactly the
+role BitmapTriples' subject index plays in the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+from typing import Dict, Iterable, List, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from de_ray.hdt.dictionary import (
+    SECTION_NAMES,
+    SECTION_OBJECT,
+    SECTION_PREDICATE,
+    SECTION_SHARED,
+    SECTION_SUBJECT,
+    DictionaryBuild,
+    pack_front_coded,
+)
+from de_ray.hdt.header import build_header, original_size_of
+from de_ray.hdt.triples import (
+    BROADCAST_LIMIT,
+    collect_id_maps,
+    encode_triples,
+    pack_adjacency_block,
+    sort_spo,
+)
+from de_ray.stages.canonicalize import canonicalize_stage
+
+
+def _write_front_coded(dict_build: DictionaryBuild, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    bufs: Dict[int, List[str]] = {s: [] for s in SECTION_NAMES}
+    # sections dataset is sorted by (section, term); stream in order
+    for batch in dict_build.sections.iter_batches(
+        batch_size=256 * 1024, batch_format="pyarrow"
+    ):
+        for t, s in zip(batch.column("term").to_pylist(), batch.column("section").to_pylist()):
+            bufs[s].append(t)
+    for sec, terms in bufs.items():
+        with open(os.path.join(out_dir, f"{SECTION_NAMES[sec]}.bin"), "wb") as f:
+            f.write(pack_front_coded(terms))
+
+
+def write_store(
+    triples_ds: rd.Dataset,
+    out_dir: str,
+    dedup: bool = True,
+    encode_concurrency: int = 4,
+    with_adjacency: bool = True,
+    with_front_coded: bool = True,
+) -> dict:
+    """String-triples Dataset → HDT-style store directory. Returns the header."""
+    os.makedirs(out_dir, exist_ok=True)
+    if dedup:
+        triples_ds = canonicalize_stage(triples_ds)
+    # shared by the dictionary build and the encode pass → pin once
+    triples_ds = triples_ds.materialize()
+    original_size = original_size_of(triples_ds)
+    dict_build = build_dictionary_checkpointed(triples_ds, out_dir)
+    if with_front_coded:
+        _write_front_coded(dict_build, os.path.join(out_dir, "front_coded"))
+    id_ds = encode_triples(triples_ds, dict_build, concurrency=encode_concurrency)
+    sorted_ds = sort_spo(id_ds).materialize()
+    sorted_ds.write_parquet(os.path.join(out_dir, "triples"))
+    if with_adjacency:
+        sorted_ds.map_batches(
+            pack_adjacency_block, batch_format="pyarrow", batch_size=256 * 1024
+        ).write_parquet(os.path.join(out_dir, "adjacency"))
+    n_triples = sorted_ds.count()
+    per_graph = {
+        r["graph"]: r["count()"]
+        for r in sorted_ds.groupby("graph").count().take_all()
+    }
+    header = build_header(dict_build, n_triples, per_graph, original_size)
+    header["hdtSize"] = _dir_size(out_dir)
+    with open(os.path.join(out_dir, "header.json"), "w") as f:
+        json.dump(header, f, indent=1, sort_keys=True)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return header
+
+
+def build_dictionary_checkpointed(triples_ds: rd.Dataset, out_dir: str) -> DictionaryBuild:
+    from de_ray.hdt.dictionary import build_dictionary
+
+    dict_build = build_dictionary(triples_ds)
+    dict_build.sections.write_parquet(os.path.join(out_dir, "dictionary"))
+    return dict_build
+
+
+def _dir_size(d: str) -> int:
+    total = 0
+    for root, _, files in os.walk(d):
+        for fn in files:
+            total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
+class Store:
+    """Loaded store handle (S3/A1 equivalent: ``Hdt::new_hybrid_cache``).
+
+    Dictionary maps load lazily, once per handle; pattern scans return lazy
+    Datasets with parquet filter pushdown.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise FileNotFoundError(f"not a completed store (no _SUCCESS): {path}")
+        with open(os.path.join(path, "header.json")) as f:
+            self.header = json.load(f)
+        self._maps = None
+        self._rev = None
+
+    # -- dictionary ---------------------------------------------------------
+    def _dict_table(self) -> pa.Table:
+        return pq.read_table(
+            os.path.join(self.path, "dictionary"),
+            columns=["term", "section", "id"],
+        )
+
+    def id_maps(self) -> Dict[str, Dict[str, int]]:
+        if self._maps is None:
+            t = self._dict_table()
+            subj: Dict[str, int] = {}
+            obj: Dict[str, int] = {}
+            pred: Dict[str, int] = {}
+            for term, sec, i in zip(
+                t.column("term").to_pylist(),
+                t.column("section").to_pylist(),
+                t.column("id").to_pylist(),
+            ):
+                if sec == SECTION_SHARED:
+                    subj[term] = i
+                    obj[term] = i
+                elif sec == SECTION_SUBJECT:
+                    subj[term] = i
+                elif sec == SECTION_OBJECT:
+                    obj[term] = i
+                else:
+                    pred[term] = i
+            self._maps = {"subj": subj, "pred": pred, "obj": obj}
+        return self._maps
+
+    def rev_maps(self) -> Dict[str, Dict[int, str]]:
+        if self._rev is None:
+            m = self.id_maps()
+            self._rev = {k: {v: t for t, v in m[k].items()} for k in m}
+        return self._rev
+
+    def id_for_term(self, space: str, term: str) -> Optional[int]:
+        return self.id_maps()[space].get(term)
+
+    def term_for_id(self, space: str, i: int) -> Optional[str]:
+        return self.rev_maps()[space].get(i)
+
+    def graphs(self) -> List[str]:
+        return sorted(self.header.get("graphs", {}).keys())
+
+    # -- scans (J1) ---------------------------------------------------------
+    def pattern_scan_ids(
+        self,
+        s: Optional[str] = None,
+        p: Optional[str] = None,
+        o: Optional[str] = None,
+        graphs: Optional[Iterable[str]] = None,
+    ) -> Optional[rd.Dataset]:
+        """Triple-pattern scan over ID-triples with filter pushdown.
+
+        Bound terms resolve through the dictionary first; an unresolvable
+        bound term means zero matches (returns None), mirroring the
+        reference's dictionary-lookup short-circuit.
+        """
+        expr = None
+
+        def conj(e):
+            nonlocal expr
+            expr = e if expr is None else (expr & e)
+
+        for term, space, col in ((s, "subj", "s_id"), (p, "pred", "p_id"), (o, "obj", "o_id")):
+            if term is not None:
+                i = self.id_for_term(space, term)
+                if i is None:
+                    return None
+                conj(pc.field(col) == i)
+        if graphs is not None:
+            gl = list(graphs)
+            if not gl:
+                return None
+            conj(pc.field("graph").isin(gl))
+        ds = rd.read_parquet(os.path.join(self.path, "triples"), filter=expr)
+        return ds
+
+    def pattern_scan(
+        self,
+        s: Optional[str] = None,
+        p: Optional[str] = None,
+        o: Optional[str] = None,
+        graphs: Optional[Iterable[str]] = None,
+    ) -> rd.Dataset:
+        """Pattern scan returning decoded canonical-string triples."""
+        ids = self.pattern_scan_ids(s, p, o, graphs)
+        if ids is None:
+            return rd.from_arrow(
+                pa.table(
+                    {c: pa.array([], pa.large_string()) for c in ("subj", "pred", "obj", "graph")}
+                )
+            )
+        return self.decode(ids)
+
+    def decode(self, id_ds: rd.Dataset) -> rd.Dataset:
+        """ID-triples Dataset → canonical-string triples via broadcast reverse maps."""
+        rev_ref = ray.put(self.rev_maps())
+
+        class _Decoder:
+            def __init__(self, rev_ref=rev_ref):
+                self.rev = ray.get(rev_ref)
+
+            def _dec(self, col, space):
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                enc = pc.dictionary_encode(arr)
+                lut = pa.array(
+                    [self.rev[space][v] for v in enc.dictionary.to_pylist()],
+                    pa.large_string(),
+                )
+                return pc.take(lut, enc.indices)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "subj": self._dec(batch.column("s_id"), "subj"),
+                        "pred": self._dec(batch.column("p_id"), "pred"),
+                        "obj": self._dec(batch.column("o_id"), "obj"),
+                        "graph": pa.array(
+                            batch.column("graph").to_pylist(), pa.large_string()
+                        ),
+                    }
+                )
+
+        return id_ds.map_batches(
+            _Decoder, batch_format="pyarrow", batch_size=128 * 1024, concurrency=2
+        )
+
+    def triples_all(self) -> rd.Dataset:
+        """All triples, decoded (reference ``triples_all()``, src/sparql.rs:338)."""
+        return self.pattern_scan()
+
+
+def view(path: str) -> dict:
+    """CLI `view` parity: header/metadata display (reference src/view.rs:36-55)."""
+    with open(os.path.join(path, "header.json")) as f:
+        return json.load(f)
+
+
+def graph_quote(graph: str) -> str:
+    return urllib.parse.quote(graph, safe="")

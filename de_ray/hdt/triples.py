@@ -1,0 +1,217 @@
+"""ID-triples: term→ID encoding, SPO sort, adjacency (BitmapTriples) packing.
+
+Rebuilds the reference's BitmapTriples semantics (ID-triples sorted SPO with
+two adjacency layers — predicate stream Y and object stream Z, each with a
+bitmap marking list ends; ``triplesOrder "SPO"`` header key, verified against
+``tests/resources/apple.hdt``) as Ray Data stages.
+
+Encoding strategies:
+- **broadcast** (default below a threshold): the three ID maps are put in
+  the object store ONCE via ``ray.put`` and read zero-copy by every encoder
+  actor — no shuffle.
+- **shuffle join** (scale path): three ``Dataset.join`` hash joins against
+  the dictionary when the term dictionary itself is too big to broadcast
+  (10^12-doc regime, SURVEY §7.3 "term→ID join").
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from de_ray.hdt.dictionary import (
+    SECTION_OBJECT,
+    SECTION_PREDICATE,
+    SECTION_SHARED,
+    SECTION_SUBJECT,
+    DictionaryBuild,
+)
+
+# above this many dictionary entries, encode via shuffle join instead of broadcast
+BROADCAST_LIMIT = 5_000_000
+
+ID_TRIPLE_SCHEMA = pa.schema(
+    [
+        ("s_id", pa.int64()),
+        ("p_id", pa.int64()),
+        ("o_id", pa.int64()),
+        ("graph", pa.large_string()),
+    ]
+)
+
+
+def collect_id_maps(dict_build: DictionaryBuild) -> Dict[str, Dict[str, int]]:
+    """Stream the sections Dataset into the three {term → id} maps."""
+    subj: Dict[str, int] = {}
+    obj: Dict[str, int] = {}
+    pred: Dict[str, int] = {}
+    for batch in dict_build.sections.iter_batches(
+        batch_size=256 * 1024, batch_format="pyarrow"
+    ):
+        terms = batch.column("term").to_pylist()
+        secs = batch.column("section").to_pylist()
+        ids = batch.column("id").to_pylist()
+        for t, s, i in zip(terms, secs, ids):
+            if s == SECTION_SHARED:
+                subj[t] = i
+                obj[t] = i
+            elif s == SECTION_SUBJECT:
+                subj[t] = i
+            elif s == SECTION_OBJECT:
+                obj[t] = i
+            else:
+                pred[t] = i
+    return {"subj": subj, "pred": pred, "obj": obj}
+
+
+class _BroadcastEncoder:
+    """Actor-pool encoder: maps loaded once per actor from the object store."""
+
+    def __init__(self, maps_ref):
+        self.maps = ray.get(maps_ref)
+
+    def _encode_col(self, col, space: str) -> pa.Array:
+        import pyarrow.compute as pc
+
+        m = self.maps[space]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        enc = pc.dictionary_encode(arr)
+        lut = pa.array(
+            [m[v] for v in enc.dictionary.to_pylist()], pa.int64()
+        )
+        return pc.take(lut, enc.indices)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        graph = (
+            batch.column("graph")
+            if "graph" in batch.schema.names
+            else pa.array([""] * n, pa.large_string())
+        )
+        return pa.table(
+            {
+                "s_id": self._encode_col(batch.column("subj"), "subj"),
+                "p_id": self._encode_col(batch.column("pred"), "pred"),
+                "o_id": self._encode_col(batch.column("obj"), "obj"),
+                "graph": graph,
+            }
+        )
+
+
+def _join_encode(triples_ds: rd.Dataset, dict_build: DictionaryBuild,
+                 num_partitions: int = 64) -> rd.Dataset:
+    """Shuffle-join encoding for dictionaries too large to broadcast."""
+    sec = dict_build.sections
+    subj_map = sec.filter(
+        lambda r: r["section"] in (SECTION_SHARED, SECTION_SUBJECT)
+    ).select_columns(["term", "id"])
+    obj_map = sec.filter(
+        lambda r: r["section"] in (SECTION_SHARED, SECTION_OBJECT)
+    ).select_columns(["term", "id"])
+    pred_map = sec.filter(lambda r: r["section"] == SECTION_PREDICATE).select_columns(
+        ["term", "id"]
+    )
+    ds = triples_ds.join(
+        subj_map, join_type="inner", num_partitions=num_partitions,
+        on=("subj",), right_on=("term",),
+    ).rename_columns({"id": "s_id"})
+    ds = ds.join(
+        pred_map, join_type="inner", num_partitions=num_partitions,
+        on=("pred",), right_on=("term",),
+    ).rename_columns({"id": "p_id"})
+    ds = ds.join(
+        obj_map, join_type="inner", num_partitions=num_partitions,
+        on=("obj",), right_on=("term",),
+    ).rename_columns({"id": "o_id"})
+    cols = ["s_id", "p_id", "o_id"] + (["graph"] if "graph" in triples_ds.schema().names else [])
+    return ds.select_columns(cols)
+
+
+def encode_triples(
+    triples_ds: rd.Dataset,
+    dict_build: DictionaryBuild,
+    use_join: Optional[bool] = None,
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """String triples → ID triples (s_id, p_id, o_id, graph)."""
+    if use_join is None:
+        n_terms = sum(dict_build.counts.values())
+        use_join = n_terms > BROADCAST_LIMIT
+    if use_join:
+        return _join_encode(triples_ds, dict_build)
+    maps_ref = ray.put(collect_id_maps(dict_build))
+    return triples_ds.map_batches(
+        _BroadcastEncoder,
+        fn_constructor_kwargs={"maps_ref": maps_ref},
+        batch_format="pyarrow",
+        batch_size=128 * 1024,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def sort_spo(id_triples: rd.Dataset) -> rd.Dataset:
+    """Global SPO sort (O2) — the HDT triples order."""
+    return id_triples.sort(["s_id", "p_id", "o_id"])
+
+
+def pack_adjacency_block(tbl: pa.Table) -> pa.Table:
+    """One sorted ID-triples block → one BitmapTriples segment row.
+
+    Y = predicate stream with bitmap_y marking the last predicate of each
+    subject; Z = object stream with bitmap_z marking the last object of each
+    (subject, predicate) pair. Segments are per-partition: a subject run that
+    spans two partitions yields two segments, recorded with their s_id range
+    so readers can merge (partitioning assumption documented per SURVEY §2
+    custom-operator rule).
+    """
+    s = tbl.column("s_id").to_numpy(zero_copy_only=False)
+    p = tbl.column("p_id").to_numpy(zero_copy_only=False)
+    o = tbl.column("o_id").to_numpy(zero_copy_only=False)
+    n = len(s)
+    if n == 0:
+        return pa.table(
+            {
+                "s_min": pa.array([], pa.int64()),
+                "s_max": pa.array([], pa.int64()),
+                "n_triples": pa.array([], pa.int64()),
+                "subjects": pa.array([], pa.large_list(pa.int64())),
+                "y": pa.array([], pa.large_list(pa.int64())),
+                "bitmap_y": pa.array([], pa.large_list(pa.bool_())),
+                "z": pa.array([], pa.large_list(pa.int64())),
+                "bitmap_z": pa.array([], pa.large_list(pa.bool_())),
+            }
+        )
+    new_s = np.empty(n, dtype=bool)
+    new_s[0] = True
+    new_s[1:] = s[1:] != s[:-1]
+    new_sp = np.empty(n, dtype=bool)
+    new_sp[0] = True
+    new_sp[1:] = new_s[1:] | (p[1:] != p[:-1])
+    # Y: one predicate entry per distinct (s,p); bitmap_y True at last p of s
+    y = p[new_sp]
+    y_is_last = np.empty(len(y), dtype=bool)
+    s_of_sp = s[new_sp]
+    y_is_last[:-1] = s_of_sp[1:] != s_of_sp[:-1]
+    y_is_last[-1] = True
+    # Z: every object; bitmap_z True at last o of (s,p)
+    z_is_last = np.empty(n, dtype=bool)
+    z_is_last[:-1] = new_sp[1:]
+    z_is_last[-1] = True
+    subjects = np.unique(s)
+    return pa.table(
+        {
+            "s_min": pa.array([int(s[0])], pa.int64()),
+            "s_max": pa.array([int(s[-1])], pa.int64()),
+            "n_triples": pa.array([n], pa.int64()),
+            "subjects": pa.array([subjects.tolist()], pa.large_list(pa.int64())),
+            "y": pa.array([y.tolist()], pa.large_list(pa.int64())),
+            "bitmap_y": pa.array([y_is_last.tolist()], pa.large_list(pa.bool_())),
+            "z": pa.array([o.tolist()], pa.large_list(pa.int64())),
+            "bitmap_z": pa.array([z_is_last.tolist()], pa.large_list(pa.bool_())),
+        }
+    )
