@@ -134,6 +134,7 @@ class Store:
             self.header = json.load(f)
         self._maps = None
         self._rev = None
+        self._rev_ref = None
 
     # -- dictionary ---------------------------------------------------------
     def _dict_table(self) -> pa.Table:
@@ -232,36 +233,43 @@ class Store:
         return self.decode(ids)
 
     def decode(self, id_ds: rd.Dataset) -> rd.Dataset:
-        """ID-triples Dataset → canonical-string triples via broadcast reverse maps."""
-        rev_ref = ray.put(self.rev_maps())
+        """ID-triples Dataset → canonical-string triples via broadcast reverse maps.
 
-        class _Decoder:
-            def __init__(self, rev_ref=rev_ref):
-                self.rev = ray.get(rev_ref)
+        Runs as stateless tasks with a process-local broadcast cache — no
+        actor pool, so concurrent scans (UNION / BGP joins) never starve
+        each other's upstream read tasks on a small CPU budget.
+        """
+        if self._rev_ref is None:
+            self._rev_ref = ray.put(self.rev_maps())
+        rev_ref = self._rev_ref
 
-            def _dec(self, col, space):
+        def decode_batch(batch: pa.Table) -> pa.Table:
+            from de_ray.state.broadcast import get_broadcast
+
+            rev = get_broadcast(rev_ref)
+
+            def dec(col, space):
                 arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
                 enc = pc.dictionary_encode(arr)
                 lut = pa.array(
-                    [self.rev[space][v] for v in enc.dictionary.to_pylist()],
+                    [rev[space][v] for v in enc.dictionary.to_pylist()],
                     pa.large_string(),
                 )
                 return pc.take(lut, enc.indices)
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                return pa.table(
-                    {
-                        "subj": self._dec(batch.column("s_id"), "subj"),
-                        "pred": self._dec(batch.column("p_id"), "pred"),
-                        "obj": self._dec(batch.column("o_id"), "obj"),
-                        "graph": pa.array(
-                            batch.column("graph").to_pylist(), pa.large_string()
-                        ),
-                    }
-                )
+            return pa.table(
+                {
+                    "subj": dec(batch.column("s_id"), "subj"),
+                    "pred": dec(batch.column("p_id"), "pred"),
+                    "obj": dec(batch.column("o_id"), "obj"),
+                    "graph": pa.array(
+                        batch.column("graph").to_pylist(), pa.large_string()
+                    ),
+                }
+            )
 
         return id_ds.map_batches(
-            _Decoder, batch_format="pyarrow", batch_size=128 * 1024, concurrency=2
+            decode_batch, batch_format="pyarrow", batch_size=128 * 1024
         )
 
     def triples_all(self) -> rd.Dataset:

@@ -68,24 +68,24 @@ def collect_id_maps(dict_build: DictionaryBuild) -> Dict[str, Dict[str, int]]:
     return {"subj": subj, "pred": pred, "obj": obj}
 
 
-class _BroadcastEncoder:
-    """Actor-pool encoder: maps loaded once per actor from the object store."""
+def _make_broadcast_encoder(maps_ref):
+    """Stateless-task encoder; maps come from the object store via the
+    process-local broadcast cache (one deserialize per worker process)."""
 
-    def __init__(self, maps_ref):
-        self.maps = ray.get(maps_ref)
-
-    def _encode_col(self, col, space: str) -> pa.Array:
+    def encode_batch(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        m = self.maps[space]
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        enc = pc.dictionary_encode(arr)
-        lut = pa.array(
-            [m[v] for v in enc.dictionary.to_pylist()], pa.int64()
-        )
-        return pc.take(lut, enc.indices)
+        from de_ray.state.broadcast import get_broadcast
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+        maps = get_broadcast(maps_ref)
+
+        def encode_col(col, space: str) -> pa.Array:
+            m = maps[space]
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            enc = pc.dictionary_encode(arr)
+            lut = pa.array([m[v] for v in enc.dictionary.to_pylist()], pa.int64())
+            return pc.take(lut, enc.indices)
+
         n = len(batch)
         graph = (
             batch.column("graph")
@@ -94,12 +94,14 @@ class _BroadcastEncoder:
         )
         return pa.table(
             {
-                "s_id": self._encode_col(batch.column("subj"), "subj"),
-                "p_id": self._encode_col(batch.column("pred"), "pred"),
-                "o_id": self._encode_col(batch.column("obj"), "obj"),
+                "s_id": encode_col(batch.column("subj"), "subj"),
+                "p_id": encode_col(batch.column("pred"), "pred"),
+                "o_id": encode_col(batch.column("obj"), "obj"),
                 "graph": graph,
             }
         )
+
+    return encode_batch
 
 
 def _join_encode(triples_ds: rd.Dataset, dict_build: DictionaryBuild,
@@ -145,12 +147,10 @@ def encode_triples(
         return _join_encode(triples_ds, dict_build)
     maps_ref = ray.put(collect_id_maps(dict_build))
     return triples_ds.map_batches(
-        _BroadcastEncoder,
-        fn_constructor_kwargs={"maps_ref": maps_ref},
+        _make_broadcast_encoder(maps_ref),
         batch_format="pyarrow",
         batch_size=128 * 1024,
         zero_copy_batch=True,
-        concurrency=concurrency,
     )
 
 

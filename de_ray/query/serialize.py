@@ -1,0 +1,184 @@
+"""SPARQL result serializers (K3/K4) — byte-compatible with the reference.
+
+Golden formats verified against reference ``tests/test-commands.rs:186-238``:
+
+- CSV: bare header, IRI bare, literal lexical form, CRLF rows
+- TSV: ``?var`` header, N-Triples-encoded terms
+- JSON: ``{"head":{"vars":[...]},"results":{"bindings":[...]}}`` compact
+- XML: ``<?xml version="1.0"?><sparql xmlns=...>`` with <uri>/<literal>
+
+Graph results (CONSTRUCT/DESCRIBE) serialize as canonical N-Triples (K2).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+from de_ray.model import BlankNode, Iri, Literal, canonical_to_nt, canonical_to_term
+from de_ray.query.engine import BooleanResult, GraphResult, SolutionsResult
+from de_ray.rdfio.ntriples import format_nt_line
+
+SOLUTION_FORMATS = ("csv", "tsv", "json", "xml")
+GRAPH_FORMATS = ("ntriple", "nt", "ntriples")
+
+
+def _csv_field(term: Optional[str]) -> str:
+    if term is None:
+        return ""
+    t = canonical_to_term(term)
+    if isinstance(t, Iri):
+        v = t.value
+    elif isinstance(t, BlankNode):
+        v = "_:" + t.label
+    else:
+        v = t.lexical
+    if any(c in v for c in ',"\n\r'):
+        return '"' + v.replace('"', '""') + '"'
+    return v
+
+
+def solutions_to_csv(res: SolutionsResult) -> str:
+    lines = [",".join(res.variables)]
+    for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
+        for r in batch.itertuples(index=False):
+            row = dict(zip(res.variables, r))
+            lines.append(
+                ",".join(_csv_field(_norm(row.get(v))) for v in res.variables)
+            )
+    return "\r\n".join(lines) + "\r\n"
+
+
+def _norm(v):
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return None
+    return v
+
+
+def solutions_to_tsv(res: SolutionsResult) -> str:
+    lines = ["\t".join("?" + v for v in res.variables)]
+    for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
+        for r in batch.itertuples(index=False):
+            row = dict(zip(res.variables, r))
+            lines.append(
+                "\t".join(
+                    canonical_to_nt(row[v]) if _norm(row.get(v)) is not None else ""
+                    for v in res.variables
+                )
+            )
+    return "\n".join(lines) + "\n"
+
+
+def _json_term(term: str) -> dict:
+    t = canonical_to_term(term)
+    if isinstance(t, Iri):
+        return {"type": "uri", "value": t.value}
+    if isinstance(t, BlankNode):
+        return {"type": "bnode", "value": t.label}
+    out = {"type": "literal", "value": t.lexical}
+    if t.lang:
+        out["xml:lang"] = t.lang
+    elif t.datatype:
+        out["datatype"] = t.datatype
+    return out
+
+
+def solutions_to_json(res: SolutionsResult) -> str:
+    bindings = []
+    for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
+        for r in batch.itertuples(index=False):
+            row = dict(zip(res.variables, r))
+            b = {}
+            for v in res.variables:
+                val = _norm(row.get(v))
+                if val is not None:
+                    b[v] = _json_term(val)
+            bindings.append(b)
+    doc = {"head": {"vars": res.variables}, "results": {"bindings": bindings}}
+    return json.dumps(doc, separators=(",", ":"), ensure_ascii=False)
+
+
+def _xml_escape(s: str, attr: bool = False) -> str:
+    s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if attr:
+        s = s.replace('"', "&quot;")
+    return s
+
+
+def _xml_term(term: str) -> str:
+    t = canonical_to_term(term)
+    if isinstance(t, Iri):
+        return f"<uri>{_xml_escape(t.value)}</uri>"
+    if isinstance(t, BlankNode):
+        return f"<bnode>{_xml_escape(t.label)}</bnode>"
+    if t.lang:
+        return f'<literal xml:lang="{_xml_escape(t.lang, attr=True)}">{_xml_escape(t.lexical)}</literal>'
+    if t.datatype:
+        return f'<literal datatype="{_xml_escape(t.datatype, attr=True)}">{_xml_escape(t.lexical)}</literal>'
+    return f"<literal>{_xml_escape(t.lexical)}</literal>"
+
+
+def solutions_to_xml(res: SolutionsResult) -> str:
+    head = "".join(f'<variable name="{v}"/>' for v in res.variables)
+    rows = []
+    for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
+        for r in batch.itertuples(index=False):
+            row = dict(zip(res.variables, r))
+            bindings = "".join(
+                f'<binding name="{v}">{_xml_term(row[v])}</binding>'
+                for v in res.variables
+                if _norm(row.get(v)) is not None
+            )
+            rows.append(f"<result>{bindings}</result>")
+    return (
+        '<?xml version="1.0"?>'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        f"<head>{head}</head><results>{''.join(rows)}</results></sparql>"
+    )
+
+
+def boolean_to(fmt: str, res: BooleanResult) -> str:
+    v = "true" if res.value else "false"
+    if fmt == "csv" or fmt == "tsv":
+        return v + "\n"
+    if fmt == "json":
+        return json.dumps({"head": {}, "boolean": res.value}, separators=(",", ":"))
+    if fmt == "xml":
+        return (
+            '<?xml version="1.0"?>'
+            '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+            f"<head></head><boolean>{v}</boolean></sparql>"
+        )
+    raise ValueError(f"ASK queries only support csv/tsv/json/xml, not {fmt}")
+
+
+def graph_to_nt(res: GraphResult) -> str:
+    lines: List[str] = []
+    for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
+        for r in batch.itertuples(index=False):
+            d = dict(zip(batch.columns, r))
+            lines.append(format_nt_line(d["subj"], d["pred"], d["obj"]))
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def serialize_result(result, fmt: str = "csv") -> str:
+    fmt = fmt.lower()
+    if isinstance(result, BooleanResult):
+        return boolean_to(fmt, result)
+    if isinstance(result, SolutionsResult):
+        if fmt == "csv":
+            return solutions_to_csv(result)
+        if fmt == "tsv":
+            return solutions_to_tsv(result)
+        if fmt == "json":
+            return solutions_to_json(result)
+        if fmt == "xml":
+            return solutions_to_xml(result)
+        raise ValueError(f"SELECT supports csv/tsv/json/xml, not {fmt}")
+    if isinstance(result, GraphResult):
+        if fmt in GRAPH_FORMATS:
+            return graph_to_nt(result)
+        raise ValueError(f"graph results serialize as N-Triples here, not {fmt}")
+    raise ValueError(f"unknown result {result!r}")

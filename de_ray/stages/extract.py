@@ -47,19 +47,17 @@ class HtmlTextExtractor:
         return out.append_column("text", pa.array(texts, pa.string()))
 
 
-def extract_text_stage(ds, batch_size: int = 256, concurrency=None):
+def extract_text_stage(ds, batch_size: int = 256, concurrency=(1, 8)):
     """Dataset(url, warc_ts, html, lang, ...) → Dataset(..., text) without html.
 
-    Small batch_size because html rows are wide binary payloads (SURVEY §7.4);
-    `concurrency=None` → stateless-style autoscaling task pool of actors.
+    Small batch_size because html rows are wide binary payloads (SURVEY §7.4).
+    Autoscaling actor pool (min 1) so concurrent pipelines on a small CPU
+    budget can't starve each other.
     """
-    kwargs = {}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
     return ds.map_batches(
         HtmlTextExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        **kwargs,
+        concurrency=concurrency,
     )

@@ -72,7 +72,7 @@ class EntityLinker:
         return batch
 
 
-def link_entities_stage(ds, alias: Optional[Dict[str, str]] = None, concurrency=4,
+def link_entities_stage(ds, alias: Optional[Dict[str, str]] = None, concurrency=(1, 8),
                         batch_size: int = 64 * 1024):
     """Apply entity linking over a triples Dataset with a broadcast alias dict."""
     import ray

@@ -1,0 +1,168 @@
+"""SPARQL engine vs the reference's golden outputs (tests/test-commands.rs:155-253)."""
+
+import pytest
+
+from de_ray.query.engine import DatasetSource, StoreSource, evaluate
+from de_ray.query.parser import Var, parse_query
+from de_ray.query.serialize import serialize_result
+from de_ray.rdfio import read_rdf
+
+RES = "/root/reference/tests/resources"
+
+
+def _read(p):
+    with open(p, encoding="utf-8") as f:
+        return f.read()
+
+
+@pytest.fixture(scope="module")
+def pineapple_store(tmp_path_factory):
+    from de_ray.hdt.store import Store, write_store
+
+    out = str(tmp_path_factory.mktemp("q") / "pineapple")
+    write_store(read_rdf([f"{RES}/pineapple.ttl"]), out)
+    return Store(out)
+
+
+def test_parse_fruit_color_query():
+    q = parse_query(_read(f"{RES}/query-fruit-color.rq"))
+    assert q.form == "SELECT"
+    assert [v.name for v in q.variables] == ["fruit", "color"]
+    assert len(q.where.patterns) == 1
+    assert q.order_by == [(Var("fruit"), True)]
+
+
+def test_parse_color_query_bgp():
+    q = parse_query(_read(f"{RES}/query-color.rq"))
+    assert len(q.where.patterns) == 2  # ';' shorthand → 2 patterns, same subject
+    p1, p2 = q.where.patterns
+    assert p1.s == p2.s == Var("fruit")
+    assert p2.o == '"yellow"'
+
+
+def test_golden_csv(pineapple_store):
+    """Reference golden: fruit,color / http://example.org/Pineapple,yellow."""
+    q = parse_query(_read(f"{RES}/query-fruit-color.rq"))
+    res = evaluate(q, StoreSource(pineapple_store))
+    out = serialize_result(res, "csv").replace("\r", "").strip()
+    assert out == "fruit,color\nhttp://example.org/Pineapple,yellow"
+
+
+def test_golden_tsv(pineapple_store):
+    q = parse_query(_read(f"{RES}/query-fruit-color.rq"))
+    out = serialize_result(evaluate(q, StoreSource(pineapple_store)), "tsv")
+    assert out.replace("\r", "").strip() == '?fruit\t?color\n<http://example.org/Pineapple>\t"yellow"'
+
+
+def test_golden_json(pineapple_store):
+    q = parse_query(_read(f"{RES}/query-fruit-color.rq"))
+    out = serialize_result(evaluate(q, StoreSource(pineapple_store)), "json")
+    assert out.strip() == (
+        '{"head":{"vars":["fruit","color"]},"results":{"bindings":'
+        '[{"fruit":{"type":"uri","value":"http://example.org/Pineapple"},'
+        '"color":{"type":"literal","value":"yellow"}}]}}'
+    )
+
+
+def test_golden_xml(pineapple_store):
+    q = parse_query(_read(f"{RES}/query-fruit-color.rq"))
+    out = serialize_result(evaluate(q, StoreSource(pineapple_store)), "xml")
+    assert out.strip() == (
+        '<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        '<head><variable name="fruit"/><variable name="color"/></head>'
+        "<results><result>"
+        '<binding name="fruit"><uri>http://example.org/Pineapple</uri></binding>'
+        '<binding name="color"><literal>yellow</literal></binding>'
+        "</result></results></sparql>"
+    )
+
+
+def test_bgp_join_two_patterns(tmp_path):
+    """query-color.rq over apple+banana+pineapple: yellow Fruits, ORDER BY DESC."""
+    from de_ray.hdt.store import Store, write_store
+
+    out = str(tmp_path / "fruits")
+    write_store(
+        read_rdf([f"{RES}/apple.ttl", f"{RES}/banana.nt", f"{RES}/pineapple.ttl"]), out
+    )
+    q = parse_query(_read(f"{RES}/query-color.rq"))
+    res = evaluate(q, StoreSource(Store(out)))
+    out_csv = serialize_result(res, "csv").replace("\r", "").strip().split("\n")
+    assert out_csv == ["fruit", "http://example.org/Pineapple", "http://example.org/Banana"]
+
+
+def test_select_distinct_star(pineapple_store):
+    q = parse_query(_read(f"{RES}/all.rq"))
+    res = evaluate(q, StoreSource(pineapple_store))
+    assert res.variables == ["a", "prop", "c"]
+    assert res.ds.count() == 12
+
+
+def test_raw_dataset_source_equivalence(pineapple_store):
+    """Reference conformance: query over raw RDF == query over store."""
+    q = parse_query(_read(f"{RES}/query-fruit-color.rq"))
+    raw = evaluate(q, DatasetSource(read_rdf([f"{RES}/pineapple.ttl"])))
+    store = evaluate(q, StoreSource(pineapple_store))
+    assert serialize_result(raw, "csv") == serialize_result(store, "csv")
+
+
+def test_ask_and_filters(pineapple_store):
+    src = StoreSource(pineapple_store)
+    yes = evaluate(parse_query(
+        'PREFIX ex: <http://example.org/> ASK { ?f ex:hasColor "yellow" }'), src)
+    no = evaluate(parse_query(
+        'PREFIX ex: <http://example.org/> ASK { ?f ex:hasColor "mauve" }'), src)
+    assert yes.value is True and no.value is False
+    assert serialize_result(yes, "json") == '{"head":{},"boolean":true}'
+    # FILTER with regex and comparison
+    res = evaluate(
+        parse_query(
+            'PREFIX ex: <http://example.org/> SELECT ?p ?o WHERE '
+            "{ ex:Pineapple ?p ?o FILTER(REGEX(STR(?o), \"^\\\\$\")) }"
+        ),
+        src,
+    )
+    rows = res.ds.take_all()
+    assert [r["o"] for r in rows] == ['"$2.50"']
+
+
+def test_order_by_limit(pineapple_store):
+    res = evaluate(
+        parse_query(
+            "SELECT ?p WHERE { <http://example.org/Pineapple> ?p ?o } ORDER BY DESC(?p) LIMIT 3"
+        ),
+        StoreSource(pineapple_store),
+    )
+    ps = [r["p"] for r in res.ds.take_all()]
+    assert len(ps) == 3
+    assert ps == sorted(ps, reverse=True)
+
+
+def test_construct(pineapple_store):
+    q = parse_query(
+        "PREFIX ex: <http://example.org/> "
+        "CONSTRUCT { ?f ex:colour ?c } WHERE { ?f ex:hasColor ?c }"
+    )
+    res = evaluate(q, StoreSource(pineapple_store))
+    out = serialize_result(res, "ntriple").strip()
+    assert out == '<http://example.org/Pineapple> <http://example.org/colour> "yellow" .'
+
+
+def test_union(pineapple_store):
+    q = parse_query(
+        "PREFIX ex: <http://example.org/> SELECT ?x WHERE "
+        "{ { ?x ex:hasColor \"yellow\" } UNION { ?x ex:hasVitamin ex:VitaminC } }"
+    )
+    res = evaluate(q, StoreSource(pineapple_store))
+    xs = [r["x"] for r in res.ds.take_all()]
+    assert xs.count("http://example.org/Pineapple") == 2
+
+
+def test_optional(pineapple_store):
+    q = parse_query(
+        "PREFIX ex: <http://example.org/> PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+        "SELECT ?f ?lbl WHERE { ?f a ex:Fruit OPTIONAL { ?f rdfs:label ?lbl } }"
+    )
+    res = evaluate(q, StoreSource(pineapple_store))
+    rows = {r["f"]: r["lbl"] for r in res.ds.take_all()}
+    assert rows == {"http://example.org/Pineapple": None}
