@@ -1,0 +1,94 @@
+"""Flagship pipeline: Common-Crawl-style webtext → HDT-style knowledge graph.
+
+    read_parquet(webtext)                       # S7, column-pruned
+      → extract_text_stage                      # M6 actor pool, html dropped
+      → extract_triples_stage                   # M7 batched exploder
+      → link_entities_stage                     # A3 actor pool + broadcast dict
+      → canonicalize_stage                      # D5 two-phase dedup
+      → write_store                             # O1/O2/K1/G1 dictionary+triples+header
+
+Every stage is checkpointed (parquet + _SUCCESS + lineage row) so a killed
+run resumes where it stopped (north-rule resumability); the store build is
+checkpointed by its own ``_SUCCESS``.
+
+The per-stage metrics in the returned summary feed ``bench.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import ray.data as rd
+
+from de_ray.hdt.store import Store, write_store
+from de_ray.stages.canonicalize import canonicalize_stage
+from de_ray.stages.extract import extract_text_stage
+from de_ray.stages.link import link_entities_stage
+from de_ray.stages.triples import extract_triples_stage
+from de_ray.state.checkpoint import CheckpointedRun
+
+
+def run_kg_pipeline(
+    webtext_path: str,
+    out_root: str,
+    graph: str = "file:///webtext",
+    extract_concurrency=(1, 8),
+    link_concurrency=(1, 8),
+    resume: bool = True,
+    build_store: bool = True,
+) -> dict:
+    """Run the full pipeline; returns a summary with per-stage metrics."""
+    t_start = time.time()
+    if not resume and os.path.exists(out_root):
+        import shutil
+
+        shutil.rmtree(out_root)
+    run = CheckpointedRun(out_root)
+
+    extracted = run.stage(
+        "extracted",
+        lambda: extract_text_stage(
+            rd.read_parquet(webtext_path, columns=["url", "warc_ts", "html", "lang"]),
+            concurrency=extract_concurrency,
+        ),
+        inputs=webtext_path,
+    )
+
+    linked = run.stage(
+        "linked",
+        lambda: link_entities_stage(
+            extract_triples_stage(extracted, subject_col="url", graph=graph),
+            concurrency=link_concurrency,
+        ),
+        inputs=webtext_path,
+    )
+
+    store_dir = os.path.join(out_root, "graph")
+    header = None
+    if build_store:
+        if not (resume and os.path.exists(os.path.join(store_dir, "_SUCCESS"))):
+            t0 = time.time()
+            # write_store runs canonicalize (exact dedup) itself
+            header = write_store(linked, store_dir)
+            run.record(
+                "graph", shard="*", rows=header["void:triples"], wall_sec=time.time() - t0
+            )
+        else:
+            header = Store(store_dir).header
+
+    wall = time.time() - t_start
+    n_triples = header["void:triples"] if header else canonicalize_stage(linked).count()
+    n_docs = rd.read_parquet(webtext_path).count()
+    return {
+        "out_root": out_root,
+        "store_dir": store_dir if build_store else None,
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "wall_sec": round(wall, 3),
+        "triples_per_sec": round(n_triples / wall, 1) if wall > 0 else None,
+        "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
+        "lineage": run.lineage(),
+        "header": header,
+    }

@@ -61,19 +61,23 @@ class StoreSource:
         return self.store.pattern_scan(s=s, p=p, o=o, graphs=self.graphs)
 
 
-class MultiStoreSource:
-    """Union of several stores (AggregateHdt semantics, src/sparql.rs:14-22)."""
+class MultiSource:
+    """Union of several TripleSources (AggregateHdt default-graph-union
+    semantics, src/sparql.rs:14-22, src/serve.rs:58)."""
 
-    def __init__(self, stores, graphs: Optional[Sequence[str]] = None):
-        self.stores = list(stores)
-        self.graphs = graphs
+    def __init__(self, sources: Sequence):
+        self.sources = list(sources)
 
     def scan(self, s, p, o) -> rd.Dataset:
-        parts = [st.pattern_scan(s=s, p=p, o=o, graphs=self.graphs) for st in self.stores]
+        parts = [src.scan(s, p, o) for src in self.sources]
         out = parts[0]
         for d in parts[1:]:
             out = out.union(d)
         return out
+
+
+def MultiStoreSource(stores, graphs: Optional[Sequence[str]] = None):
+    return MultiSource([StoreSource(st, graphs) for st in stores])
 
 
 class DatasetSource:

@@ -1,0 +1,148 @@
+"""Training-data operators: dedup, text analysis, similarity, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_matches_duckdb():
+    from de_ray.dataops.dedup import exact_dedup
+
+    got = exact_dedup(_docs()).select_columns(["doc_id", "text"]).to_pandas()
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT min(doc_id) AS doc_id, text FROM '{SF}/documents.parquet' GROUP BY text"
+    ).df()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert g.equals(w[["doc_id", "text"]])
+
+
+def test_token_count_and_quality():
+    from de_ray.dataops.text import quality_score_batch, token_count_batch
+
+    t = pa.table({"text": pa.array(["the fast sort", "a", ""], pa.string())})
+    out = token_count_batch(t)
+    assert out.column("n_tokens").to_pylist() == [3, 1, 1]  # split('') -> ['']
+    q = quality_score_batch(t)
+    assert q.column("stopword_ratio").to_pylist()[0] == pytest.approx(1 / 3)
+
+
+def test_fingerprint_matches_duckdb_md5():
+    import duckdb
+
+    from de_ray.dataops.text import fingerprint_batch
+
+    t = pa.table({"text": pa.array(["hello world", "abc"], pa.string())})
+    got = fingerprint_batch(t).column("fingerprint").to_pylist()
+    want = [r[0] for r in duckdb.sql("SELECT md5(x) FROM (VALUES ('hello world'),('abc')) t(x)").fetchall()]
+    assert got == want
+
+
+def test_lang_id_plumbing():
+    from de_ray.dataops.text import LangId
+
+    li = LangId()
+    assert li.predict("the merge in there and here") in li.PROFILES
+
+
+def test_minhash_finds_near_dups():
+    from de_ray.dataops.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    other = "completely different words entirely unrelated content here now then"
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([base, near, other], pa.string()),
+            }
+        )
+    )
+    out = minhash_dedup(ds, threshold=0.5).to_pandas().set_index("doc_id")["cluster_id"]
+    assert out[1] == out[2]  # near-dups share a cluster
+    assert out[3] != out[1]
+
+
+def test_simhash_similarity():
+    from de_ray.dataops.dedup import SimHash, hamming_distance
+
+    a = SimHash.simhash64("the quick brown fox jumps over the lazy dog " * 4)
+    b = SimHash.simhash64("the quick brown fox jumps over the sleepy dog " * 4)
+    c = SimHash.simhash64("totally unrelated text about databases and queries")
+    assert hamming_distance(a, b) < hamming_distance(a, c)
+
+
+def test_jaccard_kernel():
+    from de_ray.dataops.dedup import jaccard
+
+    assert jaccard("a b c d", "a b c d") == 1.0
+    assert jaccard("a b c d", "x y z w") == 0.0
+
+
+def test_brute_force_topk_matches_numpy():
+    from de_ray.dataops.similarity import brute_force_topk
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    tbl = emb.take(1)
+    q = np.array([tbl[0]["embedding"]], dtype=np.float64)
+    got = brute_force_topk(emb, q, k=5).to_pandas()
+    assert len(got) == 5
+    assert got.iloc[0]["vec_id"] == tbl[0]["vec_id"]  # self is nearest
+    assert got.iloc[0]["score"] == pytest.approx(1.0)
+    # verify against a full numpy computation
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{SF}/embeddings.parquet")
+    m = np.asarray(full.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.asarray(full.column("vec_id").to_pylist())
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    scores = (mn @ qn.T).ravel()
+    want_ids = set(ids[np.argsort(-scores)[:5]].tolist())
+    assert set(got["vec_id"]) == want_ids
+
+
+def test_lsh_topk_recall():
+    from de_ray.dataops.similarity import brute_force_topk, lsh_topk
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    tbl = emb.take(1)
+    q = np.array([tbl[0]["embedding"]], dtype=np.float64)
+    exact = set(brute_force_topk(emb, q, k=5).to_pandas()["vec_id"])
+    approx = lsh_topk(emb, q, k=5, n_planes=4).to_pandas()
+    assert tbl[0]["vec_id"] in set(approx["vec_id"])  # finds self at least
+
+
+def test_multimodal_decode_plumbing():
+    from de_ray.dataops.multimodal import (
+        DeterministicFakeDecoder,
+        LibraryDecoder,
+        decode_features_stage,
+        frame_sample_stage,
+        synth_media_table,
+    )
+
+    t = synth_media_table(16)
+    ds = rd.from_arrow(t)
+    out = decode_features_stage(ds, concurrency=(1, 2)).take_all()
+    assert len(out) == 16
+    assert len(out[0]["features"]) == 16
+    assert "payload" not in out[0]  # wide binary dropped
+    # determinism: same payload -> same features
+    d = DeterministicFakeDecoder()
+    f1 = d.features_of(b"xyz")
+    f2 = d.features_of(b"xyz")
+    assert np.array_equal(f1, f2)
+    with pytest.raises(NotImplementedError):
+        LibraryDecoder()(t)
+    assert frame_sample_stage(ds, every_nth=2).count() == 8

@@ -1,0 +1,73 @@
+"""Flagship pipeline end-to-end + checkpoint/resume semantics."""
+
+import os
+
+import ray.data as rd
+
+from de_ray.pipelines.kg import run_kg_pipeline
+from de_ray.sources.webtext import webtext_dir_for
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kg_pipeline_end_to_end(tmp_path):
+    wt = webtext_dir_for(SF)
+    out = str(tmp_path / "kg")
+    summary = run_kg_pipeline(wt, out, resume=False)
+    assert summary["n_docs"] == 500
+    assert summary["n_triples"] > 500
+    assert os.path.exists(os.path.join(out, "graph", "_SUCCESS"))
+    assert summary["header"]["void:triples"] == summary["n_triples"]
+    stages = {r["stage"] for r in summary["lineage"]}
+    assert {"extracted", "linked", "graph"} <= stages
+
+    # SPARQL over the built graph
+    from de_ray.hdt.store import Store
+    from de_ray.query.engine import StoreSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    st = Store(os.path.join(out, "graph"))
+    q = parse_query(
+        "PREFIX de: <http://example.org/vocab#> "
+        "SELECT ?d WHERE { ?d de:mentions <http://example.org/entity/quick> } LIMIT 5"
+    )
+    res = evaluate(q, StoreSource(st))
+    assert res.ds.count() == 5  # 'fast' -> 'quick' via linking
+
+
+def test_kg_pipeline_resume_skips_done_stages(tmp_path):
+    wt = webtext_dir_for(SF)
+    out = str(tmp_path / "kg")
+    s1 = run_kg_pipeline(wt, out, resume=False)
+    s2 = run_kg_pipeline(wt, out, resume=True)  # everything checkpointed
+    assert s2["n_triples"] == s1["n_triples"]
+    # no new lineage rows for the heavy stages on resume
+    heavy1 = [r for r in s1["lineage"] if r["stage"] in ("extracted", "linked", "graph")]
+    heavy2 = [r for r in s2["lineage"] if r["stage"] in ("extracted", "linked", "graph")]
+    assert len(heavy2) == len(heavy1)
+    assert s2["wall_sec"] < s1["wall_sec"]
+
+
+def test_kg_pipeline_restart_after_partial(tmp_path):
+    """Kill-after-stage-1 simulation: only later stages rerun; output identical."""
+    wt = webtext_dir_for(SF)
+    out_a = str(tmp_path / "a")
+    full = run_kg_pipeline(wt, out_a, resume=False)
+
+    out_b = str(tmp_path / "b")
+    from de_ray.state.checkpoint import CheckpointedRun
+    from de_ray.stages.extract import extract_text_stage
+
+    run = CheckpointedRun(out_b)
+    run.stage(
+        "extracted",
+        lambda: extract_text_stage(
+            rd.read_parquet(wt, columns=["url", "warc_ts", "html", "lang"]),
+            concurrency=(1, 2),
+        ),
+        inputs=wt,
+    )  # == stage 1 finished, then "crash"
+    resumed = run_kg_pipeline(wt, out_b, resume=True)
+    assert resumed["n_triples"] == full["n_triples"]
+    # stage 1 was NOT re-run: exactly one 'extracted' lineage row
+    assert sum(1 for r in resumed["lineage"] if r["stage"] == "extracted") == 1
