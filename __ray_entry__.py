@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; neither
+this module nor the library calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship KG pipeline over sf0.001 synthetic webtext
+- ``queries()``    — one callable per implemented operator (SURVEY §2)
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 """
 
 from __future__ import annotations
@@ -20,25 +15,25 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Webtext → extract → triples → link → canonicalize → HDT-style store;
+    returns the canonical triples Dataset of the built graph."""
+    from de_ray.hdt.store import Store
+    from de_ray.pipelines.kg import run_kg_pipeline
+    from de_ray.sources.webtext import webtext_dir_for
+
+    wt = webtext_dir_for("/root/testdata/sf0.001")
+    summary = run_kg_pipeline(wt, "/tmp/de_ray_entry/kg", resume=True)
+    store = Store(summary["store_dir"])
+    return store.triples_all()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from de_ray.pipelines.driver_queries import queries as _queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from de_ray.pipelines.driver_queries import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

@@ -1,0 +1,132 @@
+"""Benchmark harness: headline KG pipeline + representative operator timings.
+
+Prints ONE JSON line:
+    {"metric": "kg_pipeline_sec", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N,
+     "n_triples": ..., "triples_per_sec": ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+
+``--scaling``: runs the headline pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus scaling efficiency (the in-sandbox stand-in for the N vs 4N cluster
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from de_ray.pipelines.kg import run_kg_pipeline
+    from de_ray.sources.webtext import webtext_dir_for
+
+    wt = webtext_dir_for(sf_dir)  # cached synthesis (not timed)
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    with open(wt, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_root = f"/tmp/de_ray_bench/{tag}_{num_cpus}"
+    shutil.rmtree(out_root, ignore_errors=True)
+    t0 = time.time()
+    summary = run_kg_pipeline(wt, out_root, resume=False)
+    headline = time.time() - t0
+
+    # representative operator timings over the same sf
+    from de_ray.pipelines.driver_queries import REGISTRY
+
+    bench_queries = [
+        "lineitem_agg",
+        "top_orders",
+        "region_customers",
+        "events_daily_user",
+        "dedup_exact",
+        "token_counts",
+        "ann_topk",
+        "minhash_clusters",
+    ]
+    q_times = {}
+    for name in bench_queries:
+        fn, _sql = REGISTRY[name]
+        t = time.time()
+        res = fn(sf_dir)
+        # consume
+        if hasattr(res, "count"):
+            res.count()
+        q_times[name] = round(time.time() - t, 3)
+
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": tag,
+        "num_cpus": num_cpus,
+        "n_docs": summary["n_docs"],
+        "n_triples": summary["n_triples"],
+        "triples_per_sec": summary["triples_per_sec"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, "bench.py"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)  # 1.0 == linear scaling
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "throughput_8": r_lo.get("triples_per_sec"),
+        "throughput_32": r_hi.get("triples_per_sec"),
+        "sf": r_hi.get("sf"),
+        "num_cpus": [lo, hi],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,603 @@
+"""Driver-contract query registry: one entry per operator (SURVEY §2), each
+with a Ray Data implementation and (where SQL-expressible) a DuckDB oracle.
+
+Column names are IDENTICAL between the Ray result and the oracle SQL — the
+driver's compare sorts columns by name and value-hashes. Float aggregates
+are rounded the same way on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from de_ray.stages.link import ALIAS_GROUPS
+from de_ray.stages.triples import DE, DOC, ENT, STOPWORDS
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ",".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+_ALIAS_CASE = (
+    "CASE w "
+    + " ".join(f"WHEN '{s}' THEN '{c}'" for s, c in sorted(ALIAS_GROUPS.items()))
+    + " ELSE w END"
+)
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, lang, source, "
+    "[x for x in string_split(text,' ') if x <> ''] AS ws FROM documents)"
+)
+
+
+def _tr_cte(linked: bool) -> str:
+    """CTE producing the full triple set (optionally entity-linked)."""
+    mention_obj = f"'{ENT}' || {_ALIAS_CASE}" if linked else f"'{ENT}' || w"
+    return (
+        f"WITH {_TOKS_CTE}, tr AS ("
+        f"SELECT '{DOC}'||doc_id AS subj, '{RDF_TYPE}' AS pred, '{DE}Document' AS obj FROM documents "
+        f"UNION ALL SELECT '{DOC}'||doc_id, '{DE}lang', '\"'||lang||'\"' FROM documents "
+        f"UNION ALL SELECT '{DOC}'||doc_id, '{DE}source', '\"'||source||'\"' FROM documents "
+        f"UNION ALL SELECT '{DOC}'||doc_id, '{DE}tokenCount', "
+        f"'\"'||len(ws)||'\"^^<{XSD_INT}>' FROM toks "
+        f"UNION ALL SELECT DISTINCT '{DOC}'||doc_id, '{DE}mentions', {mention_obj} "
+        f"FROM toks, unnest(ws) AS t(w) WHERE w NOT IN ({_STOP_SQL})"
+        f")"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ray helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_triples(sf_dir: str, linked: bool) -> rd.Dataset:
+    from de_ray.stages.canonicalize import canonicalize_stage
+    from de_ray.stages.link import link_entities_stage
+    from de_ray.stages.triples import extract_triples_stage
+
+    ds = extract_triples_stage(
+        _docs(sf_dir), subject_col="doc_id", graph="g", source_col="source"
+    )
+    if linked:
+        ds = link_entities_stage(ds, concurrency=(1, 4))
+        ds = canonicalize_stage(ds, cols=["subj", "pred", "obj"])
+    return ds.select_columns(["subj", "pred", "obj"])
+
+
+def grouped_count(ds: rd.Dataset, keys, alias: str = "n") -> rd.Dataset:
+    """Count rows per key with per-batch partials (combiner) before the shuffle."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(keys, as_index=False).size()
+        return out.rename(columns={"size": alias})
+
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=128 * 1024)
+    out = part.groupby(keys if isinstance(keys, list) else [keys]).aggregate(
+        Sum(alias, alias_name=alias)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_kg_extract_text(sf_dir: str):
+    """HTML→text extraction over synthesized webtext; byte-identity oracle."""
+    from de_ray.sources.webtext import webtext_dataset
+    from de_ray.stages.extract import extract_text_stage
+
+    ds = webtext_dataset(sf_dir, columns=["url", "html"])
+    return extract_text_stage(ds, concurrency=(1, 4)).select_columns(["url", "text"])
+
+
+SQL_KG_EXTRACT_TEXT = (
+    "SELECT 'https://'||source||'.example.com/page/'||doc_id AS url, text FROM documents"
+)
+
+
+def q_kg_triples(sf_dir: str):
+    return _doc_triples(sf_dir, linked=False)
+
+
+SQL_KG_TRIPLES = _tr_cte(linked=False) + " SELECT subj, pred, obj FROM tr"
+
+
+def q_kg_linked_triples(sf_dir: str):
+    return _doc_triples(sf_dir, linked=True)
+
+
+SQL_KG_LINKED_TRIPLES = _tr_cte(linked=True) + " SELECT DISTINCT subj, pred, obj FROM tr"
+
+
+def q_kg_mentions(sf_dir: str):
+    from de_ray.stages.triples import P_MENTIONS
+
+    ds = _doc_triples(sf_dir, linked=False)
+    return ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("pred"), P_MENTIONS)).select(
+            ["subj", "obj"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_KG_MENTIONS = (
+    f"WITH {_TOKS_CTE} SELECT DISTINCT '{DOC}'||doc_id AS subj, '{ENT}'||w AS obj "
+    f"FROM toks, unnest(ws) AS t(w) WHERE w NOT IN ({_STOP_SQL})"
+)
+
+
+def q_kg_entity_degree(sf_dir: str):
+    from de_ray.stages.triples import P_MENTIONS
+
+    ds = _doc_triples(sf_dir, linked=True)
+    mentions = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("pred"), P_MENTIONS)),
+        batch_format="pyarrow",
+    )
+    out = grouped_count(mentions, ["obj"], alias="n_docs")
+    return out.map_batches(
+        lambda df: df.rename(columns={"obj": "entity"}), batch_format="pandas"
+    )
+
+
+SQL_KG_ENTITY_DEGREE = (
+    _tr_cte(linked=True)
+    + f" SELECT obj AS entity, count(*) AS n_docs FROM "
+    f"(SELECT DISTINCT subj, obj FROM tr WHERE pred = '{DE}mentions') GROUP BY obj"
+)
+
+
+def q_kg_header_stats(sf_dir: str):
+    from de_ray.hdt.dictionary import (
+        SECTION_OBJECT,
+        SECTION_PREDICATE,
+        SECTION_SHARED,
+        SECTION_SUBJECT,
+        build_dictionary,
+    )
+
+    ds = _doc_triples(sf_dir, linked=True).materialize()
+    n = ds.count()
+    d = build_dictionary(ds)
+    c = d.counts
+    shared = c.get(SECTION_SHARED, 0)
+    return pd.DataFrame(
+        [
+            {
+                "void_triples": n,
+                "distinct_subjects": shared + c.get(SECTION_SUBJECT, 0),
+                "distinct_objects": shared + c.get(SECTION_OBJECT, 0),
+                "properties": c.get(SECTION_PREDICATE, 0),
+                "shared_terms": shared,
+            }
+        ]
+    )
+
+
+SQL_KG_HEADER_STATS = (
+    _tr_cte(linked=True)
+    + ", c AS (SELECT DISTINCT subj, pred, obj FROM tr) "
+    "SELECT (SELECT count(*) FROM c) AS void_triples, "
+    "(SELECT count(DISTINCT subj) FROM c) AS distinct_subjects, "
+    "(SELECT count(DISTINCT obj) FROM c) AS distinct_objects, "
+    "(SELECT count(DISTINCT pred) FROM c) AS properties, "
+    "(SELECT count(*) FROM (SELECT DISTINCT subj FROM c INTERSECT SELECT DISTINCT obj FROM c)) AS shared_terms"
+)
+
+
+# --- relational operator coverage (TPC-H-ish) ------------------------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        r = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("revenue", r)
+
+    ds = ds.map_batches(rev, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("revenue", alias_name="sum_revenue"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+
+    def round_cols(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_qty"] = df["sum_qty"].round(2)
+        df["sum_revenue"] = df["sum_revenue"].round(2)
+        df["avg_disc"] = df["avg_disc"].round(6)
+        df["count_order"] = df["count_order"].astype("int64")
+        return df
+
+    return out.map_batches(round_cols, batch_format="pandas")
+
+
+SQL_LINEITEM_AGG = (
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, "
+    "round(sum(l_extendedprice*(1-l_discount)),2) AS sum_revenue, "
+    "round(avg(l_discount),6) AS avg_disc, count(*) AS count_order "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def q_top_orders(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort("o_totalprice", descending=True).limit(10)
+
+
+SQL_TOP_ORDERS = (
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 10"
+)
+
+
+def q_region_customers(sf_dir: str):
+    """customer ⋈ nation ⋈ region via broadcast of the tiny dims, then count."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ]
+    import ray
+
+    dim_ref = ray.put(dim)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        from de_ray.state.broadcast import get_broadcast
+
+        d = get_broadcast(dim_ref)
+        return df.merge(d, left_on="c_nationkey", right_on="n_nationkey")[["r_name"]]
+
+    joined = cust.map_batches(join, batch_format="pandas")
+    return grouped_count(joined, ["r_name"], alias="n_customers")
+
+
+SQL_REGION_CUSTOMERS = (
+    "SELECT r_name, count(*) AS n_customers FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY r_name"
+)
+
+
+def q_supplier_nation_balance(sf_dir: str):
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()[["n_nationkey", "n_name"]]
+    import ray
+
+    ref = ray.put(nation)
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        from de_ray.state.broadcast import get_broadcast
+
+        return df.merge(get_broadcast(ref), left_on="s_nationkey", right_on="n_nationkey")[
+            ["n_name", "s_acctbal"]
+        ]
+
+    j = sup.map_batches(join, batch_format="pandas")
+    out = j.groupby("n_name").aggregate(
+        Sum("s_acctbal", alias_name="total_acctbal"), Count(alias_name="n_suppliers")
+    )
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_acctbal"] = df["total_acctbal"].round(2)
+        df["n_suppliers"] = df["n_suppliers"].astype("int64")
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+SQL_SUPPLIER_NATION_BALANCE = (
+    "SELECT n_name, round(sum(s_acctbal),2) AS total_acctbal, count(*) AS n_suppliers "
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
+)
+
+
+def q_events_by_type(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_value", "min_value", "max_value"):
+            df[c] = df[c].round(4)
+        df["n_events"] = df["n_events"].astype("int64")
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+SQL_EVENTS_BY_TYPE = (
+    "SELECT event_type, count(*) AS n_events, round(sum(value),4) AS sum_value, "
+    "round(min(value),4) AS min_value, round(max(value),4) AS max_value "
+    "FROM events GROUP BY event_type"
+)
+
+
+def q_events_daily_user(sf_dir: str):
+    """Tumbling daily window per user — groupby(key, floor(ts/day)) pattern."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def day(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        return df[["user_id", "day"]]
+
+    ds = ds.map_batches(day, batch_format="pandas")
+    return grouped_count(ds, ["user_id", "day"], alias="n_events")
+
+
+SQL_EVENTS_DAILY_USER = (
+    "SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+    "count(*) AS n_events FROM events GROUP BY user_id, day"
+)
+
+
+def q_distinct_segments(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    return grouped_count(ds, ["c_mktsegment"], alias="n").select_columns(["c_mktsegment"])
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_filter_orders(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice", "o_orderstatus"]
+    )
+
+    def flt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.greater(t.column("o_totalprice"), pa.scalar(100000.0)),
+            pc.equal(t.column("o_orderstatus"), pa.scalar("O")),
+        )
+        return t.filter(mask)
+
+    ds = ds.map_batches(flt, batch_format="pyarrow")
+    return grouped_count(ds, ["o_orderpriority"], alias="n_orders")
+
+
+SQL_FILTER_ORDERS = (
+    "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+    "WHERE o_totalprice > 100000 AND o_orderstatus = 'O' GROUP BY o_orderpriority"
+)
+
+
+# --- training-data operators ----------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    from de_ray.dataops.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir)).select_columns(["doc_id", "text"])
+
+
+SQL_DEDUP_EXACT = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+
+
+def q_token_counts(sf_dir: str):
+    from de_ray.dataops.text import token_count_batch
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+SQL_TOKEN_COUNTS = "SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents"
+
+
+def q_fingerprints(sf_dir: str):
+    from de_ray.dataops.text import fingerprint_batch
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+SQL_FINGERPRINTS = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def q_quality_scores(sf_dir: str):
+    from de_ray.dataops.text import quality_score_batch
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    out = ds.map_batches(quality_score_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_chars_calc", "n_tokens", "stopword_ratio", "mean_token_len"]
+    )
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df["stopword_ratio"] = df["stopword_ratio"].round(6)
+        df["mean_token_len"] = df["mean_token_len"].round(6)
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+SQL_QUALITY_SCORES = (
+    "SELECT doc_id, length(text) AS n_chars_calc, len(string_split(text,' ')) AS n_tokens, "
+    "round(len([x for x in string_split(text,' ') if x IN (" + _STOP_SQL + ")]) * 1.0 "
+    "/ greatest(len(string_split(text,' ')), 1), 6) AS stopword_ratio, "
+    "round(list_aggregate([length(x) for x in string_split(text,' ')], 'avg'), 6) AS mean_token_len "
+    "FROM documents"
+)
+
+
+def q_ann_topk(sf_dir: str):
+    from de_ray.dataops.similarity import brute_force_topk
+
+    emb_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q0 = np.asarray(emb_tbl.column("embedding").to_pylist()[:1], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = brute_force_topk(ds, q0, k=10).select_columns(["vec_id", "score"])
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df["score_r"] = df["score"].round(4)
+        return df[["vec_id", "score_r"]]
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+SQL_ANN_TOPK = (
+    "WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0) "
+    "SELECT e2.vec_id AS vec_id, round(list_cosine_similarity(e2.embedding, q.e), 4) AS score_r "
+    "FROM embeddings e2, q ORDER BY list_cosine_similarity(e2.embedding, q.e) DESC, e2.vec_id "
+    "LIMIT 10"
+)
+
+
+def q_cosine_near_dup(sf_dir: str):
+    from de_ray.dataops.similarity import cosine_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_near_dup_pairs(ds, threshold=0.95)
+    df = out.to_pandas()  # pair set is tiny by construction
+    if df.empty:  # keep the schema even when no pair clears the threshold
+        df = pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
+        )
+    return df[["vec_a", "vec_b"]]
+
+
+SQL_COSINE_NEAR_DUP = (
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b "
+    "ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+)
+
+
+# --- rows-only checks (non-SQL-expressible) --------------------------------
+
+
+def q_lang_id(sf_dir: str):
+    from de_ray.dataops.text import LangId
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+def q_minhash_clusters(sf_dir: str):
+    from de_ray.dataops.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]), threshold=0.8)
+
+
+def q_simhash(sf_dir: str):
+    from de_ray.dataops.dedup import simhash_stage
+
+    return simhash_stage(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def q_lsh_topk(sf_dir: str):
+    from de_ray.dataops.similarity import lsh_topk
+
+    emb_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q0 = np.asarray(emb_tbl.column("embedding").to_pylist()[:1], dtype=np.float64)
+    return lsh_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q0, k=10)
+
+
+def q_media_features(sf_dir: str):
+    from de_ray.dataops.multimodal import decode_features_stage, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(64))
+    return decode_features_stage(ds, concurrency=(1, 2))
+
+
+def q_sparql_mentions(sf_dir: str):
+    """SPARQL over the raw extracted triples (DatasetSource J1/J2 path)."""
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    triples = _doc_triples(sf_dir, linked=False).map_batches(
+        lambda t: t.append_column("graph", pa.array(["g"] * len(t), pa.large_string())),
+        batch_format="pyarrow",
+    )
+    q = parse_query(
+        f"SELECT ?doc WHERE {{ ?doc <{DE}mentions> <{ENT}merge> }}"
+    )
+    res = evaluate(q, DatasetSource(triples))
+    return res.ds.map_batches(
+        lambda df: df.rename(columns={"doc": "subj"}), batch_format="pandas"
+    )
+
+
+SQL_SPARQL_MENTIONS = (
+    f"WITH {_TOKS_CTE} SELECT DISTINCT '{DOC}'||doc_id AS subj "
+    f"FROM toks, unnest(ws) AS t(w) WHERE w = 'merge'"
+)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY = {
+    # KG construction (north rule)
+    "kg_extract_text": (q_kg_extract_text, SQL_KG_EXTRACT_TEXT),
+    "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
+    "kg_linked_triples": (q_kg_linked_triples, SQL_KG_LINKED_TRIPLES),
+    "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
+    "kg_entity_degree": (q_kg_entity_degree, SQL_KG_ENTITY_DEGREE),
+    "kg_header_stats": (q_kg_header_stats, SQL_KG_HEADER_STATS),
+    "sparql_mentions": (q_sparql_mentions, SQL_SPARQL_MENTIONS),
+    # relational coverage
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "region_customers": (q_region_customers, SQL_REGION_CUSTOMERS),
+    "supplier_nation_balance": (q_supplier_nation_balance, SQL_SUPPLIER_NATION_BALANCE),
+    "events_by_type": (q_events_by_type, SQL_EVENTS_BY_TYPE),
+    "events_daily_user": (q_events_daily_user, SQL_EVENTS_DAILY_USER),
+    "distinct_segments": (q_distinct_segments, SQL_DISTINCT_SEGMENTS),
+    "filter_orders": (q_filter_orders, SQL_FILTER_ORDERS),
+    # training-data ops
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "cosine_near_dup": (q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
+    # rows-only (non-SQL-expressible: model/sketch/stateful ops)
+    "lang_id": (q_lang_id, None),
+    "minhash_clusters": (q_minhash_clusters, None),
+    "simhash": (q_simhash, None),
+    "lsh_topk": (q_lsh_topk, None),
+    "media_features": (q_media_features, None),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
