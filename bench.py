@@ -44,7 +44,11 @@ def run_bench() -> dict:
     from de_ray.pipelines.kg import run_kg_pipeline
     from de_ray.sources.webtext import webtext_dir_for
 
-    wt = webtext_dir_for(sf_dir)  # cached synthesis (not timed)
+    # headline corpus scales with sf (bench-only replication; correctness
+    # queries keep the 1:1 table): sf0.001→500, sf0.01→5k, sf0.1→50k docs
+    tag0 = os.path.basename(os.path.normpath(sf_dir))
+    repeat = {"sf0.001": 1, "sf0.01": 10, "sf0.1": 100}.get(tag0, 1)
+    wt = webtext_dir_for(sf_dir, repeat=repeat)  # cached synthesis (not timed)
     # warm the page cache so we measure compute + shuffle, not first disk read
     with open(wt, "rb") as f:
         while f.read(1 << 24):

@@ -67,21 +67,22 @@ _MERSENNE = (1 << 61) - 1
 
 class MinHasher:
     """n_perm universal-hash minhash; coefficients from a fixed seed
-    (once per actor in __init__)."""
+    (once per actor in __init__). Hashes use uint64 wraparound arithmetic —
+    deterministic everywhere and fully vectorized (no Python-object math)."""
 
     def __init__(self, n_perm: int = 64, seed: int = 42):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.a = rng.randint(1, 1 << 62, size=n_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.randint(0, 1 << 62, size=n_perm, dtype=np.uint64)
         self.n_perm = n_perm
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         if len(shingles) == 0:
             return np.zeros(self.n_perm, dtype=np.uint64)
-        # (n_perm, n_shingles) universal hashes mod mersenne prime
-        x = shingles.astype(np.object_)  # python ints avoid uint64 overflow
-        h = (self.a[:, None].astype(np.object_) * x[None, :] + self.b[:, None].astype(np.object_)) % _MERSENNE
-        return h.min(axis=1).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            # (n_perm, n_shingles) multiply-shift hashes, uint64 wraparound
+            h = self.a[:, None] * shingles[None, :] + self.b[:, None]
+        return h.min(axis=1)
 
 
 class MinHashLSH:
@@ -140,20 +141,32 @@ def minhash_candidate_pairs(ds, n_perm: int = 64, bands: int = 16):
         concurrency=(1, 8),
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+    # shuffle on a small int bucket (not per-band groups — thousands of tiny
+    # map_groups calls); the per-bucket kernel handles its many band groups
+    # with one vectorized pandas groupby.
+    num_buckets = 32
 
-    cand = sigs.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df["_bucket"] = (df["band_hash"] % num_buckets).astype("int64")
+        return df
 
-    # distinct pairs (band collisions repeat across bands)
-    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+    sigs = sigs.map_batches(bucketize, batch_format="pandas")
 
-    cand = cand.map_batches(local_dedup, batch_format="pandas")
+    def pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: List[int] = []
+        out_b: List[int] = []
+        for _, sub in g.groupby(["band", "band_hash"], sort=False):
+            ids = np.sort(sub["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.extend(ids[ia].tolist())
+            out_b.extend(ids[ib].tolist())
+        return pd.DataFrame(
+            {"doc_a": pd.Series(out_a, dtype="int64"), "doc_b": pd.Series(out_b, dtype="int64")}
+        ).drop_duplicates()
+
+    cand = sigs.groupby("_bucket").map_groups(pairs_from_bucket, batch_format="pandas")
     from de_ray.stages.canonicalize import canonicalize_stage
 
     return canonicalize_stage(cand, cols=["doc_a", "doc_b"])

@@ -1,0 +1,61 @@
+"""Size-adaptive final stages for combiner-style aggregations.
+
+Pattern: a vectorized per-batch partial (combiner) ALWAYS runs first and
+shrinks the data to one row per (batch, key). The FINAL merge is then
+size-adaptive:
+
+- partial result ≤ ``limit`` rows → merge in one pandas task on the driver
+  (Ray's sort-based shuffle has a multi-second fixed floor that would
+  dominate small finals);
+- larger → distributed ``groupby`` shuffle.
+
+Both paths are exact; the cutover only trades latency. At 100 TB the
+partials of a high-cardinality key exceed the limit and the distributed
+path runs — the limit guards the small end, not the big end.
+"""
+
+from __future__ import annotations
+
+from typing import List, Union
+
+import pandas as pd
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+DRIVER_FINAL_LIMIT = 500_000
+
+
+def adaptive_grouped_sum(
+    partials: rd.Dataset,
+    keys: Union[str, List[str]],
+    value_cols: Union[str, List[str]],
+    limit: int = DRIVER_FINAL_LIMIT,
+) -> rd.Dataset:
+    """Sum ``value_cols`` per key over an already-combined partials Dataset."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    val_list = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    partials = partials.materialize()
+    if partials.count() <= limit:
+        df = partials.to_pandas()
+        out = df.groupby(key_list, as_index=False)[val_list].sum()
+        return rd.from_pandas(out)
+    aggs = [Sum(v, alias_name=v) for v in val_list]
+    return partials.groupby(key_list).aggregate(*aggs)
+
+
+def adaptive_distinct(
+    ds: rd.Dataset,
+    cols: Union[str, List[str], None] = None,
+    limit: int = DRIVER_FINAL_LIMIT,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Exact distinct rows over ``cols`` (thin wrapper over canonicalize)."""
+    col_list = [cols] if isinstance(cols, str) else (list(cols) if cols else None)
+    from de_ray.stages.canonicalize import canonicalize_stage
+
+    out = canonicalize_stage(
+        ds, num_buckets=num_buckets, cols=col_list, driver_final_limit=limit
+    )
+    if col_list:
+        out = out.select_columns(col_list)
+    return out

@@ -147,11 +147,25 @@ class DictionaryBuild:
         return self.counts.get(SECTION_PREDICATE, 0)
 
 
-def build_dictionary(triples_ds: rd.Dataset) -> DictionaryBuild:
-    """Triples Dataset (subj,pred,obj[,graph]) → sorted, ranked dictionary."""
+DRIVER_FINAL_LIMIT = 2_000_000
+
+
+def build_dictionary(
+    triples_ds: rd.Dataset, driver_final_limit: int = DRIVER_FINAL_LIMIT
+) -> DictionaryBuild:
+    """Triples Dataset (subj,pred,obj[,graph]) → sorted, ranked dictionary.
+
+    The role-discovery partials (combiner) always run distributed; the merge
+    + sort + rank final is size-adaptive: up to ``driver_final_limit``
+    distinct (term, role) partial rows it completes in one pandas task
+    (exact, just cheaper than two shuffles), beyond that the distributed
+    groupby → sort → per-block-offset rank path runs (the 10^12-doc path).
+    """
     roles = triples_ds.map_batches(
         _role_partials, batch_format="pyarrow", batch_size=128 * 1024
-    )
+    ).materialize()
+    if roles.count() <= driver_final_limit:
+        return _driver_final_dictionary(roles)
     merged = roles.groupby("term").aggregate(
         Max("is_subj"), Max("is_pred"), Max("is_obj")
     )
@@ -171,6 +185,40 @@ def build_dictionary(triples_ds: rd.Dataset) -> DictionaryBuild:
     ]
     ranked = rd.from_arrow_refs(new_refs)
     return DictionaryBuild(ranked, totals)
+
+
+def _driver_final_dictionary(roles: rd.Dataset) -> DictionaryBuild:
+    """Small-dictionary final: merge roles, split sections, sort, rank — one
+    pandas task. Identical output to the distributed path."""
+    import numpy as np
+
+    df = roles.to_pandas()
+    m = df.groupby("term", as_index=False)[["is_subj", "is_pred", "is_obj"]].max()
+    terms, sections = [], []
+    for t, fs, fp, fo in zip(m["term"], m["is_subj"], m["is_pred"], m["is_obj"]):
+        if fs and fo:
+            terms.append(t), sections.append(SECTION_SHARED)
+        elif fs:
+            terms.append(t), sections.append(SECTION_SUBJECT)
+        elif fo:
+            terms.append(t), sections.append(SECTION_OBJECT)
+        if fp:
+            terms.append(t), sections.append(SECTION_PREDICATE)
+    sec = (
+        __import__("pandas")
+        .DataFrame({"term": terms, "section": sections})
+        .sort_values(["section", "term"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    sec["sec_rank"] = sec.groupby("section").cumcount()
+    counts = sec["section"].value_counts().to_dict()
+    shared = counts.get(SECTION_SHARED, 0)
+    ids = sec["sec_rank"].to_numpy() + 1
+    so = sec["section"].isin([SECTION_SUBJECT, SECTION_OBJECT]).to_numpy()
+    ids = ids + np.where(so, shared, 0)
+    sec["id"] = ids.astype("int64")
+    sec["section"] = sec["section"].astype("int32")
+    return DictionaryBuild(rd.from_pandas(sec), {int(k): int(v) for k, v in counts.items()})
 
 
 # ---------------------------------------------------------------------------

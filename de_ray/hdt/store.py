@@ -90,10 +90,16 @@ def write_store(
             pack_adjacency_block, batch_format="pyarrow", batch_size=256 * 1024
         ).write_parquet(os.path.join(out_dir, "adjacency"))
     n_triples = sorted_ds.count()
-    per_graph = {
-        r["graph"]: r["count()"]
-        for r in sorted_ds.groupby("graph").count().take_all()
-    }
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    def _graph_partial(df):
+        out = df.groupby("graph", as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    per_graph_ds = adaptive_grouped_sum(
+        sorted_ds.map_batches(_graph_partial, batch_format="pandas"), "graph", "n"
+    )
+    per_graph = {r["graph"]: int(r["n"]) for r in per_graph_ds.take_all()}
     header = build_header(dict_build, n_triples, per_graph, original_size)
     header["hdtSize"] = _dir_size(out_dir)
     with open(os.path.join(out_dir, "header.json"), "w") as f:

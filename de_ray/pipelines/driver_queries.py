@@ -78,18 +78,35 @@ def _doc_triples(sf_dir: str, linked: bool) -> rd.Dataset:
     return ds.select_columns(["subj", "pred", "obj"])
 
 
+GROUPED_COUNT_DRIVER_LIMIT = 500_000
+
+
 def grouped_count(ds: rd.Dataset, keys, alias: str = "n") -> rd.Dataset:
-    """Count rows per key with per-batch partials (combiner) before the shuffle."""
+    """Count rows per key: per-batch partials (combiner) ALWAYS run first, so
+    the data crossing the wire is one row per (batch, key), then the final
+    merge is size-adaptive: partial sets up to ~500k rows merge in one task
+    (Ray's sort-shuffle has a multi-second fixed floor that would dominate),
+    larger key cardinalities take the distributed ``groupby``. Both paths
+    are exact."""
+    key_list = keys if isinstance(keys, list) else [keys]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(keys, as_index=False).size()
+        out = df.groupby(key_list, as_index=False).size()
         return out.rename(columns={"size": alias})
 
     part = ds.map_batches(partial, batch_format="pandas", batch_size=128 * 1024)
-    out = part.groupby(keys if isinstance(keys, list) else [keys]).aggregate(
-        Sum(alias, alias_name=alias)
-    )
-    return out
+    part = part.materialize()
+    if part.count() <= GROUPED_COUNT_DRIVER_LIMIT:
+        merged = part.to_pandas().groupby(key_list, as_index=False)[alias].sum()
+        merged[alias] = merged[alias].astype("int64")
+        return rd.from_pandas(merged)
+    out = part.groupby(key_list).aggregate(Sum(alias, alias_name=alias))
+
+    def as_int(df: pd.DataFrame) -> pd.DataFrame:
+        df[alias] = df[alias].astype("int64")
+        return df
+
+    return out.map_batches(as_int, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -77,18 +77,29 @@ def render_html(doc_id: int, text: str, lang: str) -> bytes:
     return page.encode("utf-8")
 
 
-def synth_webtext(documents_parquet: str, out_path: str, rows_per_group: int = 2048) -> int:
+def synth_webtext(
+    documents_parquet: str, out_path: str, rows_per_group: int = 2048, repeat: int = 1
+) -> int:
     """Materialize the webtext table from a documents.parquet, deterministically.
 
     Driver-side, single pass (the testdata tables are small); the output is a
     normal Parquet file read by ``ray.data.read_parquet`` downstream. Returns
     the row count.
+
+    ``repeat`` > 1 deterministically replicates the corpus with shifted
+    doc_ids (and therefore distinct urls) — the bench uses this so the
+    headline pipeline at sf0.1 measures real work, while the correctness
+    queries keep the 1:1 table.
     """
     tbl = pq.read_table(documents_parquet, columns=["doc_id", "text", "lang", "source"])
-    doc_id = tbl.column("doc_id").to_pylist()
-    text = tbl.column("text").to_pylist()
-    lang = tbl.column("lang").to_pylist()
-    source = tbl.column("source").to_pylist()
+    base_ids = tbl.column("doc_id").to_pylist()
+    base_n = (max(base_ids) + 1) if base_ids else 0
+    doc_id, text, lang, source = [], [], [], []
+    for k in range(repeat):
+        doc_id.extend(i + base_n * k for i in base_ids)
+        text.extend(tbl.column("text").to_pylist())
+        lang.extend(tbl.column("lang").to_pylist())
+        source.extend(tbl.column("source").to_pylist())
     url = [page_url(d, s) for d, s in zip(doc_id, source)]
     ts = pa.array(np.array([page_ts_us(d) for d in doc_id], dtype="int64")).cast(
         pa.timestamp("us")
@@ -109,18 +120,23 @@ def synth_webtext(documents_parquet: str, out_path: str, rows_per_group: int = 2
     return out.num_rows
 
 
-def webtext_dir_for(sf_dir: str, cache_root: str = "/tmp/de_ray_webtext") -> str:
+def webtext_dir_for(
+    sf_dir: str, cache_root: str = "/tmp/de_ray_webtext", repeat: int = 1
+) -> str:
     """Path of the (lazily materialized) webtext parquet for a testdata sf dir.
 
-    Cached per scale factor under /tmp with a _SUCCESS marker; synthesis is
-    deterministic so the cache is always valid for the same input.
+    Cached per (scale factor, repeat) under /tmp with a _SUCCESS marker;
+    synthesis is deterministic so the cache is always valid for the same
+    input.
     """
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    if repeat > 1:
+        tag = f"{tag}_x{repeat}"
     out_dir = os.path.join(cache_root, tag)
     out_path = os.path.join(out_dir, "webtext.parquet")
     marker = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(marker):
-        synth_webtext(os.path.join(sf_dir, "documents.parquet"), out_path)
+        synth_webtext(os.path.join(sf_dir, "documents.parquet"), out_path, repeat=repeat)
         with open(marker, "w") as f:
             f.write("ok")
     return out_path

@@ -52,14 +52,35 @@ def _dedup_group(g: pd.DataFrame, cols) -> pd.DataFrame:
     return g.drop_duplicates(subset=cols).drop(columns=["_bucket"])
 
 
-def canonicalize_stage(ds, num_buckets: int = 64, cols=None):
-    """Global exact dedup of a triples Dataset; returns distinct rows."""
+DRIVER_FINAL_LIMIT = 500_000
+
+
+def canonicalize_stage(ds, num_buckets: int = 64, cols=None,
+                       driver_final_limit: int = DRIVER_FINAL_LIMIT):
+    """Global exact dedup; returns distinct rows (keyed on ``cols``).
+
+    The per-batch local dedup (combiner) always runs; the global final is
+    size-adaptive: small survivor sets merge in one pandas task (Ray's
+    shuffle has a multi-second fixed floor), large ones take the
+    bucket-groupby shuffle. Both paths are exact — the limit only trades
+    latency, and at 10^12-doc scale the distributed path always runs.
+    """
     cols = list(cols) if cols is not None else [c for c in KEY_COLS if c in ds.schema().names]
-    ds = ds.map_batches(
+    import ray.data as rd
+
+    local = ds.map_batches(
+        lambda df: df.drop_duplicates(subset=cols),
+        batch_format="pandas",
+        batch_size=128 * 1024,
+    ).materialize()
+    if local.count() <= driver_final_limit:
+        df = local.to_pandas().drop_duplicates(subset=cols).reset_index(drop=True)
+        return rd.from_pandas(df)
+    bucketed = local.map_batches(
         _LocalDedupAndBucket(num_buckets, cols),
         batch_format="pandas",
         batch_size=128 * 1024,
     )
-    return ds.groupby("_bucket").map_groups(
+    return bucketed.groupby("_bucket").map_groups(
         lambda g: _dedup_group(g, cols), batch_format="pandas"
     )
