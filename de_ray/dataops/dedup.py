@@ -27,20 +27,45 @@ import pyarrow as pa
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
-    """Keep the min-id row per distinct key. Two-phase: per-batch local
-    min, then groupby over the (much smaller) partials — the combiner
-    pattern, so the shuffle moves one row per (batch, key)."""
+def exact_dedup(
+    ds,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    driver_final_limit: int = 500_000,
+):
+    """Keep the min-id row per distinct key. Per-batch local min (combiner)
+    always runs, so the shuffle moves one row per (batch, key); the final is
+    size-adaptive — one pandas task for small survivor sets, a stable-hash
+    bucket groupby (vectorized within each bucket, never one Python call per
+    key) at scale."""
 
     def local_min(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col).drop_duplicates(subset=[key_col], keep="first")
+        return df.sort_values(id_col, kind="mergesort").drop_duplicates(
+            subset=[key_col], keep="first"
+        )
 
-    ds = ds.map_batches(local_min, batch_format="pandas", batch_size=64 * 1024)
+    part = ds.map_batches(local_min, batch_format="pandas", batch_size=64 * 1024).materialize()
+    if part.count() <= driver_final_limit:
+        df = part.to_pandas()
+        out = local_min(df).reset_index(drop=True)
+        import ray.data as rd
 
-    def group_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+        return rd.from_pandas(out)
 
-    return ds.groupby(key_col).map_groups(group_min, batch_format="pandas")
+    from de_ray.stages.canonicalize import stable_row_hash
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _bucket=(stable_row_hash(df, [key_col]) % num_buckets).astype("int64")
+        )
+
+    bucketed = part.map_batches(bucketize, batch_format="pandas")
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        return local_min(g).drop(columns=["_bucket"])
+
+    return bucketed.groupby("_bucket").map_groups(bucket_min, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

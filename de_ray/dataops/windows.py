@@ -1,0 +1,135 @@
+"""Stream-shaped operators over an ordered event log.
+
+Ray Data has no event-time windows/watermarks; the reference is batch-only
+too (SURVEY §2.10). These operators treat the events table as an ordered,
+partitioned log: partition by key, sort by ts within the partition
+(``groupby(key).map_groups``), and window over the sorted group with
+pandas. Ordering assumption: windows are computed per key over ALL of that
+key's events — a key's history must fit one group (documented partitioning
+assumption; salt by time-range for pathological hot keys).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+
+def tumbling_window(
+    ds: rd.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    freq: str = "D",
+    value_col: str = "value",
+):
+    """Tumbling count/sum per (key, window start). freq is a pandas offset
+    alias ('D', 'H', '15min', ...)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(window=df[ts_col].dt.floor(freq))
+        out = df.groupby([key, "window"], as_index=False).agg(
+            n_events=(ts_col, "size"), sum_value=(value_col, "sum")
+        )
+        return out
+
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=128 * 1024)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby([key, "window"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        )
+
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    return adaptive_grouped_sum(part, [key, "window"], ["n_events", "sum_value"])
+
+
+def sliding_window_counts(
+    ds: rd.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1h",
+    slide: str = "30min",
+):
+    """Sliding-window event counts per key: each event contributes to every
+    window whose [start, start+window) contains it. Implemented by exploding
+    each event to its covering window starts (window/slide is small), then a
+    grouped count — no per-key state needed."""
+    import numpy as np
+
+    w = pd.Timedelta(window)
+    s = pd.Timedelta(slide)
+    k = int(np.ceil(w / s))
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        base = df[ts_col].dt.floor(slide)
+        for i in range(k):
+            start = base - i * s
+            rows.append(pd.DataFrame({key: df[key], "window_start": start}))
+        out = pd.concat(rows, ignore_index=True)
+        return out.groupby([key, "window_start"], as_index=False).size().rename(
+            columns={"size": "n_events"}
+        )
+
+    part = ds.map_batches(explode, batch_format="pandas", batch_size=128 * 1024)
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    return adaptive_grouped_sum(part, [key, "window_start"], "n_events")
+
+
+def session_windows(
+    ds: rd.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30min",
+):
+    """Session windows: events of one key closer than ``gap`` chain into one
+    session. Returns (key, session_id 1-based by start time, n_events,
+    session_start, session_end). One shuffle on key; per-key history sorted
+    in the group."""
+    gap_td = pd.Timedelta(gap)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        new_session = (g[ts_col].diff() > gap_td) | g[ts_col].diff().isna()
+        g = g.assign(session_id=new_session.cumsum().astype("int64"))
+        out = g.groupby("session_id", as_index=False).agg(
+            n_events=(ts_col, "size"),
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+        )
+        out.insert(0, key, g[key].iloc[0])
+        return out
+
+    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+
+
+def topk_per_group(
+    ds: rd.Dataset,
+    key: str,
+    order_col: str,
+    k: int = 2,
+    descending: bool = True,
+    tiebreak: str | None = None,
+):
+    """Top-k rows per key (window-rank pattern): per-batch partial top-k
+    (combiner) then per-key final top-k — the shuffle carries ≤ k rows per
+    (batch, key). ``tiebreak`` (ascending) makes the selection deterministic
+    under order_col ties."""
+    by = [order_col] + ([tiebreak] if tiebreak else [])
+    asc = [not descending] + ([True] if tiebreak else [])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(by, ascending=asc, kind="mergesort")
+            .groupby(key, as_index=False, sort=False)
+            .head(k)
+        )
+
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=128 * 1024)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    return part.groupby(key).map_groups(final, batch_format="pandas")

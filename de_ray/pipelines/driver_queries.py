@@ -511,6 +511,102 @@ SQL_COSINE_NEAR_DUP = (
 )
 
 
+# --- stream-shaped windows -------------------------------------------------
+
+
+def q_session_windows(sf_dir: str):
+    from de_ray.dataops.windows import session_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = session_windows(ds, gap="30min")
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df["session_start"] = df["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        df["session_end"] = df["session_end"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        df["n_events"] = df["n_events"].astype("int64")
+        return df[["user_id", "session_id", "n_events", "session_start", "session_end"]]
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+SQL_SESSION_WINDOWS = (
+    "WITH e AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+    "OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS ns "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS session_id FROM e) "
+    "SELECT user_id, session_id, count(*) AS n_events, "
+    "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+    "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end "
+    "FROM s GROUP BY user_id, session_id"
+)
+
+
+def q_sliding_windows(sf_dir: str):
+    from de_ray.dataops.windows import sliding_window_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = sliding_window_counts(ds, window="1h", slide="30min")
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_start"] = df["window_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        df["n_events"] = df["n_events"].astype("int64")
+        return df[["user_id", "window_start", "n_events"]]
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+SQL_SLIDING_WINDOWS = (
+    "WITH b AS (SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS b0 FROM events), "
+    "x AS (SELECT user_id, b0 AS ws FROM b UNION ALL "
+    "SELECT user_id, b0 - INTERVAL '30 minutes' FROM b) "
+    "SELECT user_id, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, "
+    "count(*) AS n_events FROM x GROUP BY user_id, ws"
+)
+
+
+def q_tumbling_value(sf_dir: str):
+    from de_ray.dataops.windows import tumbling_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = tumbling_window(ds, freq="D")
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_day"] = pd.to_datetime(df["window"]).dt.strftime("%Y-%m-%d")
+        df["sum_value"] = df["sum_value"].round(4)
+        df["n_events"] = df["n_events"].astype("int64")
+        return df[["user_id", "window_day", "n_events", "sum_value"]]
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+SQL_TUMBLING_VALUE = (
+    "SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_day, "
+    "count(*) AS n_events, round(sum(value),4) AS sum_value "
+    "FROM events GROUP BY user_id, window_day"
+)
+
+
+def q_topk_per_order(sf_dir: str):
+    from de_ray.dataops.windows import topk_per_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    out = topk_per_group(
+        ds, key="l_orderkey", order_col="l_extendedprice", k=2, tiebreak="l_linenumber"
+    )
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+
+SQL_TOPK_PER_ORDER = (
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY l_orderkey "
+    "ORDER BY l_extendedprice DESC, l_linenumber) AS rn FROM lineitem) WHERE rn <= 2"
+)
+
+
 # --- rows-only checks (non-SQL-expressible) --------------------------------
 
 
@@ -596,6 +692,11 @@ REGISTRY = {
     "events_daily_user": (q_events_daily_user, SQL_EVENTS_DAILY_USER),
     "distinct_segments": (q_distinct_segments, SQL_DISTINCT_SEGMENTS),
     "filter_orders": (q_filter_orders, SQL_FILTER_ORDERS),
+    # stream-shaped windows over the events log
+    "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
+    "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
+    "tumbling_value": (q_tumbling_value, SQL_TUMBLING_VALUE),
+    "topk_per_order": (q_topk_per_order, SQL_TOPK_PER_ORDER),
     # training-data ops
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
