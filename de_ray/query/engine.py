@@ -373,8 +373,6 @@ def _eval_group(g: GroupPattern, source) -> Tuple[List[str], rd.Dataset]:
     for opt in g.optionals:
         ov, ods = _eval_group(opt, source)
         vars_out, ds = _left_join_optional((vars_out, ds), (ov, ods))
-    if "__exists" in (ds.schema().names if vars_out == [] else []):
-        pass
     return vars_out, ds
 
 

@@ -34,7 +34,8 @@ TRIPLE_SCHEMA = pa.schema(
 )
 
 _LINE_FORMATS = {".nt", ".ntriples", ".nq", ".nquads"}
-_TTL_FORMATS = {".ttl", ".turtle", ".n3"}
+_TTL_FORMATS = {".ttl", ".turtle", ".n3", ".trig"}
+_XML_FORMATS = {".rdf", ".owl", ".xml"}  # .owl → RDF/XML, reference src/rdf2nt.rs:51-65
 
 
 def graph_name_for_file(path: str) -> str:
@@ -76,6 +77,10 @@ def _parse_file_row(row: dict) -> List[dict]:
     ext = os.path.splitext(path)[1].lower()
     if ext in _TTL_FORMATS:
         triples = parse_turtle(text)
+    elif ext in _XML_FORMATS:
+        from de_ray.rdfio.rdfxml import parse_rdfxml
+
+        triples = parse_rdfxml(text)
     elif ext in _LINE_FORMATS:
         from de_ray.rdfio.ntriples import parse_nt_text
 
@@ -112,7 +117,7 @@ def classify_paths(paths: Sequence[str]) -> tuple[List[str], List[str]]:
             raise FileNotFoundError(p)
         if ext in _LINE_FORMATS:
             line_paths.append(p)
-        elif ext in _TTL_FORMATS:
+        elif ext in _TTL_FORMATS or ext in _XML_FORMATS:
             file_paths.append(p)
         else:
             raise ValueError(f"unsupported RDF extension {ext!r}: {p}")

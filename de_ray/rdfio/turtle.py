@@ -44,7 +44,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\\n]|\\.)*")
   | (?P<langtag>@[a-zA-Z][a-zA-Z0-9-]*)
   | (?P<dtype>\^\^)
-  | (?P<punct>[;,.\[\]()])
+  | (?P<punct>[;,.\[\](){}])
   | (?P<number>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
   | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.\-%]*)
   | (?P<bnode>_:[\w.-]+)
@@ -75,8 +75,9 @@ class _Tokens:
                 self.toks.append((kind, m.group(0)))
         self.pos = 0
 
-    def peek(self) -> Optional[Tuple[str, str]]:
-        return self.toks[self.pos] if self.pos < len(self.toks) else None
+    def peek(self, ahead: int = 0) -> Optional[Tuple[str, str]]:
+        j = self.pos + ahead
+        return self.toks[j] if j < len(self.toks) else None
 
     def next(self) -> Tuple[str, str]:
         t = self.peek()
@@ -106,6 +107,22 @@ class TurtleParser:
         tk = _Tokens(text)
         while tk.peek() is not None:
             kind, val = tk.peek()
+            # TriG graph blocks: [GRAPH] <name>? { ... } — the graph label is
+            # dropped, matching the reference's quad→triple projection
+            # (src/rdf2nt.rs:89-96 "HDT does not support named graphs").
+            if kind == "keyword" and val.upper() == "GRAPH":
+                tk.next()
+                continue
+            if kind in ("iri", "pname", "bnode") and tk.peek(1) == ("punct", "{"):
+                tk.next()  # graph name, dropped
+                continue
+            if (kind, val) == ("punct", "{"):
+                tk.next()
+                while tk.peek() is not None and tk.peek() != ("punct", "}"):
+                    self._parse_statement(tk)
+                if tk.peek() is not None:
+                    tk.next()  # consume '}'
+                continue
             if kind == "keyword" and val.lower() in ("@prefix", "prefix"):
                 tk.next()
                 k2, pname = tk.next()
