@@ -418,6 +418,8 @@ def _order_and_slice(q: Query, vars_out: List[str], ds: rd.Dataset) -> rd.Datase
 
         def add_keys(df: pd.DataFrame) -> pd.DataFrame:
             for i, (vn, _) in enumerate(order_specs):
+                if vn not in df.columns:  # empty block artifacts lack columns
+                    df[vn] = pd.Series([], dtype=object)
                 keys = df[vn].map(lambda s: typed_sort_key(s) if isinstance(s, str) else (-1, ""))
                 df[f"__k{i}_tier"] = keys.map(lambda k: k[0]).astype("int32")
                 df[f"__k{i}_num"] = keys.map(
@@ -461,10 +463,14 @@ def evaluate(q: Query, source):
         return BooleanResult(bool(row))
     if q.form == "SELECT":
         sel = [v.name for v in q.variables] if q.variables else vars_out
-        ds = _align_columns(ds, vars_out, sel)
+        # ORDER BY vars outside the projection must survive until the sort
+        extra = [v.name for v, _ in q.order_by if v.name not in sel and v.name in vars_out]
+        ds = _align_columns(ds, vars_out, sel + extra)
         if q.distinct:
-            ds = _distinct(ds, sel)
-        ds = _order_and_slice(q, sel, ds)
+            ds = _distinct(ds, sel + extra)
+        ds = _order_and_slice(q, sel + extra, ds)
+        if extra:
+            ds = ds.drop_columns(extra)
         return SolutionsResult(sel, ds)
     if q.form == "CONSTRUCT":
         template = q.template
