@@ -72,23 +72,52 @@ def write_store(
     with_adjacency: bool = True,
     with_front_coded: bool = True,
 ) -> dict:
-    """String-triples Dataset → HDT-style store directory. Returns the header."""
+    """String-triples Dataset → HDT-style store directory. Returns the header
+    (with a ``timings`` breakdown of the build phases)."""
+    import time as _time
+
+    timings = {}
+
+    def _t(name, t0):
+        timings[name] = round(_time.time() - t0, 2)
+
     os.makedirs(out_dir, exist_ok=True)
+    t = _time.time()
+    # pin the raw input once; the dictionary builds from the PRE-dedup rows
+    # (duplicate triples contribute no new terms) because the raw blocks
+    # keep document/subject locality that dedup bucketing would scatter
+    raw_ds = triples_ds.materialize()
+    _t("materialize_input", t)
+    t = _time.time()
     if dedup:
-        triples_ds = canonicalize_stage(triples_ds)
-    # shared by the dictionary build and the encode pass → pin once
-    triples_ds = triples_ds.materialize()
+        triples_ds = canonicalize_stage(raw_ds).materialize()
+    else:
+        triples_ds = raw_ds
+    _t("canonicalize", t)
+    t = _time.time()
     original_size = original_size_of(triples_ds)
-    dict_build = build_dictionary_checkpointed(triples_ds, out_dir)
+    _t("original_size", t)
+    t = _time.time()
+    dict_build = build_dictionary_checkpointed(raw_ds, out_dir)
+    _t("dictionary", t)
     if with_front_coded:
+        t = _time.time()
         _write_front_coded(dict_build, os.path.join(out_dir, "front_coded"))
+        _t("front_coded", t)
+    t = _time.time()
     id_ds = encode_triples(triples_ds, dict_build, concurrency=encode_concurrency)
     sorted_ds = sort_spo(id_ds).materialize()
+    _t("encode_sort", t)
+    t = _time.time()
     sorted_ds.write_parquet(os.path.join(out_dir, "triples"))
+    _t("write_triples", t)
     if with_adjacency:
+        t = _time.time()
         sorted_ds.map_batches(
             pack_adjacency_block, batch_format="pyarrow", batch_size=256 * 1024
         ).write_parquet(os.path.join(out_dir, "adjacency"))
+        _t("adjacency", t)
+    t = _time.time()
     n_triples = sorted_ds.count()
     from de_ray.functions.agg import adaptive_grouped_sum
 
@@ -100,8 +129,10 @@ def write_store(
         sorted_ds.map_batches(_graph_partial, batch_format="pandas"), "graph", "n"
     )
     per_graph = {r["graph"]: int(r["n"]) for r in per_graph_ds.take_all()}
+    _t("stats", t)
     header = build_header(dict_build, n_triples, per_graph, original_size)
     header["hdtSize"] = _dir_size(out_dir)
+    header["timings"] = timings
     with open(os.path.join(out_dir, "header.json"), "w") as f:
         json.dump(header, f, indent=1, sort_keys=True)
     with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:

@@ -38,13 +38,22 @@ def stable_row_hash(df: pd.DataFrame, cols) -> pd.Series:
 
 
 class _LocalDedupAndBucket:
+    """Bucket on the FIRST key column only (e.g. ``subj``): duplicate rows
+    agree on every key column, so same-first-column bucketing is still a
+    correct dedup partition — and it PRESERVES subject locality, which keeps
+    downstream per-batch partials (dictionary role discovery, adjacency
+    packing) small. Whole-row hashing scattered each document's triples
+    across all buckets and inflated later combiner outputs ~18×."""
+
     def __init__(self, num_buckets: int, cols):
         self.num_buckets = num_buckets
         self.cols = cols
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(subset=self.cols)
-        df = df.assign(_bucket=(stable_row_hash(df, self.cols) % self.num_buckets).astype("int64"))
+        df = df.assign(
+            _bucket=(stable_row_hash(df, self.cols[:1]) % self.num_buckets).astype("int64")
+        )
         return df
 
 
