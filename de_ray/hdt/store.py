@@ -68,6 +68,7 @@ def write_store(
     triples_ds: rd.Dataset,
     out_dir: str,
     dedup: bool = True,
+    dedup_mode: str = "global",  # "global" | "clustered" (subject-clustered input)
     encode_concurrency: int = 4,
     with_adjacency: bool = True,
     with_front_coded: bool = True,
@@ -89,7 +90,11 @@ def write_store(
     raw_ds = triples_ds.materialize()
     _t("materialize_input", t)
     t = _time.time()
-    if dedup:
+    if dedup and dedup_mode == "clustered":
+        from de_ray.stages.canonicalize import canonicalize_clustered
+
+        triples_ds = canonicalize_clustered(raw_ds).materialize()
+    elif dedup:
         triples_ds = canonicalize_stage(raw_ds).materialize()
     else:
         triples_ds = raw_ds

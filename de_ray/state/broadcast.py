@@ -11,17 +11,28 @@ small CPU budget.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Callable, Dict, Optional
 
 import ray
 
 _CACHE: Dict[bytes, Any] = {}
 
 
-def get_broadcast(ref: "ray.ObjectRef") -> Any:
-    key = ref.binary()
+def get_broadcast(
+    ref: "ray.ObjectRef", transform: Optional[Callable[[Any], Any]] = None
+) -> Any:
+    """Fetch (and optionally derive from) a broadcast object, once per process.
+
+    ``transform`` builds a worker-local structure from the stored object —
+    e.g. a Python lookup dict from a zero-copy Arrow table. The transformed
+    value is cached under (ref, transform name), so the derivation cost is
+    paid once per worker process, and the object store holds only the
+    compact Arrow form (never N pickled copies of a big dict).
+    """
+    key = ref.binary() + (transform.__qualname__.encode() if transform else b"")
     if key not in _CACHE:
-        _CACHE[key] = ray.get(ref)
+        obj = ray.get(ref)
+        _CACHE[key] = transform(obj) if transform else obj
         # bound the cache: broadcast objects are few and long-lived; evict
         # oldest entries only if something pathological registers hundreds
         if len(_CACHE) > 64:
