@@ -48,11 +48,18 @@ def run_bench() -> dict:
     # queries keep the 1:1 table): sf0.001→500, sf0.01→5k, sf0.1→50k docs
     tag0 = os.path.basename(os.path.normpath(sf_dir))
     repeat = {"sf0.001": 1, "sf0.01": 10, "sf0.1": 100}.get(tag0, 1)
+    repeat = int(os.environ.get("GRAFT_REPEAT", repeat))
     wt = webtext_dir_for(sf_dir, repeat=repeat)  # cached synthesis (not timed)
     # warm the page cache so we measure compute + shuffle, not first disk read
     with open(wt, "rb") as f:
         while f.read(1 << 24):
             pass
+
+    # warm the Ray worker pool so the timed run measures the pipeline, not
+    # cluster process startup
+    import ray.data as rd
+
+    rd.range(10_000).map_batches(lambda b: b, batch_format="pyarrow").count()
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     out_root = f"/tmp/de_ray_bench/{tag}_{num_cpus}"
@@ -100,8 +107,14 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # the scaling comparison runs the same pipeline on a larger corpus
+    # (repeat=400 → 2M docs at sf0.1) so per-stage compute dominates the
+    # session-fixed floors (stage startup, driver finals) at both levels —
+    # the regime the 100 TB deployment lives in
+    scaling_repeat = os.environ.get("GRAFT_SCALING_REPEAT", "400")
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_REPEAT=scaling_repeat)
         out = subprocess.run(
             [sys.executable, "bench.py"],
             env=env,

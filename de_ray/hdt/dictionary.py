@@ -147,7 +147,7 @@ class DictionaryBuild:
         return self.counts.get(SECTION_PREDICATE, 0)
 
 
-DRIVER_FINAL_LIMIT = 2_000_000
+DRIVER_FINAL_LIMIT = 8_000_000
 
 
 def build_dictionary(
@@ -189,24 +189,20 @@ def build_dictionary(
 
 def _driver_final_dictionary(roles: rd.Dataset) -> DictionaryBuild:
     """Small-dictionary final: merge roles, split sections, sort, rank — one
-    pandas task. Identical output to the distributed path."""
+    vectorized pandas pass. Identical output to the distributed path."""
     import numpy as np
+    import pandas as pd
 
     df = roles.to_pandas()
     m = df.groupby("term", as_index=False)[["is_subj", "is_pred", "is_obj"]].max()
-    terms, sections = [], []
-    for t, fs, fp, fo in zip(m["term"], m["is_subj"], m["is_pred"], m["is_obj"]):
-        if fs and fo:
-            terms.append(t), sections.append(SECTION_SHARED)
-        elif fs:
-            terms.append(t), sections.append(SECTION_SUBJECT)
-        elif fo:
-            terms.append(t), sections.append(SECTION_OBJECT)
-        if fp:
-            terms.append(t), sections.append(SECTION_PREDICATE)
+    fs = m["is_subj"].to_numpy(dtype=bool)
+    fp = m["is_pred"].to_numpy(dtype=bool)
+    fo = m["is_obj"].to_numpy(dtype=bool)
+    so_section = np.where(fs & fo, SECTION_SHARED, np.where(fs, SECTION_SUBJECT, SECTION_OBJECT))
+    so = pd.DataFrame({"term": m["term"][fs | fo], "section": so_section[fs | fo]})
+    preds = pd.DataFrame({"term": m["term"][fp], "section": SECTION_PREDICATE})
     sec = (
-        __import__("pandas")
-        .DataFrame({"term": terms, "section": sections})
+        pd.concat([so, preds], ignore_index=True)
         .sort_values(["section", "term"], kind="mergesort")
         .reset_index(drop=True)
     )

@@ -51,17 +51,30 @@ from de_ray.stages.canonicalize import canonicalize_stage
 
 
 def _write_front_coded(dict_build: DictionaryBuild, out_dir: str) -> None:
+    """Front-code each section in parallel ray tasks: chunks of a multiple of
+    the block size (16) pack independently (every chunk starts a new block),
+    so the concatenated bytes are identical to a serial pack."""
     os.makedirs(out_dir, exist_ok=True)
     bufs: Dict[int, List[str]] = {s: [] for s in SECTION_NAMES}
-    # sections dataset is sorted by (section, term); stream in order
     for batch in dict_build.sections.iter_batches(
         batch_size=256 * 1024, batch_format="pyarrow"
     ):
-        for t, s in zip(batch.column("term").to_pylist(), batch.column("section").to_pylist()):
-            bufs[s].append(t)
+        secs = batch.column("section").to_numpy(zero_copy_only=False)
+        terms = batch.column("term")
+        for s in set(secs.tolist()):
+            bufs[s].extend(terms.filter(pa.array(secs == s)).to_pylist())
+
+    pack_remote = ray.remote(pack_front_coded)
+    CHUNK = 64 * 1024  # multiple of block size 16
+    refs = {}
     for sec, terms in bufs.items():
+        refs[sec] = [
+            pack_remote.remote(terms[i : i + CHUNK]) for i in range(0, len(terms), CHUNK)
+        ]
+    for sec, chunk_refs in refs.items():
         with open(os.path.join(out_dir, f"{SECTION_NAMES[sec]}.bin"), "wb") as f:
-            f.write(pack_front_coded(terms))
+            for part in ray.get(chunk_refs):
+                f.write(part)
 
 
 def write_store(
@@ -275,29 +288,35 @@ class Store:
         return self.decode(ids)
 
     def decode(self, id_ds: rd.Dataset) -> rd.Dataset:
-        """ID-triples Dataset → canonical-string triples via broadcast reverse maps.
+        """ID-triples Dataset → canonical-string triples.
 
-        Runs as stateless tasks with a process-local broadcast cache — no
-        actor pool, so concurrent scans (UNION / BGP joins) never starve
-        each other's upstream read tasks on a small CPU budget.
+        IDs are dense 1..N per space, so decoding is a vectorized
+        ``pc.take`` against per-space term arrays ordered by ID (built once
+        per worker process from the broadcast sections table). Stateless
+        tasks — no actor pool, so concurrent scans (UNION / BGP joins)
+        never starve each other's upstream reads on a small CPU budget.
         """
         if self._rev_ref is None:
-            self._rev_ref = ray.put(self.rev_maps())
-        rev_ref = self._rev_ref
+            self._rev_ref = ray.put(self._dict_table())
+        tbl_ref = self._rev_ref
+
+        def terms_by_id(tbl: pa.Table):
+            from de_ray.hdt.triples import space_arrays_from_table
+
+            out = {}
+            for space, (terms, ids) in space_arrays_from_table(tbl).items():
+                order = pc.sort_indices(ids)
+                out[space] = pc.take(terms, order)  # position k ↔ id k+1
+            return out
 
         def decode_batch(batch: pa.Table) -> pa.Table:
             from de_ray.state.broadcast import get_broadcast
 
-            rev = get_broadcast(rev_ref)
+            lut = get_broadcast(tbl_ref, transform=terms_by_id)
 
             def dec(col, space):
                 arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-                enc = pc.dictionary_encode(arr)
-                lut = pa.array(
-                    [rev[space][v] for v in enc.dictionary.to_pylist()],
-                    pa.large_string(),
-                )
-                return pc.take(lut, enc.indices)
+                return pc.take(lut[space], pc.subtract(arr, 1))
 
             return pa.table(
                 {

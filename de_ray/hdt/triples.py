@@ -56,26 +56,35 @@ def collect_sections_table(dict_build: DictionaryBuild) -> pa.Table:
     )
 
 
+def space_arrays_from_table(tbl: pa.Table):
+    """Arrow sections table → per-space (terms, ids) Arrow arrays for
+    vectorized ``pc.index_in`` encoding. Built once per worker process (via
+    the broadcast cache); no Python dicts anywhere."""
+    import pyarrow.compute as pc
+
+    sec = tbl.column("section")
+    out = {}
+    for space, sections in (
+        ("subj", (SECTION_SHARED, SECTION_SUBJECT)),
+        ("obj", (SECTION_SHARED, SECTION_OBJECT)),
+        ("pred", (SECTION_PREDICATE,)),
+    ):
+        mask = pc.is_in(sec, value_set=pa.array(list(sections), pa.int32()))
+        sub = tbl.filter(mask)
+        out[space] = (
+            sub.column("term").combine_chunks(),
+            sub.column("id").combine_chunks(),
+        )
+    return out
+
+
 def id_maps_from_table(tbl: pa.Table) -> Dict[str, Dict[str, int]]:
-    """Arrow sections table → the three {term → id} maps (worker-local)."""
-    subj: Dict[str, int] = {}
-    obj: Dict[str, int] = {}
-    pred: Dict[str, int] = {}
-    terms = tbl.column("term").to_pylist()
-    secs = tbl.column("section").to_numpy(zero_copy_only=False)
-    ids = tbl.column("id").to_numpy(zero_copy_only=False)
-    for t, s, i in zip(terms, secs, ids):
-        i = int(i)
-        if s == SECTION_SHARED:
-            subj[t] = i
-            obj[t] = i
-        elif s == SECTION_SUBJECT:
-            subj[t] = i
-        elif s == SECTION_OBJECT:
-            obj[t] = i
-        else:
-            pred[t] = i
-    return {"subj": subj, "pred": pred, "obj": obj}
+    """Arrow sections table → the three {term → id} dicts (driver-side uses)."""
+    arrays = space_arrays_from_table(tbl)
+    return {
+        space: dict(zip(terms.to_pylist(), ids.to_pylist()))
+        for space, (terms, ids) in arrays.items()
+    }
 
 
 def collect_id_maps(dict_build: DictionaryBuild) -> Dict[str, Dict[str, int]]:
@@ -83,22 +92,23 @@ def collect_id_maps(dict_build: DictionaryBuild) -> Dict[str, Dict[str, int]]:
 
 
 def _make_broadcast_encoder(maps_ref):
-    """Stateless-task encoder; maps come from the object store via the
-    process-local broadcast cache (one deserialize per worker process)."""
+    """Stateless-task encoder: term→ID via ``pc.index_in`` against the
+    broadcast dictionary arrays — a vectorized C++ hash lookup per column,
+    no Python dicts, no per-row Python. Arrays come from the object store
+    zero-copy via the process-local broadcast cache."""
 
     def encode_batch(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         from de_ray.state.broadcast import get_broadcast
 
-        maps = get_broadcast(maps_ref, transform=id_maps_from_table)
+        spaces = get_broadcast(maps_ref, transform=space_arrays_from_table)
 
         def encode_col(col, space: str) -> pa.Array:
-            m = maps[space]
+            terms, ids = spaces[space]
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            enc = pc.dictionary_encode(arr)
-            lut = pa.array([m[v] for v in enc.dictionary.to_pylist()], pa.int64())
-            return pc.take(lut, enc.indices)
+            pos = pc.index_in(arr, value_set=terms)
+            return pc.take(ids, pos)
 
         n = len(batch)
         graph = (
@@ -119,18 +129,32 @@ def _make_broadcast_encoder(maps_ref):
 
 
 def _join_encode(triples_ds: rd.Dataset, dict_build: DictionaryBuild,
-                 num_partitions: int = 64) -> rd.Dataset:
+                 num_partitions: Optional[int] = None) -> rd.Dataset:
     """Shuffle-join encoding for dictionaries too large to broadcast."""
-    sec = dict_build.sections
-    subj_map = sec.filter(
-        lambda r: r["section"] in (SECTION_SHARED, SECTION_SUBJECT)
-    ).select_columns(["term", "id"])
-    obj_map = sec.filter(
-        lambda r: r["section"] in (SECTION_SHARED, SECTION_OBJECT)
-    ).select_columns(["term", "id"])
-    pred_map = sec.filter(lambda r: r["section"] == SECTION_PREDICATE).select_columns(
-        ["term", "id"]
-    )
+    if num_partitions is None:
+        # join aggregator actors reserve CPU slots — stay under the budget
+        num_partitions = max(2, min(64, int(ray.cluster_resources().get("CPU", 4)) - 1))
+    def _space_map(sections):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.is_in(
+                t.column("section"), value_set=pa.array(list(sections), pa.int32())
+            )
+            sub = t.filter(mask)
+            # join keys must type-match the triples' large_string columns
+            return pa.table(
+                {
+                    "term": sub.column("term").cast(pa.large_string()),
+                    "id": sub.column("id").cast(pa.int64()),
+                }
+            )
+
+        return dict_build.sections.map_batches(fn, batch_format="pyarrow")
+
+    subj_map = _space_map((SECTION_SHARED, SECTION_SUBJECT))
+    obj_map = _space_map((SECTION_SHARED, SECTION_OBJECT))
+    pred_map = _space_map((SECTION_PREDICATE,))
     ds = triples_ds.join(
         subj_map, join_type="inner", num_partitions=num_partitions,
         on=("subj",), right_on=("term",),

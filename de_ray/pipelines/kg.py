@@ -81,7 +81,9 @@ def run_kg_pipeline(
 
     wall = time.time() - t_start
     n_triples = header["void:triples"] if header else canonicalize_stage(linked).count()
-    n_docs = rd.read_parquet(webtext_path).count()
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(webtext_path).num_rows  # metadata only, no scan
     return {
         "out_root": out_root,
         "store_dir": store_dir if build_store else None,

@@ -182,9 +182,22 @@ def _join_bindings(
         joined = _broadcast_merge(big, small_df, on=shared)
     else:
         joined = big.join(
-            small, join_type="inner", num_partitions=32, on=tuple(shared)
+            small,
+            join_type="inner",
+            num_partitions=_join_partitions(),
+            on=tuple(shared),
         )
     return out_vars, joined
+
+
+def _join_partitions() -> int:
+    """Hash-join aggregator actors each reserve a CPU slot — cap partitions
+    at the session's CPU budget or the join deadlocks waiting for actors."""
+    try:
+        n = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        n = 4
+    return max(2, min(32, n - 1))
 
 
 def _left_join_optional(
