@@ -316,6 +316,29 @@ def _to_bool(v) -> bool:
     return bool(v)
 
 
+def _apply_bind(ds: rd.Dataset, expr: Expr, name: str) -> rd.Dataset:
+    def bind(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            df[name] = pd.Series([], dtype=object)
+            return df
+        vals = []
+        for r in df.to_dict("records"):
+            row = {k: (None if pd.isna(v) else v) for k, v in r.items()}
+            try:
+                v = _eval_expr(expr, row)
+            except Exception:
+                v = None
+            if isinstance(v, bool):
+                v = f'"{str(v).lower()}"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+            elif isinstance(v, (int, float)):
+                v = _format_numeric_literal(v)
+            vals.append(v)
+        df[name] = vals
+        return df
+
+    return ds.map_batches(bind, batch_format="pandas", batch_size=64 * 1024)
+
+
 def _apply_filters(ds: rd.Dataset, filters: List[Expr]) -> rd.Dataset:
     if not filters:
         return ds
@@ -368,7 +391,7 @@ def _eval_group(g: GroupPattern, source) -> Tuple[List[str], rd.Dataset]:
     parts: List[Tuple[List[str], rd.Dataset]] = []
     for pat in _greedy_order(g.patterns):
         parts.append(_pattern_bindings(pat, source))
-    if not parts and not g.unions:
+    if not parts and not g.unions and not g.values:
         return [], rd.from_items([{"__exists": True}])
     cur = parts[0] if parts else None
     for nxt in parts[1:]:
@@ -381,7 +404,24 @@ def _eval_group(g: GroupPattern, source) -> Tuple[List[str], rd.Dataset]:
         rds = _align_columns(rds, rv, uv)
         u = (uv, lds.union(rds))
         cur = u if cur is None else _join_bindings(cur, u)
+    if cur is None and g.values:
+        vs, rows = g.values[0]
+        vnames = [v.name for v in vs]
+        cur = (vnames, rd.from_pandas(pd.DataFrame(rows, columns=vnames)))
+        rest = g.values[1:]
+    else:
+        rest = g.values
     vars_out, ds = cur
+    for vs, rows in rest:
+        vnames = [v.name for v in vs]
+        vdf = pd.DataFrame(rows, columns=vnames)
+        shared = [v for v in vars_out if v in vnames]
+        ds = _broadcast_merge(ds, vdf, on=shared, how="inner" if shared else "cross")
+        vars_out = vars_out + [v for v in vnames if v not in vars_out]
+    for expr, var in g.binds:
+        ds = _apply_bind(ds, expr, var.name)
+        if var.name not in vars_out:
+            vars_out = vars_out + [var.name]
     ds = _apply_filters(ds, g.filters)
     for opt in g.optionals:
         ov, ods = _eval_group(opt, source)

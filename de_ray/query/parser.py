@@ -82,6 +82,8 @@ class GroupPattern:
     minus: List["GroupPattern"] = field(default_factory=list)
     not_exists: List["GroupPattern"] = field(default_factory=list)
     exists: List["GroupPattern"] = field(default_factory=list)
+    binds: List[Tuple["Expr", Var]] = field(default_factory=list)
+    values: List[Tuple[List[Var], List[List[Optional[str]]]]] = field(default_factory=list)
 
 
 @dataclass(frozen=True)
@@ -266,6 +268,22 @@ class Parser:
                 tk.next()
                 g.minus.append(self._group(tk))
                 continue
+            if k == "word" and v.upper() == "BIND":
+                tk.next()
+                tk.expect("(")
+                expr = self._expr_or(tk)
+                if not tk.try_word("AS"):
+                    raise ValueError("expected AS in BIND")
+                kv, vv = tk.next()
+                if kv != "var":
+                    raise ValueError("expected ?var after AS in BIND")
+                tk.expect(")")
+                g.binds.append((expr, Var(vv[1:])))
+                continue
+            if k == "word" and v.upper() == "VALUES":
+                tk.next()
+                g.values.append(self._values(tk))
+                continue
             if v == "{":
                 left = self._group(tk)
                 if tk.try_word("UNION"):
@@ -346,6 +364,42 @@ class Parser:
         if k == "number":
             return _number_literal(v)
         raise ValueError(f"bad term token {v!r}")
+
+    def _values(self, tk: _T):
+        """VALUES ?v { t1 t2 } or VALUES (?a ?b) { (t1 t2) (t3 t4) }."""
+        k, v = tk.peek()
+        vars_: List[Var] = []
+        if k == "var":
+            tk.next()
+            vars_.append(Var(v[1:]))
+        elif v == "(":
+            tk.next()
+            while tk.peek()[0] == "var":
+                vars_.append(Var(tk.next()[1][1:]))
+            tk.expect(")")
+        else:
+            raise ValueError("expected ?var or (?vars) after VALUES")
+        tk.expect("{")
+        rows: List[List[Optional[str]]] = []
+        while tk.peek() != ("op", "}") and tk.peek()[1] != "}":
+            if len(vars_) == 1:
+                rows.append([self._values_term(tk)])
+            else:
+                tk.expect("(")
+                row = []
+                while tk.peek()[1] != ")":
+                    row.append(self._values_term(tk))
+                tk.expect(")")
+                rows.append(row)
+        tk.next()  # consume '}'
+        return (vars_, rows)
+
+    def _values_term(self, tk: _T) -> Optional[str]:
+        k, v = tk.peek()
+        if k == "word" and v.upper() == "UNDEF":
+            tk.next()
+            return None
+        return self._term(tk)
 
     def _aggregate(self, tk: _T) -> Aggregate:
         """Parse AGG([DISTINCT] ?v | *) AS ?alias, closing paren consumed."""

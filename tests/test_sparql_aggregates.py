@@ -103,3 +103,31 @@ def test_group_concat_and_sample(fruit_store):
     rows = evaluate(q, StoreSource(fruit_store)).ds.take_all()
     vals = set(rows[0]["colors"].strip('"').split(" "))
     assert vals == {"Red", "yellow"}
+
+
+def test_bind(fruit_store):
+    q = parse_query(
+        "PREFIX ex: <http://example.org/> "
+        "SELECT ?f ?u WHERE { ?f ex:hasColor ?c BIND(UCASE(?c) AS ?u) } ORDER BY ?f"
+    )
+    rows = evaluate(q, StoreSource(fruit_store)).ds.take_all()
+    assert [(r["f"], r["u"]) for r in rows] == [
+        ("http://example.org/Apple", '"RED"'),
+        ("http://example.org/Banana", '"YELLOW"'),
+        ("http://example.org/Pineapple", '"YELLOW"'),
+    ]
+
+
+def test_values_restricts(fruit_store):
+    q = parse_query(
+        "PREFIX ex: <http://example.org/> "
+        "SELECT ?f WHERE { VALUES ?f { ex:Banana ex:Apple } ?f ex:hasColor ?c } ORDER BY ?f"
+    )
+    rows = [r["f"] for r in evaluate(q, StoreSource(fruit_store)).ds.take_all()]
+    assert rows == ["http://example.org/Apple", "http://example.org/Banana"]
+
+
+def test_values_only_group(fruit_store):
+    q = parse_query('SELECT ?x WHERE { VALUES ?x { "a" "b" } }')
+    rows = sorted(r["x"] for r in evaluate(q, StoreSource(fruit_store)).ds.take_all())
+    assert rows == ['"a"', '"b"']
