@@ -147,7 +147,7 @@ class DictionaryBuild:
         return self.counts.get(SECTION_PREDICATE, 0)
 
 
-DRIVER_FINAL_LIMIT = 8_000_000
+DRIVER_FINAL_LIMIT = 1_000_000
 
 
 def build_dictionary(
@@ -166,10 +166,36 @@ def build_dictionary(
     ).materialize()
     if roles.count() <= driver_final_limit:
         return _driver_final_dictionary(roles)
-    merged = roles.groupby("term").aggregate(
-        Max("is_subj"), Max("is_pred"), Max("is_obj")
+    # distributed merge: bucket on a stable term hash, merge each bucket with
+    # ONE vectorized pandas groupby (not per-term map_groups), then the
+    # global (section, term) sort gives front-coding order and rank input
+    import pandas as pd
+
+    num_buckets = 64
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["term"], index=False)
+        return df.assign(_b=(h % num_buckets).astype("int64"))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = g.groupby("term", as_index=False)[["is_subj", "is_pred", "is_obj"]].max()
+        fs = m["is_subj"].to_numpy(dtype=bool)
+        fp = m["is_pred"].to_numpy(dtype=bool)
+        fo = m["is_obj"].to_numpy(dtype=bool)
+        so_sec = np.where(fs & fo, SECTION_SHARED, np.where(fs, SECTION_SUBJECT, SECTION_OBJECT))
+        so = pd.DataFrame({"term": m["term"][fs | fo], "section": so_sec[fs | fo]})
+        preds = pd.DataFrame({"term": m["term"][fp], "section": SECTION_PREDICATE})
+        out = pd.concat([so, preds], ignore_index=True)
+        out["section"] = out["section"].astype("int32")
+        return out
+
+    sections = (
+        roles.map_batches(bucketize, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(merge_bucket, batch_format="pandas")
     )
-    sections = merged.map_batches(_to_sections, batch_format="pyarrow")
     sections = sections.sort(["section", "term"]).materialize()
     refs = sections.to_arrow_refs()
     per_block = ray.get([_block_section_counts.remote(r) for r in refs])

@@ -34,13 +34,22 @@ def run_kg_pipeline(
     webtext_path: str,
     out_root: str,
     graph: str = "file:///webtext",
-    extract_concurrency=(1, 64),
-    link_concurrency=(1, 64),
+    extract_concurrency=None,
+    link_concurrency=None,
     resume: bool = True,
     build_store: bool = True,
 ) -> dict:
     """Run the full pipeline; returns a summary with per-stage metrics."""
     t_start = time.time()
+    if extract_concurrency is None or link_concurrency is None:
+        # size the actor pools to the session: min high enough that short
+        # stages reach full width immediately, a few CPUs left for reads
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        default_pool = (max(1, cpus - 4), max(2, cpus))
+        extract_concurrency = extract_concurrency or default_pool
+        link_concurrency = link_concurrency or default_pool
     if not resume and os.path.exists(out_root):
         import shutil
 

@@ -47,17 +47,40 @@ class HtmlTextExtractor:
         return out.append_column("text", pa.array(texts, pa.string()))
 
 
-def extract_text_stage(ds, batch_size: int = 256, concurrency=(1, 8)):
+_PROCESS_EXTRACTOR = None
+
+
+def _extract_batch_task(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant: the extractor (compiled regexes) is built once
+    per worker process. Task stages FUSE with adjacent map stages (actor
+    pools don't), skipping a plasma round-trip of the whole corpus."""
+    global _PROCESS_EXTRACTOR
+    if _PROCESS_EXTRACTOR is None:
+        _PROCESS_EXTRACTOR = HtmlTextExtractor()
+    return _PROCESS_EXTRACTOR(batch)
+
+
+def extract_text_stage(ds, batch_size: int = 1024, concurrency=(1, 8),
+                       compute: str = "tasks"):
     """Dataset(url, warc_ts, html, lang, ...) → Dataset(..., text) without html.
 
-    Small batch_size because html rows are wide binary payloads (SURVEY §7.4).
-    Autoscaling actor pool (min 1) so concurrent pipelines on a small CPU
-    budget can't starve each other.
+    ``compute="tasks"`` (default): stateless tasks with a per-process
+    extractor — fuses with neighbouring map stages. ``compute="actors"``:
+    explicit autoscaling actor pool (for heavyweight extractors whose init
+    cost matters, e.g. model-backed ones).
+    Moderate batch_size: html rows are wide binary payloads (SURVEY §7.4).
     """
+    if compute == "actors":
+        return ds.map_batches(
+            HtmlTextExtractor,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
-        HtmlTextExtractor,
+        _extract_batch_task,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency,
     )

@@ -73,16 +73,36 @@ class EntityLinker:
 
 
 def link_entities_stage(ds, alias: Optional[Dict[str, str]] = None, concurrency=(1, 8),
-                        batch_size: int = 64 * 1024):
-    """Apply entity linking over a triples Dataset with a broadcast alias dict."""
+                        batch_size: int = 64 * 1024, compute: str = "tasks"):
+    """Apply entity linking over a triples Dataset with a broadcast alias dict.
+
+    ``compute="tasks"`` (default): stateless tasks reading the alias dict
+    through the process-local broadcast cache — fuses with neighbouring map
+    stages. ``compute="actors"``: explicit actor pool (the pattern for
+    heavyweight linkers holding big in-memory indexes).
+    """
     import ray
 
     alias_ref = ray.put(alias if alias is not None else build_alias_dict())
+    if compute == "actors":
+        return ds.map_batches(
+            EntityLinker,
+            fn_constructor_kwargs={"alias_ref": alias_ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+
+    def link_batch(batch: pa.Table) -> pa.Table:
+        from de_ray.state.broadcast import get_broadcast
+
+        linker = get_broadcast(alias_ref, transform=lambda a: EntityLinker(alias=a))
+        return linker(batch)
+
     return ds.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={"alias_ref": alias_ref},
+        link_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency,
     )
