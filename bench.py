@@ -57,9 +57,13 @@ def run_bench() -> dict:
         sf_dir, cache_root=os.path.join(scratch, "webtext"), repeat=repeat
     )  # cached synthesis (not timed)
     # warm the page cache so we measure compute + shuffle, not first disk read
-    with open(wt, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    wt_files = (
+        [os.path.join(wt, f) for f in os.listdir(wt)] if os.path.isdir(wt) else [wt]
+    )
+    for fp in wt_files:
+        with open(fp, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     # warm the Ray worker pool so the timed run measures the pipeline, not
     # cluster process startup

@@ -92,7 +92,14 @@ def run_kg_pipeline(
     n_triples = header["void:triples"] if header else canonicalize_stage(linked).count()
     import pyarrow.parquet as pq
 
-    n_docs = pq.read_metadata(webtext_path).num_rows  # metadata only, no scan
+    if os.path.isdir(webtext_path):  # sharded corpus
+        n_docs = sum(
+            pq.read_metadata(os.path.join(webtext_path, f)).num_rows
+            for f in os.listdir(webtext_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        n_docs = pq.read_metadata(webtext_path).num_rows  # metadata only
     return {
         "out_root": out_root,
         "store_dir": store_dir if build_store else None,

@@ -116,7 +116,20 @@ def synth_webtext(
         schema=WEBTEXT_SCHEMA,
     )
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    pq.write_table(out, out_path, row_group_size=rows_per_group)
+    if repeat > 1:
+        # shard like a real crawl (one file per ~100k pages): reads
+        # parallelize per file and failed runs can skip finished shards
+        os.makedirs(out_path, exist_ok=True)
+        shard_rows = 100_000
+        n = out.num_rows
+        for si, start in enumerate(range(0, n, shard_rows)):
+            pq.write_table(
+                out.slice(start, shard_rows),
+                os.path.join(out_path, f"part-{si:05d}.parquet"),
+                row_group_size=rows_per_group,
+            )
+    else:
+        pq.write_table(out, out_path, row_group_size=rows_per_group)
     return out.num_rows
 
 
