@@ -38,6 +38,7 @@ def run_kg_pipeline(
     link_concurrency=None,
     resume: bool = True,
     build_store: bool = True,
+    extract_group_size: int = 16,
 ) -> dict:
     """Run the full pipeline; returns a summary with per-stage metrics."""
     t_start = time.time()
@@ -56,14 +57,32 @@ def run_kg_pipeline(
         shutil.rmtree(out_root)
     run = CheckpointedRun(out_root)
 
-    extracted = run.stage(
-        "extracted",
-        lambda: extract_text_stage(
-            rd.read_parquet(webtext_path, columns=["url", "warc_ts", "html", "lang"]),
-            concurrency=extract_concurrency,
-        ),
-        inputs=webtext_path,
-    )
+    cols = ["url", "warc_ts", "html", "lang"]
+    if os.path.isdir(webtext_path):
+        # sharded crawl input → shard-group checkpoints (mid-stage resume:
+        # a killed run restarts at the first unfinished group, north rule)
+        shards = [
+            os.path.join(webtext_path, f)
+            for f in os.listdir(webtext_path)
+            if f.endswith(".parquet")
+        ]
+        extracted = run.sharded_stage(
+            "extracted",
+            shards,
+            lambda files: extract_text_stage(
+                rd.read_parquet(files, columns=cols), concurrency=extract_concurrency
+            ),
+            group_size=extract_group_size,
+        )
+    else:
+        extracted = run.stage(
+            "extracted",
+            lambda: extract_text_stage(
+                rd.read_parquet(webtext_path, columns=cols),
+                concurrency=extract_concurrency,
+            ),
+            inputs=webtext_path,
+        )
 
     linked = run.stage(
         "linked",

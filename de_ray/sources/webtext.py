@@ -78,7 +78,8 @@ def render_html(doc_id: int, text: str, lang: str) -> bytes:
 
 
 def synth_webtext(
-    documents_parquet: str, out_path: str, rows_per_group: int = 2048, repeat: int = 1
+    documents_parquet: str, out_path: str, rows_per_group: int = 2048, repeat: int = 1,
+    shard_rows: int = 100_000,
 ) -> int:
     """Materialize the webtext table from a documents.parquet, deterministically.
 
@@ -120,7 +121,6 @@ def synth_webtext(
         # shard like a real crawl (one file per ~100k pages): reads
         # parallelize per file and failed runs can skip finished shards
         os.makedirs(out_path, exist_ok=True)
-        shard_rows = 100_000
         n = out.num_rows
         for si, start in enumerate(range(0, n, shard_rows)):
             pq.write_table(
@@ -134,7 +134,8 @@ def synth_webtext(
 
 
 def webtext_dir_for(
-    sf_dir: str, cache_root: str = "/tmp/de_ray_webtext", repeat: int = 1
+    sf_dir: str, cache_root: str = "/tmp/de_ray_webtext", repeat: int = 1,
+    shard_rows: int = 100_000,
 ) -> str:
     """Path of the (lazily materialized) webtext parquet for a testdata sf dir.
 
@@ -149,7 +150,10 @@ def webtext_dir_for(
     out_path = os.path.join(out_dir, "webtext.parquet")
     marker = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(marker):
-        synth_webtext(os.path.join(sf_dir, "documents.parquet"), out_path, repeat=repeat)
+        synth_webtext(
+            os.path.join(sf_dir, "documents.parquet"), out_path, repeat=repeat,
+            shard_rows=shard_rows,
+        )
         with open(marker, "w") as f:
             f.write("ok")
     return out_path

@@ -113,6 +113,35 @@ class CheckpointedRun:
             f.write(fp)
         return out
 
+    def sharded_stage(
+        self,
+        name: str,
+        files: List[str],
+        build,
+        group_size: int = 16,
+    ):
+        """Mid-stage-resumable map stage over a sharded input.
+
+        Input files are processed in groups; each group is its own
+        checkpoint unit (``<name>/group=K/`` + marker + lineage row), so a
+        killed run resumes at the first unfinished GROUP, not the stage
+        start. ``build(files)`` returns the group's output Dataset.
+        Returns the union of all group outputs (lazy reads for finished
+        groups).
+        """
+        import ray.data as rd
+
+        files = sorted(files)
+        groups = [files[i : i + group_size] for i in range(0, len(files), group_size)]
+        parts = []
+        for gi, group in enumerate(groups):
+            sub = os.path.join(name, f"group={gi:04d}")
+            parts.append(self.stage(sub, lambda g=group: build(g), inputs=group))
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.union(d)
+        return out
+
     def lineage(self) -> List[dict]:
         if not os.path.exists(self.lineage_path):
             return []

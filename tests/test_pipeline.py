@@ -71,3 +71,39 @@ def test_kg_pipeline_restart_after_partial(tmp_path):
     assert resumed["n_triples"] == full["n_triples"]
     # stage 1 was NOT re-run: exactly one 'extracted' lineage row
     assert sum(1 for r in resumed["lineage"] if r["stage"] == "extracted") == 1
+
+
+def test_sharded_midstage_resume(tmp_path):
+    """Sharded input: kill-after-first-group resumes at group granularity."""
+    from de_ray.sources.webtext import webtext_dir_for
+    from de_ray.state.checkpoint import CheckpointedRun
+    from de_ray.stages.extract import extract_text_stage
+
+    wt_dir = webtext_dir_for(SF, cache_root=str(tmp_path / "cache"), repeat=2, shard_rows=300)
+    assert os.path.isdir(wt_dir)
+    import glob
+
+    shards = sorted(glob.glob(os.path.join(wt_dir, "*.parquet")))
+    assert len(shards) == 4
+
+    out = str(tmp_path / "kg")
+    # simulate a run killed after the first extraction group: run only group 0
+    run = CheckpointedRun(out)
+    run.stage(
+        os.path.join("extracted", "group=0000"),
+        lambda: extract_text_stage(
+            rd.read_parquet(shards[:1], columns=["url", "warc_ts", "html", "lang"])
+        ),
+        inputs=shards[:1],
+    )
+    pre_rows = sum(1 for r in run.lineage() if r["stage"].startswith("extracted/"))
+    assert pre_rows == 1
+
+    summary = run_kg_pipeline(wt_dir, out, resume=True, extract_group_size=1)
+    # group 0 was NOT rerun (still exactly one lineage row for it)
+    g0 = [r for r in summary["lineage"] if r["stage"].endswith("group=0000")]
+    groups = [r for r in summary["lineage"] if "extracted" in r["stage"]]
+    assert len(groups) == 4  # groups 1-3 ran on resume, group 0 skipped
+    assert len(g0) == 1
+    assert summary["n_docs"] == 1000
+    assert summary["n_triples"] > 1000
