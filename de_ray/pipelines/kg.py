@@ -38,7 +38,7 @@ def run_kg_pipeline(
     link_concurrency=None,
     resume: bool = True,
     build_store: bool = True,
-    extract_group_size: int = 16,
+    extract_group_size: int = 32,
 ) -> dict:
     """Run the full pipeline; returns a summary with per-stage metrics."""
     t_start = time.time()
