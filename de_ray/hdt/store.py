@@ -339,7 +339,16 @@ class Store:
 
 
 def view(path: str) -> dict:
-    """CLI `view` parity: header/metadata display (reference src/view.rs:36-55)."""
+    """CLI `view` parity: header/metadata display (reference src/view.rs:36-55).
+
+    Works on our store directories AND on binary ``.hdt`` files produced by
+    the reference tool itself (ControlInfo + Header parse)."""
+    if os.path.isfile(path):
+        from de_ray.hdt.hdtfile import is_hdt_file, read_hdt_header
+
+        if is_hdt_file(path):
+            return read_hdt_header(path)
+        raise ValueError(f"not an HDT file or store directory: {path}")
     with open(os.path.join(path, "header.json")) as f:
         return json.load(f)
 
