@@ -1,14 +1,21 @@
 """Flagship pipeline: Common-Crawl-style webtext → HDT-style knowledge graph.
 
-    read_parquet(webtext)                       # S7, column-pruned
-      → extract_text_stage                      # M6 actor pool, html dropped
+    read_parquet(webtext)                       # S7, column-pruned, sharded
+      → extract_text_stage                      # M6, html dropped in-stage
       → extract_triples_stage                   # M7 batched exploder
-      → link_entities_stage                     # A3 actor pool + broadcast dict
-      → canonicalize_stage                      # D5 two-phase dedup
+      → link_entities_stage                     # A3, ray.put-broadcast alias dict
+      → canonicalize (clustered exact dedup)    # D5, no all-to-all
       → write_store                             # O1/O2/K1/G1 dictionary+triples+header
 
-Every stage is checkpointed (parquet + _SUCCESS + lineage row) so a killed
-run resumes where it stopped (north-rule resumability); the store build is
+The per-record map stages run as STATELESS TASKS with per-process state
+(compiled regexes / broadcast alias dict via de_ray.state.broadcast) so
+Ray fuses read→extract→triples→link into one operator; the explicit
+actor-pool variants remain available via ``compute="actors"`` for
+heavyweight extractors/linkers whose init cost matters.
+
+Every stage is checkpointed (parquet + _SUCCESS + lineage row); sharded
+input checkpoints per shard GROUP, so a killed run resumes mid-stage at
+the first unfinished group (north-rule resumability). The store build is
 checkpointed by its own ``_SUCCESS``.
 
 The per-stage metrics in the returned summary feed ``bench.py``.
