@@ -97,7 +97,7 @@ def main(argv=None) -> int:
         "-o",
         "--output",
         default="csv",
-        choices=["csv", "tsv", "json", "xml", "ntriple"],
+        choices=["csv", "tsv", "json", "xml", "ntriple", "turtle", "trig", "nquads", "n3", "rdfxml"],
     )
     v = sub.add_parser("view", help="show store header/metadata")
     v.add_argument("target")

@@ -20,7 +20,10 @@ from de_ray.query.engine import BooleanResult, GraphResult, SolutionsResult
 from de_ray.rdfio.ntriples import format_nt_line
 
 SOLUTION_FORMATS = ("csv", "tsv", "json", "xml")
-GRAPH_FORMATS = ("ntriple", "nt", "ntriples")
+# canonical N-Triples is a syntactic subset of Turtle, TriG, N-Quads and N3,
+# so one emitter serves all five (reference K4 surface, src/query.rs:155-175);
+# RDF/XML gets its own writer.
+GRAPH_FORMATS = ("ntriple", "nt", "ntriples", "turtle", "ttl", "trig", "nquads", "n3")
 
 
 def _csv_field(term: Optional[str]) -> str:
@@ -163,6 +166,68 @@ def graph_to_nt(res: GraphResult) -> str:
     return "\n".join(lines) + ("\n" if lines else "")
 
 
+def graph_to_rdfxml(res: GraphResult) -> str:
+    """Minimal RDF/XML graph writer: one rdf:Description per subject,
+    property elements with generated namespace prefixes."""
+    import re as _re
+    from collections import OrderedDict
+
+    triples = []
+    for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
+        for r in batch.itertuples(index=False):
+            d = dict(zip(batch.columns, r))
+            triples.append((d["subj"], d["pred"], d["obj"]))
+    ns: "OrderedDict[str, str]" = OrderedDict()
+
+    def split_iri(iri: str):
+        m = _re.search(r"[#/](?=[^#/]+$)", iri)
+        cut = m.end() if m else 0
+        base, local = iri[:cut], iri[cut:]
+        if not local or not _re.fullmatch(r"[A-Za-z_][\w.-]*", local):
+            raise ValueError(f"cannot make QName from {iri}")
+        if base not in ns:
+            ns[base] = f"ns{len(ns)}"
+        return ns[base], local
+
+    by_subj: "OrderedDict[str, list]" = OrderedDict()
+    for s, p, o in triples:
+        by_subj.setdefault(s, []).append((p, o))
+    body = []
+    for s, pos in by_subj.items():
+        props = []
+        for p, o in pos:
+            pfx, local = split_iri(p)
+            t = canonical_to_term(o)
+            if isinstance(t, Iri):
+                props.append(f'<{pfx}:{local} rdf:resource="{_xml_escape(t.value, attr=True)}"/>')
+            elif isinstance(t, BlankNode):
+                props.append(f'<{pfx}:{local} rdf:nodeID="{_xml_escape(t.label, attr=True)}"/>')
+            elif t.lang:
+                props.append(f'<{pfx}:{local} xml:lang="{t.lang}">{_xml_escape(t.lexical)}</{pfx}:{local}>')
+            elif t.datatype:
+                props.append(
+                    f'<{pfx}:{local} rdf:datatype="{_xml_escape(t.datatype, attr=True)}">'
+                    f"{_xml_escape(t.lexical)}</{pfx}:{local}>"
+                )
+            else:
+                props.append(f"<{pfx}:{local}>{_xml_escape(t.lexical)}</{pfx}:{local}>")
+        subj_attr = (
+            f'rdf:nodeID="{_xml_escape(s[2:], attr=True)}"'
+            if s.startswith("_:")
+            else f'rdf:about="{_xml_escape(s, attr=True)}"'
+        )
+        body.append(f"<rdf:Description {subj_attr}>{''.join(props)}</rdf:Description>")
+    ns_decls = " ".join(f'xmlns:{p}="{_xml_escape(b, attr=True)}"' for b, p in ns.items())
+    return (
+        '<?xml version="1.0"?>'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        + ns_decls
+        + ">"
+        + "".join(body)
+        + "</rdf:RDF>"
+    )
+
+
 def serialize_result(result, fmt: str = "csv") -> str:
     fmt = fmt.lower()
     if isinstance(result, BooleanResult):
@@ -180,5 +245,7 @@ def serialize_result(result, fmt: str = "csv") -> str:
     if isinstance(result, GraphResult):
         if fmt in GRAPH_FORMATS:
             return graph_to_nt(result)
-        raise ValueError(f"graph results serialize as N-Triples here, not {fmt}")
+        if fmt == "rdfxml":
+            return graph_to_rdfxml(result)
+        raise ValueError(f"graph results support {GRAPH_FORMATS + ('rdfxml',)}, not {fmt}")
     raise ValueError(f"unknown result {result!r}")

@@ -166,3 +166,31 @@ def test_optional(pineapple_store):
     res = evaluate(q, StoreSource(pineapple_store))
     rows = {r["f"]: r["lbl"] for r in res.ds.take_all()}
     assert rows == {"http://example.org/Pineapple": None}
+
+
+def test_construct_rdfxml_roundtrip(pineapple_store):
+    """CONSTRUCT → RDF/XML → parse back == original triples (K4)."""
+    from de_ray.rdfio.rdfxml import parse_rdfxml
+
+    q = parse_query(
+        "PREFIX ex: <http://example.org/> "
+        "CONSTRUCT { ?f ex:hasColor ?c } WHERE { ?f ex:hasColor ?c }"
+    )
+    res = evaluate(q, StoreSource(pineapple_store))
+    xml = serialize_result(res, "rdfxml")
+    back = set(parse_rdfxml(xml))
+    assert back == {("http://example.org/Pineapple", "http://example.org/hasColor", '"yellow"')}
+
+
+def test_construct_turtle_is_valid_nt_subset(pineapple_store):
+    q = parse_query(
+        "PREFIX ex: <http://example.org/> "
+        "CONSTRUCT { ?f ex:hasColor ?c } WHERE { ?f ex:hasColor ?c }"
+    )
+    res = evaluate(q, StoreSource(pineapple_store))
+    ttl = serialize_result(res, "turtle")
+    from de_ray.rdfio.turtle import parse_turtle
+
+    assert parse_turtle(ttl) == [
+        ("http://example.org/Pineapple", "http://example.org/hasColor", '"yellow"')
+    ]
