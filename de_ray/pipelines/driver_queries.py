@@ -533,8 +533,8 @@ SQL_SESSION_WINDOWS = (
     "WITH e AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
     "OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS ns "
     "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
-    "s AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts "
-    "ROWS UNBOUNDED PRECEDING) AS session_id FROM e) "
+    "s AS (SELECT user_id, ts, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM e) "
     "SELECT user_id, session_id, count(*) AS n_events, "
     "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
     "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end "

@@ -2,15 +2,31 @@
 
 The reference's evaluator binds to storage through ``QueryableDataset``
 (5 methods, ``src/sparql.rs:415-509``); ours binds through ``TripleSource``
-(one method: ``scan``), so query planning is storage-agnostic (SURVEY §2.11):
-``StoreSource`` scans the HDT-style store with filter pushdown,
-``DatasetSource`` scans any in-flight triples Dataset.
+(``scan`` plus optional ``graph_names``/``restrict`` for GRAPH clauses), so
+query planning is storage-agnostic (SURVEY §2.11): ``StoreSource`` scans the
+HDT-style store with filter pushdown, ``DatasetSource`` scans any in-flight
+triples Dataset.
+
+Evaluation follows SPARQL algebra: group elements are processed in
+**syntactic order** (Join / LeftJoin / Minus / Extend / n-way Union),
+then the group's FILTERs apply over the whole group result
+(``Filter(LeftJoin(...))``) — including (NOT) EXISTS.
 
 Join strategy (J2): patterns are ordered greedily most-selective-first
 (bound terms count), then pairwise joined on shared variables —
 broadcast pandas merge when the small side fits (``ray.put`` once, merged
 inside ``map_batches`` on the big side), ``Dataset.join`` hash join
-otherwise. OPTIONAL = broadcast left join; UNION = aligned Dataset union.
+otherwise. OPTIONAL is a size-adaptive left join (broadcast or
+``left_outer`` hash join); MINUS/EXISTS are vectorized
+``merge(indicator=True)`` broadcasts or ``left_anti``/``left_semi`` hash
+joins above the broadcast limit.
+
+Property paths (sequence / alternative / inverse / +, *, ?) are expanded
+into pattern joins; transitive closures run semi-naive iteration over the
+inner path's pair set, collected to the driver under ``PATH_PAIR_LIMIT``
+(closure over >10^7 edges needs an iterative distributed min-join — the
+partitioning assumption here is that a single path predicate's edge set
+fits one node, which holds for CLI-scale KG queries).
 """
 
 from __future__ import annotations
@@ -27,22 +43,31 @@ import ray.data as rd
 from de_ray.model import (
     canonical_to_term,
     effective_string,
+    Iri,
     Literal,
     typed_sort_key,
 )
 from de_ray.query.parser import (
+    Aggregate,
+    Arith,
     Call,
     Cmp,
     Const,
     Expr,
     GroupPattern,
+    InList,
     Logical,
+    PathAlt,
+    PathClosure,
+    PathInv,
+    PathSeq,
     Query,
     TriplePattern,
     Var,
 )
 
 BROADCAST_ROWS = 1_000_000
+PATH_PAIR_LIMIT = 10_000_000
 
 
 # ---------------------------------------------------------------------------
@@ -60,6 +85,16 @@ class StoreSource:
     def scan(self, s: Optional[str], p: Optional[str], o: Optional[str]) -> rd.Dataset:
         return self.store.pattern_scan(s=s, p=p, o=o, graphs=self.graphs)
 
+    def graph_names(self) -> List[str]:
+        names = self.store.graphs()
+        if self.graphs is not None:
+            allowed = set(self.graphs)
+            names = [g for g in names if g in allowed]
+        return names
+
+    def restrict(self, graphs: Sequence[str]) -> "StoreSource":
+        return StoreSource(self.store, list(graphs))
+
 
 class MultiSource:
     """Union of several TripleSources (AggregateHdt default-graph-union
@@ -74,6 +109,15 @@ class MultiSource:
         for d in parts[1:]:
             out = out.union(d)
         return out
+
+    def graph_names(self) -> List[str]:
+        out: List[str] = []
+        for src in self.sources:
+            out.extend(_graph_names(src))
+        return sorted(set(out))
+
+    def restrict(self, graphs: Sequence[str]) -> "MultiSource":
+        return MultiSource([_restrict(s, graphs) for s in self.sources])
 
 
 def MultiStoreSource(stores, graphs: Optional[Sequence[str]] = None):
@@ -103,12 +147,43 @@ class DatasetSource:
         return self.ds.map_batches(flt, batch_format="pyarrow")
 
 
+class _EmptySource:
+    """A source with no triples (GRAPH over a source without named graphs)."""
+
+    def scan(self, s, p, o) -> rd.Dataset:
+        return _empty_triples()
+
+    def graph_names(self) -> List[str]:
+        return []
+
+    def restrict(self, graphs):
+        return self
+
+
+def _empty_triples() -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table({c: pa.array([], pa.large_string()) for c in ("subj", "pred", "obj")})
+    )
+
+
+def _graph_names(source) -> List[str]:
+    fn = getattr(source, "graph_names", None)
+    return fn() if fn is not None else []
+
+
+def _restrict(source, graphs: Sequence[str]):
+    fn = getattr(source, "restrict", None)
+    return fn(graphs) if fn is not None else _EmptySource()
+
+
 # ---------------------------------------------------------------------------
 # Pattern → bindings
 # ---------------------------------------------------------------------------
 
+Bindings = Tuple[List[str], rd.Dataset]
 
-def _pattern_bindings(pat: TriplePattern, source) -> Tuple[List[str], rd.Dataset]:
+
+def _pattern_bindings(pat: TriplePattern, source) -> Bindings:
     s = None if isinstance(pat.s, Var) else pat.s
     p = None if isinstance(pat.p, Var) else pat.p
     o = None if isinstance(pat.o, Var) else pat.o
@@ -143,11 +218,143 @@ def _pattern_bindings(pat: TriplePattern, source) -> Tuple[List[str], rd.Dataset
 
 
 # ---------------------------------------------------------------------------
+# Property paths
+# ---------------------------------------------------------------------------
+
+
+def _is_path(p) -> bool:
+    return isinstance(p, (PathSeq, PathAlt, PathInv, PathClosure))
+
+
+def _path_pairs_ds(path, source) -> rd.Dataset:
+    """Pairs reachable by ``path`` as a Dataset with columns (ps, po)."""
+    if isinstance(path, str):
+        scan = source.scan(None, path, None)
+        return scan.map_batches(
+            lambda t: pa.table({"ps": t.column("subj"), "po": t.column("obj")}),
+            batch_format="pyarrow",
+        )
+    if isinstance(path, PathInv):
+        inner = _path_pairs_ds(path.inner, source)
+        return inner.map_batches(
+            lambda t: pa.table({"ps": t.column("po"), "po": t.column("ps")}),
+            batch_format="pyarrow",
+        )
+    if isinstance(path, PathAlt):
+        parts = [_path_pairs_ds(p, source) for p in path.alts]
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.union(d)
+        return out
+    if isinstance(path, PathSeq):
+        cur = _path_pairs_ds(path.parts[0], source)
+        for nxt_path in path.parts[1:]:
+            nxt = _path_pairs_ds(nxt_path, source).map_batches(
+                lambda t: pa.table({"pm": t.column("ps"), "po": t.column("po")}),
+                batch_format="pyarrow",
+            )
+            cur = cur.map_batches(
+                lambda t: pa.table({"ps": t.column("ps"), "pm": t.column("po")}),
+                batch_format="pyarrow",
+            )
+            # size-adaptive join on the midpoint
+            lv, ljoined = _join_bindings((["ps", "pm"], cur), (["pm", "po"], nxt))
+            cur = ljoined.map_batches(
+                lambda df: df[["ps", "po"]], batch_format="pandas"
+            )
+        return cur
+    if isinstance(path, PathClosure):
+        return _closure_pairs(path, source)
+    raise ValueError(f"unsupported path {path!r}")
+
+
+def _closure_pairs(path: PathClosure, source) -> rd.Dataset:
+    """Transitive closure by semi-naive iteration (driver-side pandas under
+    PATH_PAIR_LIMIT; see module docstring for the partitioning assumption)."""
+    inner = _path_pairs_ds(path.inner, source)
+    edges = inner.to_pandas().drop_duplicates()
+    if len(edges) > PATH_PAIR_LIMIT:
+        raise ValueError(
+            f"path closure edge set ({len(edges)} pairs) exceeds PATH_PAIR_LIMIT; "
+            "needs a distributed iterative join"
+        )
+    total = edges
+    if path.max_hops is None:
+        frontier = edges
+        while len(frontier):
+            step = frontier.merge(edges, left_on="po", right_on="ps", suffixes=("", "_r"))
+            step = step[["ps", "po_r"]].rename(columns={"po_r": "po"}).drop_duplicates()
+            merged = step.merge(total, on=["ps", "po"], how="left", indicator=True)
+            frontier = step[(merged["_merge"] == "left_only").to_numpy()]
+            total = pd.concat([total, frontier], ignore_index=True)
+            if len(total) > PATH_PAIR_LIMIT:
+                raise ValueError("path closure exceeded PATH_PAIR_LIMIT")
+    if path.min_hops == 0:
+        # zero-length path: every term of the queried graph matches itself
+        nodes = _all_terms(source)
+        zero = pd.DataFrame({"ps": nodes, "po": nodes})
+        total = pd.concat([total, zero], ignore_index=True).drop_duplicates()
+    if total.empty:
+        return rd.from_arrow(
+            pa.table({c: pa.array([], pa.large_string()) for c in ("ps", "po")})
+        )
+    return rd.from_pandas(total.reset_index(drop=True))
+
+
+def _all_terms(source) -> List[str]:
+    full = source.scan(None, None, None)
+    terms = full.map_batches(
+        lambda t: pa.table(
+            {"t": pa.concat_arrays(
+                [pa.array(t.column("subj").to_pylist(), pa.large_string()),
+                 pa.array(t.column("obj").to_pylist(), pa.large_string())]
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    return sorted(set(terms.to_pandas()["t"].tolist()))
+
+
+def _eval_path_pattern(pat: TriplePattern, source) -> Bindings:
+    pairs = _path_pairs_ds(pat.p, source)
+    s_term, o_term = pat.s, pat.o
+
+    same_var = (
+        isinstance(s_term, Var) and isinstance(o_term, Var) and s_term.name == o_term.name
+    )
+    vars_out: List[str] = []
+    if isinstance(s_term, Var):
+        vars_out.append(s_term.name)
+    if isinstance(o_term, Var) and not same_var:
+        vars_out.append(o_term.name)
+
+    def fit(df: pd.DataFrame) -> pd.DataFrame:
+        if not isinstance(s_term, Var):
+            df = df[df["ps"] == s_term]
+        if not isinstance(o_term, Var):
+            df = df[df["po"] == o_term]
+        if same_var:
+            df = df[df["ps"] == df["po"]]
+        cols = {}
+        if isinstance(s_term, Var):
+            cols[s_term.name] = df["ps"]
+        if isinstance(o_term, Var) and not same_var:
+            cols[o_term.name] = df["po"]
+        if not cols:
+            return pd.DataFrame({"__exists": [True] * len(df)})
+        return pd.DataFrame(cols)
+
+    return vars_out, pairs.map_batches(fit, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------
 
 
-def _broadcast_merge(big: rd.Dataset, small_df: pd.DataFrame, on: List[str], how: str = "inner") -> rd.Dataset:
+def _broadcast_merge(
+    big: rd.Dataset, small_df: pd.DataFrame, on: List[str], how: str = "inner"
+) -> rd.Dataset:
     ref = ray.put(small_df)
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:
@@ -155,6 +362,14 @@ def _broadcast_merge(big: rd.Dataset, small_df: pd.DataFrame, on: List[str], how
 
         sdf = get_broadcast(ref)
         if not on:
+            if how == "left" and len(sdf) == 0:
+                # LeftJoin with an empty, variable-disjoint optional side:
+                # every base row survives with the optional vars unbound
+                out = batch.copy()
+                for c in sdf.columns:
+                    if c not in out.columns:
+                        out[c] = None
+                return out
             out = batch.merge(sdf, how="cross")
         else:
             out = batch.merge(sdf, on=on, how=how)
@@ -165,11 +380,14 @@ def _broadcast_merge(big: rd.Dataset, small_df: pd.DataFrame, on: List[str], how
     return big.map_batches(merge, batch_format="pandas", batch_size=64 * 1024)
 
 
-def _join_bindings(
-    a: Tuple[List[str], rd.Dataset], b: Tuple[List[str], rd.Dataset]
-) -> Tuple[List[str], rd.Dataset]:
+def _join_bindings(a: Bindings, b: Bindings) -> Bindings:
     vars_a, ds_a = a
     vars_b, ds_b = b
+    # existence-marker sides (no vars) act as boolean gates, not multipliers
+    if not vars_a:
+        return (vars_b, ds_b) if _nonempty(ds_a) else (vars_b, ds_b.limit(0))
+    if not vars_b:
+        return (vars_a, ds_a) if _nonempty(ds_b) else (vars_a, ds_a.limit(0))
     shared = [v for v in vars_a if v in vars_b]
     out_vars = vars_a + [v for v in vars_b if v not in vars_a]
     ds_a = ds_a.materialize()
@@ -178,7 +396,8 @@ def _join_bindings(
     small, big = (ds_a, ds_b) if na <= nb else (ds_b, ds_a)
     n_small = min(na, nb)
     if n_small <= BROADCAST_ROWS:
-        small_df = small.to_pandas()
+        small_vars = vars_a if small is ds_a else vars_b
+        small_df = _with_columns(small.to_pandas(), small_vars)
         joined = _broadcast_merge(big, small_df, on=shared)
     else:
         joined = big.join(
@@ -188,6 +407,22 @@ def _join_bindings(
             on=tuple(shared),
         )
     return out_vars, joined
+
+
+def _with_columns(df: pd.DataFrame, cols: List[str]) -> pd.DataFrame:
+    """Empty Datasets drop their schema on to_pandas(); restore the expected
+    binding columns so merges keep working."""
+    missing = [c for c in cols if c not in df.columns]
+    for c in missing:
+        df[c] = pd.Series([], dtype=object) if df.empty else None
+    return df
+
+
+def _nonempty(ds: rd.Dataset) -> bool:
+    try:
+        return bool(ds.take(1))
+    except Exception:
+        return False
 
 
 def _join_partitions() -> int:
@@ -200,20 +435,69 @@ def _join_partitions() -> int:
     return max(2, min(32, n - 1))
 
 
-def _left_join_optional(
-    base: Tuple[List[str], rd.Dataset], opt: Tuple[List[str], rd.Dataset]
-) -> Tuple[List[str], rd.Dataset]:
+def _left_join_optional(base: Bindings, opt: Bindings) -> Bindings:
+    """Size-adaptive LeftJoin: broadcast merge when the optional side fits,
+    Dataset.join(left_outer) hash join otherwise (VERDICT r1 #6)."""
     vars_b, ds_b = base
     vars_o, ds_o = opt
     shared = [v for v in vars_b if v in vars_o]
     out_vars = vars_b + [v for v in vars_o if v not in vars_b]
-    opt_df = ds_o.to_pandas()  # OPTIONAL side is the small side (documented)
-    joined = _broadcast_merge(ds_b, opt_df, on=shared, how="left")
+    if not vars_b:  # OPTIONAL as the first element: base is the unit table
+        if _nonempty(ds_o):
+            return vars_o, ds_o
+        # LeftJoin(unit, ∅) = unit row with every optional var unbound
+        return vars_o, _align_columns(ds_b, [], vars_o)
+    ds_o = ds_o.materialize()
+    n_opt = ds_o.count()
+    if n_opt <= BROADCAST_ROWS or not shared:
+        opt_df = _with_columns(ds_o.to_pandas(), vars_o)
+        joined = _broadcast_merge(ds_b, opt_df, on=shared, how="left")
+    else:
+        joined = ds_b.join(
+            ds_o,
+            join_type="left_outer",
+            num_partitions=_join_partitions(),
+            on=tuple(shared),
+        )
+        joined = joined.map_batches(
+            lambda df: df.astype(object).where(pd.notna(df), None),
+            batch_format="pandas",
+        )
     return out_vars, joined
 
 
+def _semi_anti_join(ds: rd.Dataset, sub: rd.Dataset, on: List[str], anti: bool) -> rd.Dataset:
+    """Vectorized semi/anti join: broadcast ``merge(indicator=True)`` when the
+    sub-pattern side fits, ``left_semi``/``left_anti`` hash join otherwise."""
+    sub = sub.materialize()
+    n = sub.count()
+    if n > BROADCAST_ROWS:
+        return ds.join(
+            sub,
+            join_type="left_anti" if anti else "left_semi",
+            num_partitions=_join_partitions(),
+            on=tuple(on),
+        )
+    keys_df = _with_columns(sub.to_pandas(), on)[on].drop_duplicates()
+    ref = ray.put(keys_df)
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        from de_ray.state.broadcast import get_broadcast
+
+        kdf = get_broadcast(ref)
+        if df.empty:
+            return df
+        merged = df[on].merge(kdf, on=on, how="left", indicator=True)
+        mask = (merged["_merge"] == "both").to_numpy()
+        if anti:
+            mask = ~mask
+        return df[mask]
+
+    return ds.map_batches(flt, batch_format="pandas", batch_size=64 * 1024)
+
+
 # ---------------------------------------------------------------------------
-# FILTER evaluation (row-wise over canonical strings, memoized term parse)
+# Expression evaluation (row-wise over canonical strings, memoized term parse)
 # ---------------------------------------------------------------------------
 
 
@@ -225,6 +509,25 @@ def _typed(s: str):
 
         return literal_python_value(t)
     return s
+
+
+def _as_number(v):
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str) and v:
+        t = _typed(v)
+        if isinstance(t, bool):
+            return int(t)
+        if isinstance(t, (int, float)):
+            return t
+        try:
+            f = float(t)
+            return int(f) if f.is_integer() and "." not in str(t) else f
+        except (ValueError, TypeError):
+            return None
+    return None
 
 
 def _eval_expr(e: Expr, row: dict):
@@ -240,6 +543,29 @@ def _eval_expr(e: Expr, row: dict):
         if e.op == "&&":
             return all(_to_bool(_eval_expr(a, row)) for a in e.args)
         return any(_to_bool(_eval_expr(a, row)) for a in e.args)
+    if isinstance(e, Arith):
+        ln = _as_number(_eval_expr(e.left, row))
+        rn = _as_number(_eval_expr(e.right, row))
+        if ln is None or rn is None:
+            return None
+        try:
+            if e.op == "+":
+                return ln + rn
+            if e.op == "-":
+                return ln - rn
+            if e.op == "*":
+                return ln * rn
+            if e.op == "/":
+                # xsd: integer/integer → decimal (SPARQL 1.1 operator mapping)
+                return ln / rn
+        except ZeroDivisionError:
+            return None
+    if isinstance(e, InList):
+        lv = _eval_expr(e.expr, row)
+        if lv is None:
+            return None
+        hit = any(_cmp_eq(lv, _eval_expr(o, row)) for o in e.options)
+        return (not hit) if e.negated else hit
     if isinstance(e, Cmp):
         lv = _eval_expr(e.left, row)
         rv = _eval_expr(e.right, row)
@@ -266,39 +592,187 @@ def _eval_expr(e: Expr, row: dict):
         except TypeError:
             return False
     if isinstance(e, Call):
-        args = [_eval_expr(a, row) for a in e.args]
-        if e.fn == "BOUND":
-            return args[0] is not None
-        if any(a is None for a in args):
-            return None
-        if e.fn == "STR":
-            return f'"{effective_string(args[0])}"'
-        if e.fn == "LANG":
-            t = canonical_to_term(args[0])
-            return f'"{t.lang or ""}"' if isinstance(t, Literal) else '""'
-        if e.fn == "DATATYPE":
-            t = canonical_to_term(args[0])
-            if isinstance(t, Literal):
-                from de_ray.model import XSD_STRING
-
-                return t.datatype or XSD_STRING
-            return None
-        if e.fn == "REGEX":
-            flags = _re.I if (len(args) > 2 and "i" in effective_string(args[2])) else 0
-            return _re.search(effective_string(args[1]), effective_string(args[0]), flags) is not None
-        if e.fn == "CONTAINS":
-            return effective_string(args[1]) in effective_string(args[0])
-        if e.fn == "STRSTARTS":
-            return effective_string(args[0]).startswith(effective_string(args[1]))
-        if e.fn == "STRENDS":
-            return effective_string(args[0]).endswith(effective_string(args[1]))
-        if e.fn == "LCASE":
-            return f'"{effective_string(args[0]).lower()}"'
-        if e.fn == "UCASE":
-            return f'"{effective_string(args[0]).upper()}"'
-        if e.fn == "STRLEN":
-            return len(effective_string(args[0]))
+        return _eval_call(e, row, _re)
     raise ValueError(f"cannot evaluate {e!r}")
+
+
+def _cmp_eq(lv, rv) -> bool:
+    if rv is None:
+        return False
+    lt = _typed(lv) if isinstance(lv, str) and lv else lv
+    rt = _typed(rv) if isinstance(rv, str) and rv else rv
+    if isinstance(lt, (int, float)) != isinstance(rt, (int, float)):
+        lt, rt = str(lt), str(rt)
+    return lt == rt
+
+
+def _quoted(s: str) -> str:
+    from de_ray.model import escape_literal
+
+    return f'"{escape_literal(s)}"'
+
+
+def _eval_call(e: Call, row: dict, _re):
+    fn = e.fn
+    if fn == "BOUND":
+        return _eval_expr(e.args[0], row) is not None
+    if fn == "IF":
+        cond = _to_bool(_eval_expr(e.args[0], row))
+        return _eval_expr(e.args[1] if cond else e.args[2], row)
+    if fn == "COALESCE":
+        for a in e.args:
+            try:
+                v = _eval_expr(a, row)
+            except Exception:
+                v = None
+            if v is not None:
+                return v
+        return None
+    args = [_eval_expr(a, row) for a in e.args]
+    if fn == "CAST":
+        return _eval_cast(args[0], args[1])
+    if any(a is None for a in args):
+        return None
+    if fn == "STR":
+        return f'"{effective_string(args[0])}"'
+    if fn == "LANG":
+        t = canonical_to_term(args[0])
+        return f'"{t.lang or ""}"' if isinstance(t, Literal) else '""'
+    if fn == "LANGMATCHES":
+        lang = effective_string(args[0]).lower()
+        rng = effective_string(args[1]).lower()
+        if rng == "*":
+            return lang != ""
+        return lang == rng or lang.startswith(rng + "-")
+    if fn == "DATATYPE":
+        t = canonical_to_term(args[0])
+        if isinstance(t, Literal):
+            from de_ray.model import XSD_STRING
+
+            return t.datatype or XSD_STRING
+        return None
+    if fn == "REGEX":
+        flags = _re.I if (len(args) > 2 and "i" in effective_string(args[2])) else 0
+        return _re.search(effective_string(args[1]), effective_string(args[0]), flags) is not None
+    if fn == "CONTAINS":
+        return effective_string(args[1]) in effective_string(args[0])
+    if fn == "STRSTARTS":
+        return effective_string(args[0]).startswith(effective_string(args[1]))
+    if fn == "STRENDS":
+        return effective_string(args[0]).endswith(effective_string(args[1]))
+    if fn == "LCASE":
+        return _quoted(effective_string(args[0]).lower())
+    if fn == "UCASE":
+        return _quoted(effective_string(args[0]).upper())
+    if fn == "STRLEN":
+        return len(effective_string(args[0]))
+    if fn == "SUBSTR":
+        s = effective_string(args[0])
+        start = _as_number(args[1])
+        if start is None:
+            return None
+        start = int(start)
+        if len(args) > 2:
+            ln = _as_number(args[2])
+            if ln is None:
+                return None
+            return _quoted(s[start - 1 : start - 1 + int(ln)])
+        return _quoted(s[start - 1 :])
+    if fn == "REPLACE":
+        s = effective_string(args[0])
+        pat = effective_string(args[1])
+        rep = _re.sub(r"\$(\d)", r"\\\1", effective_string(args[2]))
+        flags = _re.I if (len(args) > 3 and "i" in effective_string(args[3])) else 0
+        return _quoted(_re.sub(pat, rep, s, flags=flags))
+    if fn == "STRBEFORE":
+        s, needle = effective_string(args[0]), effective_string(args[1])
+        i = s.find(needle)
+        return _quoted(s[:i] if i >= 0 else "")
+    if fn == "STRAFTER":
+        s, needle = effective_string(args[0]), effective_string(args[1])
+        i = s.find(needle)
+        return _quoted(s[i + len(needle) :] if i >= 0 else "")
+    if fn == "CONCAT":
+        return _quoted("".join(effective_string(a) for a in args))
+    if fn in ("ABS", "CEIL", "FLOOR", "ROUND"):
+        import math
+
+        n = _as_number(args[0])
+        if n is None:
+            return None
+        if fn == "ABS":
+            return abs(n)
+        if fn == "CEIL":
+            return math.ceil(n)
+        if fn == "FLOOR":
+            return math.floor(n)
+        return round(n)
+    if fn in ("IRI", "URI"):
+        return effective_string(args[0])
+    if fn in ("ISIRI", "ISURI"):
+        return isinstance(canonical_to_term(args[0]), Iri)
+    if fn == "ISLITERAL":
+        return isinstance(canonical_to_term(args[0]), Literal) if isinstance(args[0], str) else True
+    if fn == "ISBLANK":
+        return isinstance(args[0], str) and args[0].startswith("_:")
+    if fn == "ISNUMERIC":
+        if isinstance(args[0], (int, float)) and not isinstance(args[0], bool):
+            return True
+        t = _typed(args[0]) if isinstance(args[0], str) and args[0] else None
+        return isinstance(t, (int, float)) and not isinstance(t, bool)
+    if fn == "SAMETERM":
+        return args[0] == args[1]
+    raise ValueError(f"unsupported function {fn}")
+
+
+def _eval_cast(dtype_iri, value):
+    """xsd:<type>(expr) constructor casts (spareval surface, src/sparql.rs:520)."""
+    if value is None:
+        return None
+    from de_ray.model import XSD_BOOLEAN, XSD_STRING
+
+    local = dtype_iri.rsplit("#", 1)[-1] if isinstance(dtype_iri, str) else ""
+    try:
+        if local in ("integer", "int", "long", "short", "byte", "nonNegativeInteger",
+                     "unsignedInt", "unsignedLong", "positiveInteger"):
+            n = _as_number(value)
+            if n is None:
+                s = effective_string(value) if isinstance(value, str) else str(value)
+                n = float(s)
+            return int(n)
+        if local in ("decimal", "double", "float"):
+            n = _as_number(value)
+            if n is None:
+                s = effective_string(value) if isinstance(value, str) else str(value)
+                n = float(s)
+            return float(n)
+        if local == "boolean":
+            if isinstance(value, bool):
+                return value
+            s = effective_string(value) if isinstance(value, str) else str(value)
+            if s in ("true", "1"):
+                return True
+            if s in ("false", "0"):
+                return False
+            return None
+        if local == "string":
+            if isinstance(value, bool):
+                return f'"{str(value).lower()}"'
+            if isinstance(value, (int, float)):
+                return _quoted(_plain_number(value))
+            return _quoted(effective_string(value))
+        if local in ("dateTime", "date"):
+            s = effective_string(value) if isinstance(value, str) else str(value)
+            return f'"{s}"^^<{dtype_iri}>'
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
+def _plain_number(v) -> str:
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
 
 
 def _to_bool(v) -> bool:
@@ -316,6 +790,15 @@ def _to_bool(v) -> bool:
     return bool(v)
 
 
+def _format_value(v):
+    """Python value → canonical term string for BIND/projection columns."""
+    if isinstance(v, bool):
+        return f'"{str(v).lower()}"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+    if isinstance(v, (int, float)):
+        return _format_numeric_literal(v)
+    return v
+
+
 def _apply_bind(ds: rd.Dataset, expr: Expr, name: str) -> rd.Dataset:
     def bind(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -323,20 +806,81 @@ def _apply_bind(ds: rd.Dataset, expr: Expr, name: str) -> rd.Dataset:
             return df
         vals = []
         for r in df.to_dict("records"):
-            row = {k: (None if pd.isna(v) else v) for k, v in r.items()}
+            row = {k: (None if (v is not None and pd.isna(v)) else v) for k, v in r.items()}
             try:
                 v = _eval_expr(expr, row)
             except Exception:
                 v = None
-            if isinstance(v, bool):
-                v = f'"{str(v).lower()}"^^<http://www.w3.org/2001/XMLSchema#boolean>'
-            elif isinstance(v, (int, float)):
-                v = _format_numeric_literal(v)
-            vals.append(v)
+            vals.append(_format_value(v))
         df[name] = vals
         return df
 
     return ds.map_batches(bind, batch_format="pandas", batch_size=64 * 1024)
+
+
+# --- FILTER: vectorized fast path + row fallback ---------------------------
+
+
+_LEX_RE = r'^"((?:[^"\\]|\\.)*)"'
+
+
+def _vec_mask(df: pd.DataFrame, e: Expr) -> Optional[pd.Series]:
+    """Vectorized mask for the common FILTER shapes (Cmp of Var vs numeric /
+    plain-literal / IRI constant, combined with && || !); None = not
+    vectorizable, caller falls back to the row-wise evaluator."""
+    if isinstance(e, Logical):
+        parts = [_vec_mask(df, a) for a in e.args]
+        if any(p is None for p in parts):
+            return None
+        if e.op == "!":
+            return ~parts[0]
+        out = parts[0]
+        for p in parts[1:]:
+            out = (out & p) if e.op == "&&" else (out | p)
+        return out
+    if isinstance(e, Cmp):
+        left, right, op = e.left, e.right, e.op
+        if isinstance(left, Const) and isinstance(right, Var):
+            flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+            left, right, op = right, left, flip.get(op, op)
+        if not (isinstance(left, Var) and isinstance(right, Const)):
+            return None
+        if left.name not in df.columns:
+            return None
+        col = df[left.name]
+        cval = right.value
+        t = _typed(cval) if cval else cval
+        if isinstance(t, bool):
+            return None
+        if isinstance(t, (int, float)):
+            lex = col.str.extract(_LEX_RE, expand=False)
+            num = pd.to_numeric(lex, errors="coerce")
+            if op == "=":
+                m = num == t
+            elif op == "!=":
+                m = num != t
+            elif op == "<":
+                m = num < t
+            elif op == ">":
+                m = num > t
+            elif op == "<=":
+                m = num <= t
+            else:
+                m = num >= t
+            m = m.fillna(op == "!=") if op == "!=" else m.fillna(False)
+            return m & col.notna()  # unbound never passes (row-path parity)
+        if isinstance(t, str) and op in ("=", "!="):
+            if cval.startswith('"'):
+                if "@" in cval[cval.rfind('"') :]:  # lang-tagged: row path
+                    return None
+                lex = col.str.extract(_LEX_RE, expand=False)
+                m = lex == t
+            else:  # IRI: canonical equality
+                m = col == cval
+            m = ~m.fillna(False) if op == "!=" else m.fillna(False)
+            return m & col.notna()
+        return None
+    return None
 
 
 def _apply_filters(ds: rd.Dataset, filters: List[Expr]) -> rd.Dataset:
@@ -346,18 +890,37 @@ def _apply_filters(ds: rd.Dataset, filters: List[Expr]) -> rd.Dataset:
     def flt(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df
-        rows = df.to_dict("records")
-        keep = [
-            all(_to_bool(_eval_expr(f, {k: (None if pd.isna(v) else v) for k, v in r.items()})) for f in filters)
-            for r in rows
-        ]
-        return df[pd.Series(keep, index=df.index)]
+        mask = pd.Series(True, index=df.index)
+        row_filters = []
+        for f in filters:
+            m = None
+            try:
+                m = _vec_mask(df, f)
+            except Exception:
+                m = None
+            if m is not None:
+                mask &= m.astype(bool)
+            else:
+                row_filters.append(f)
+        if row_filters:
+            sub = df[mask]
+            keep = [
+                all(
+                    _to_bool(
+                        _eval_expr(f, {k: (None if (v is not None and pd.isna(v)) else v) for k, v in r.items()})
+                    )
+                    for f in row_filters
+                )
+                for r in sub.to_dict("records")
+            ]
+            return sub[pd.Series(keep, index=sub.index)]
+        return df[mask]
 
     return ds.map_batches(flt, batch_format="pandas", batch_size=64 * 1024)
 
 
 # ---------------------------------------------------------------------------
-# Group evaluation
+# Group evaluation (syntactic order — SPARQL algebra translation)
 # ---------------------------------------------------------------------------
 
 
@@ -387,73 +950,166 @@ def _greedy_order(patterns: List[TriplePattern]) -> List[TriplePattern]:
     return ordered
 
 
-def _eval_group(g: GroupPattern, source) -> Tuple[List[str], rd.Dataset]:
-    parts: List[Tuple[List[str], rd.Dataset]] = []
-    for pat in _greedy_order(g.patterns):
-        parts.append(_pattern_bindings(pat, source))
-    if not parts and not g.unions and not g.values:
-        return [], rd.from_items([{"__exists": True}])
-    cur = parts[0] if parts else None
+def _unit_bindings() -> Bindings:
+    return [], rd.from_items([{"__exists": True}])
+
+
+def _eval_bgp(pats: List[TriplePattern], source) -> Bindings:
+    plain = [p for p in pats if not _is_path(p.p)]
+    paths = [p for p in pats if _is_path(p.p)]
+    parts = [_pattern_bindings(p, source) for p in _greedy_order(plain)]
+    parts += [_eval_path_pattern(p, source) for p in paths]
+    if not parts:
+        return _unit_bindings()
+    cur = parts[0]
     for nxt in parts[1:]:
         cur = _join_bindings(cur, nxt)
-    for left, right in g.unions:
-        lv, lds = _eval_group(left, source)
-        rv, rds = _eval_group(right, source)
-        uv = lv + [v for v in rv if v not in lv]
-        lds = _align_columns(lds, lv, uv)
-        rds = _align_columns(rds, rv, uv)
-        u = (uv, lds.union(rds))
-        cur = u if cur is None else _join_bindings(cur, u)
-    if cur is None and g.values:
-        vs, rows = g.values[0]
-        vnames = [v.name for v in vs]
-        cur = (vnames, rd.from_pandas(pd.DataFrame(rows, columns=vnames)))
-        rest = g.values[1:]
-    else:
-        rest = g.values
+    return cur
+
+
+def _union_bindings(arms: List[Bindings]) -> Bindings:
+    uv: List[str] = []
+    for v, _ in arms:
+        uv += [x for x in v if x not in uv]
+    aligned = [_align_columns(ds, v, uv) for v, ds in arms]
+    out = aligned[0]
+    for d in aligned[1:]:
+        out = out.union(d)
+    return uv, out
+
+
+def _static_vars(g: GroupPattern) -> List[str]:
+    """Variables a group can bind (for aligning empty GRAPH/UNION results)."""
+    out: List[str] = []
+
+    def add(name: str):
+        if name not in out:
+            out.append(name)
+
+    for kind, payload in g.elements:
+        if kind == "bgp":
+            for p in payload:
+                for t in (p.s, p.p, p.o):
+                    if isinstance(t, Var):
+                        add(t.name)
+        elif kind in ("optional", "minus", "group"):
+            for v in _static_vars(payload):
+                add(v)
+        elif kind == "union":
+            for arm in payload:
+                for v in _static_vars(arm):
+                    add(v)
+        elif kind == "graph":
+            gterm, sub = payload
+            if isinstance(gterm, Var):
+                add(gterm.name)
+            for v in _static_vars(sub):
+                add(v)
+        elif kind == "bind":
+            add(payload[1].name)
+        elif kind == "values":
+            for v in payload[0]:
+                add(v.name)
+        elif kind == "subselect":
+            q = payload
+            for v in q.variables:
+                add(v.name)
+            for a in q.aggregates:
+                add(a.alias.name)
+    return out
+
+
+def _eval_graph(payload, source) -> Bindings:
+    gterm, sub = payload
+    names = _graph_names(source)
+    if not isinstance(gterm, Var):
+        if gterm not in names:
+            sv = _static_vars(sub)
+            return sv, rd.from_pandas(pd.DataFrame(columns=sv or ["__exists"]))
+        return _eval_group(sub, _restrict(source, [gterm]))
+    arms: List[Bindings] = []
+    for gname in names:
+        v, ds = _eval_group(sub, _restrict(source, [gname]))
+
+        def add_g(df: pd.DataFrame, _g=gname) -> pd.DataFrame:
+            df = df.copy()
+            df[gterm.name] = _g
+            return df
+
+        av = v + ([gterm.name] if gterm.name not in v else [])
+        arms.append((av, ds.map_batches(add_g, batch_format="pandas")))
+    if not arms:
+        sv = _static_vars(sub) + [gterm.name]
+        return sv, rd.from_pandas(pd.DataFrame(columns=sv))
+    return _union_bindings(arms)
+
+
+def _eval_group(g: GroupPattern, source) -> Bindings:
+    cur: Optional[Bindings] = None
+    for kind, payload in g.elements:
+        if kind == "bgp":
+            nxt = _eval_bgp(payload, source)
+            cur = nxt if cur is None else _join_bindings(cur, nxt)
+        elif kind == "group":
+            nxt = _eval_group(payload, source)
+            cur = nxt if cur is None else _join_bindings(cur, nxt)
+        elif kind == "union":
+            u = _union_bindings([_eval_group(a, source) for a in payload])
+            cur = u if cur is None else _join_bindings(cur, u)
+        elif kind == "optional":
+            base = cur if cur is not None else _unit_bindings()
+            cur = _left_join_optional(base, _eval_group(payload, source))
+        elif kind == "minus":
+            if cur is None:
+                continue
+            sv, sds = _eval_group(payload, source)
+            shared = [v for v in cur[0] if v in sv]
+            if not shared:
+                continue  # MINUS with disjoint vars removes nothing (SPARQL spec)
+            cur = (cur[0], _semi_anti_join(cur[1], sds, shared, anti=True))
+        elif kind == "graph":
+            nxt = _eval_graph(payload, source)
+            cur = nxt if cur is None else _join_bindings(cur, nxt)
+        elif kind == "subselect":
+            res = evaluate(payload, source)
+            nxt = (res.variables, res.ds)
+            cur = nxt if cur is None else _join_bindings(cur, nxt)
+        elif kind == "bind":
+            expr, var = payload
+            base = cur if cur is not None else _unit_bindings()
+            ds = _apply_bind(base[1], expr, var.name)
+            vars_out = base[0] + ([var.name] if var.name not in base[0] else [])
+            cur = (vars_out, ds)
+        elif kind == "values":
+            vs, rows = payload
+            vnames = [v.name for v in vs]
+            vdf = pd.DataFrame(rows, columns=vnames)
+            if cur is None:
+                cur = (vnames, rd.from_pandas(vdf))
+            else:
+                shared = [v for v in cur[0] if v in vnames]
+                ds = _broadcast_merge(cur[1], vdf, on=shared, how="inner")
+                cur = (cur[0] + [v for v in vnames if v not in cur[0]], ds)
+        else:
+            raise ValueError(f"unknown group element {kind!r}")
+    if cur is None:
+        cur = _unit_bindings()
     vars_out, ds = cur
-    for vs, rows in rest:
-        vnames = [v.name for v in vs]
-        vdf = pd.DataFrame(rows, columns=vnames)
-        shared = [v for v in vars_out if v in vnames]
-        ds = _broadcast_merge(ds, vdf, on=shared, how="inner" if shared else "cross")
-        vars_out = vars_out + [v for v in vnames if v not in vars_out]
-    for expr, var in g.binds:
-        ds = _apply_bind(ds, expr, var.name)
-        if var.name not in vars_out:
-            vars_out = vars_out + [var.name]
+    # FILTERs see the whole group result incl. OPTIONAL bindings
+    # (SPARQL algebra Filter(LeftJoin(...)))
     ds = _apply_filters(ds, g.filters)
-    for opt in g.optionals:
-        ov, ods = _eval_group(opt, source)
-        vars_out, ds = _left_join_optional((vars_out, ds), (ov, ods))
-    for sub, anti in [(m, True) for m in g.minus + g.not_exists] + [
-        (e, False) for e in g.exists
-    ]:
+    for sub, anti in [(m, True) for m in g.not_exists] + [(e, False) for e in g.exists]:
         sv, sds = _eval_group(sub, source)
         shared = [v for v in vars_out if v in sv]
         if not shared:
-            continue  # MINUS with disjoint vars removes nothing (SPARQL spec)
+            # no shared vars: (NOT) EXISTS degenerates to "does the pattern
+            # have any solution at all"
+            has = _nonempty(sds)
+            if (anti and has) or (not anti and not has):
+                ds = ds.limit(0)
+            continue
         ds = _semi_anti_join(ds, sds, shared, anti=anti)
     return vars_out, ds
-
-
-def _semi_anti_join(ds: rd.Dataset, sub: rd.Dataset, on: List[str], anti: bool) -> rd.Dataset:
-    """Semi/anti join via a broadcast key set (the sub-pattern result is the
-    small side; at scale this becomes a Bloom-filter broadcast)."""
-    keys_df = sub.select_columns(on).to_pandas().drop_duplicates()
-    key_set = set(map(tuple, keys_df.itertuples(index=False)))
-    ref = ray.put(key_set)
-
-    def flt(df: pd.DataFrame) -> pd.DataFrame:
-        from de_ray.state.broadcast import get_broadcast
-
-        ks = get_broadcast(ref)
-        mask = df[on].apply(lambda r: tuple(r) in ks, axis=1) if len(df) else pd.Series([], dtype=bool)
-        if anti:
-            mask = ~mask
-        return df[mask]
-
-    return ds.map_batches(flt, batch_format="pandas", batch_size=64 * 1024)
 
 
 def _align_columns(ds: rd.Dataset, have: List[str], want: List[str]) -> rd.Dataset:
@@ -490,17 +1146,41 @@ class GraphResult:
     ds: rd.Dataset  # (subj, pred, obj)
 
 
+def _sort_key_of(v) -> Tuple[int, object]:
+    if v is None:
+        return (-1, "")
+    if isinstance(v, bool):
+        return (3, str(v).lower())
+    if isinstance(v, (int, float)):
+        return (2, float(v))
+    if isinstance(v, str):
+        try:
+            return typed_sort_key(v)
+        except Exception:
+            return (3, str(v))
+    return (3, str(v))
+
+
 def _order_and_slice(q: Query, vars_out: List[str], ds: rd.Dataset) -> rd.Dataset:
     if q.order_by:
-        key_cols = []
-        descending = []
-        order_specs = [(v.name, desc) for v, desc in q.order_by]
+        order_specs = list(q.order_by)
 
         def add_keys(df: pd.DataFrame) -> pd.DataFrame:
-            for i, (vn, _) in enumerate(order_specs):
-                if vn not in df.columns:  # empty block artifacts lack columns
-                    df[vn] = pd.Series([], dtype=object)
-                keys = df[vn].map(lambda s: typed_sort_key(s) if isinstance(s, str) else (-1, ""))
+            df = df.copy()
+            for i, (key, _) in enumerate(order_specs):
+                if isinstance(key, Var):
+                    if key.name not in df.columns:  # empty block artifacts
+                        df[key.name] = pd.Series([], dtype=object)
+                    keys = df[key.name].map(_sort_key_of)
+                else:
+                    vals = []
+                    for r in df.to_dict("records"):
+                        row = {k: (None if (v is not None and pd.isna(v)) else v) for k, v in r.items()}
+                        try:
+                            vals.append(_eval_expr(key, row))
+                        except Exception:
+                            vals.append(None)
+                    keys = pd.Series([_sort_key_of(v) for v in vals], index=df.index)
                 df[f"__k{i}_tier"] = keys.map(lambda k: k[0]).astype("int32")
                 df[f"__k{i}_num"] = keys.map(
                     lambda k: k[1] if isinstance(k[1], (int, float)) else 0.0
@@ -510,6 +1190,8 @@ def _order_and_slice(q: Query, vars_out: List[str], ds: rd.Dataset) -> rd.Datase
                 )
             return df
 
+        key_cols: List[str] = []
+        descending: List[bool] = []
         ds = ds.map_batches(add_keys, batch_format="pandas")
         for i, (_, desc) in enumerate(order_specs):
             key_cols += [f"__k{i}_tier", f"__k{i}_num", f"__k{i}_str"]
@@ -542,6 +1224,75 @@ def _format_numeric_literal(v) -> str:
     return f'"{v}"^^<{XSD_DECIMAL}>'
 
 
+def _expr_vars(e: Expr) -> List[str]:
+    if isinstance(e, Var):
+        return [e.name]
+    if isinstance(e, (Cmp, Arith)):
+        return _expr_vars(e.left) + _expr_vars(e.right)
+    if isinstance(e, Logical):
+        return [v for a in e.args for v in _expr_vars(a)]
+    if isinstance(e, Call):
+        return [v for a in e.args for v in _expr_vars(a)]
+    if isinstance(e, InList):
+        return _expr_vars(e.expr) + [v for o in e.options for v in _expr_vars(o)]
+    return []
+
+
+def _rewrite_agg_refs(q: Query) -> None:
+    """Replace aggregate calls inside HAVING / ORDER BY / SELECT expressions
+    with references to (possibly hidden) aggregate aliases. Idempotent —
+    prepared queries re-execute without re-adding hidden aggregates."""
+    hidden: List[Aggregate] = []
+
+    def resolve(fn: str, distinct: bool, inner) -> Var:
+        for a in q.aggregates:
+            if a.fn != fn or a.distinct != distinct:
+                continue
+            if inner is None and a.var is None and a.expr is None:
+                return Var(a.alias.name)
+            if isinstance(inner, Var) and a.var == inner:
+                return Var(a.alias.name)
+            if inner is not None and a.expr == inner:
+                return Var(a.alias.name)
+        alias = Var(f"__h{len(q.aggregates) + len(hidden)}")
+        hidden.append(
+            Aggregate(
+                fn=fn,
+                var=inner if isinstance(inner, Var) else None,
+                alias=alias,
+                distinct=distinct,
+                expr=None if (inner is None or isinstance(inner, Var)) else inner,
+            )
+        )
+        return alias
+
+    def walk(e: Expr) -> Expr:
+        if isinstance(e, Call):
+            if e.fn.startswith("AGG:"):
+                tail = e.fn[4:]
+                distinct = tail.endswith("/D")
+                fn = tail[:-2] if distinct else tail
+                inner = e.args[0]
+                if isinstance(inner, Const) and inner.value == "*":
+                    inner = None
+                return resolve(fn, distinct, inner)
+            return Call(e.fn, tuple(walk(a) for a in e.args))
+        if isinstance(e, Cmp):
+            return Cmp(e.op, walk(e.left), walk(e.right))
+        if isinstance(e, Arith):
+            return Arith(e.op, walk(e.left), walk(e.right))
+        if isinstance(e, Logical):
+            return Logical(e.op, tuple(walk(a) for a in e.args))
+        if isinstance(e, InList):
+            return InList(walk(e.expr), tuple(walk(o) for o in e.options), e.negated)
+        return e
+
+    q.having = [walk(e) for e in q.having]
+    q.order_by = [(e if isinstance(e, Var) else walk(e), d) for e, d in q.order_by]
+    q.projections = [(walk(e), v) for e, v in q.projections]
+    q.aggregates = q.aggregates + hidden
+
+
 def _eval_aggregates(q: Query, vars_out: List[str], ds: rd.Dataset):
     """GROUP BY + COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT/SAMPLE + HAVING (G2).
 
@@ -551,29 +1302,36 @@ def _eval_aggregates(q: Query, vars_out: List[str], ds: rd.Dataset):
     ORDER BY work unchanged.
     """
     group_vars = [v.name for v in q.group_by]
+    # aggregates over expressions: precompute the expression column
+    work: List[Tuple[Aggregate, Optional[str]]] = []
+    for a in q.aggregates:
+        if a.expr is not None:
+            col = f"__ae_{a.alias.name}"
+            ds = _apply_bind(ds, a.expr, col)
+            work.append((a, col))
+        else:
+            work.append((a, a.var.name if a.var is not None else None))
     aggs = q.aggregates
     out_cols = group_vars + [a.alias.name for a in aggs]
 
     def agg_rows(gdf: pd.DataFrame) -> dict:
         row = {v: gdf[v].iloc[0] for v in group_vars} if len(gdf) else {}
-        for a in aggs:
+        for a, colname in work:
             if a.fn == "COUNT":
-                if a.var is None:
+                if colname is None:
                     val = len(gdf)
                 else:
-                    col = gdf[a.var.name].dropna()
+                    col = gdf[colname].dropna()
                     val = col.nunique() if a.distinct else len(col)
                 row[a.alias.name] = _format_numeric_literal(val)
                 continue
-            col = gdf[a.var.name].dropna()
+            col = gdf[colname].dropna()
             if a.distinct:
                 col = col.drop_duplicates()
             if a.fn == "SAMPLE":
                 row[a.alias.name] = col.iloc[0] if len(col) else None
                 continue
             if a.fn == "GROUP_CONCAT":
-                from de_ray.model import effective_string
-
                 row[a.alias.name] = (
                     '"' + " ".join(effective_string(x) for x in col) + '"'
                 )
@@ -609,16 +1367,41 @@ def _eval_aggregates(q: Query, vars_out: List[str], ds: rd.Dataset):
         out = rd.from_pandas(pd.DataFrame([agg_rows(df)], columns=out_cols))
     if q.having:
         out = _apply_filters(out, q.having)
-    sel = out_cols
-    if q.variables or q.aggregates:
-        sel = [v.name for v in q.variables] + [a.alias.name for a in aggs]
-    out = _align_columns(out, out_cols, sel)
+    avail = list(out_cols)
+    for expr, var in q.projections:  # (expr AS ?v) over aliases/group keys
+        out = _apply_bind(out, expr, var.name)
+        if var.name not in avail:
+            avail.append(var.name)
+    if q.select_order:
+        sel = [n for n in q.select_order if not n.startswith("__h")]
+    elif q.variables or q.aggregates:
+        sel = [v.name for v in q.variables] + [
+            a.alias.name for a in aggs if not a.alias.name.startswith("__h")
+        ]
+    else:
+        sel = [c for c in avail if not c.startswith("__h")]
+    order_extra = _order_extra_cols(q, sel, avail)
+    out = _align_columns(out, avail, sel + order_extra)
     out = _order_and_slice(q, sel, out)
+    if order_extra:
+        out = out.drop_columns(order_extra)
     return SolutionsResult(sel, out)
+
+
+def _order_extra_cols(q: Query, sel: List[str], avail: List[str]) -> List[str]:
+    """ORDER BY keys referencing non-projected columns must survive the sort."""
+    extra: List[str] = []
+    for key, _ in q.order_by:
+        names = [key.name] if isinstance(key, Var) else _expr_vars(key)
+        for n in names:
+            if n not in sel and n in avail and n not in extra:
+                extra.append(n)
+    return extra
 
 
 def evaluate(q: Query, source):
     """Evaluate a parsed query against a TripleSource."""
+    _rewrite_agg_refs(q)
     vars_out, ds = _eval_group(q.where, source)
     if q.form == "ASK":
         try:
@@ -629,9 +1412,17 @@ def evaluate(q: Query, source):
     if q.form == "SELECT" and (q.aggregates or q.group_by):
         return _eval_aggregates(q, vars_out, ds)
     if q.form == "SELECT":
-        sel = [v.name for v in q.variables] if q.variables else vars_out
-        # ORDER BY vars outside the projection must survive until the sort
-        extra = [v.name for v, _ in q.order_by if v.name not in sel and v.name in vars_out]
+        for expr, var in q.projections:  # SELECT (expr AS ?v)
+            ds = _apply_bind(ds, expr, var.name)
+            if var.name not in vars_out:
+                vars_out = vars_out + [var.name]
+        if q.select_order:
+            sel = list(q.select_order)
+        elif q.variables:
+            sel = [v.name for v in q.variables]
+        else:
+            sel = vars_out
+        extra = _order_extra_cols(q, sel, vars_out)
         ds = _align_columns(ds, vars_out, sel + extra)
         if q.distinct:
             ds = _distinct(ds, sel + extra)

@@ -1,12 +1,21 @@
-"""SPARQL parser for the subset the reference's CLI tests exercise.
+"""SPARQL parser for the surface the reference gets from spargebra.
 
 The reference delegates full SPARQL 1.1 to spargebra/spareval
 (``src/sparql.rs:511-521``); our engine rebuilds the query forms its tests
-and fixtures use (SURVEY §2.12): SELECT [DISTINCT] / ASK / CONSTRUCT /
-DESCRIBE, BGPs with ``;`` ``,`` shorthand, FILTER expressions, OPTIONAL,
-UNION, ORDER BY [ASC|DESC], LIMIT/OFFSET, PREFIX/BASE.
+and fixtures use plus the expression/pattern surface real KG queries need
+(SURVEY §2.9/§2.12): SELECT [DISTINCT] / ASK / CONSTRUCT / DESCRIBE, BGPs
+with ``;`` ``,`` shorthand, property paths (``/`` ``|`` ``^`` ``+`` ``*``
+``?``), GRAPH clauses, nested groups and subqueries, FILTER expressions with
+arithmetic / string / numeric builtins and ``xsd:`` casts, BIND, VALUES,
+OPTIONAL, n-way UNION, MINUS, (NOT) EXISTS, ORDER BY expressions,
+LIMIT/OFFSET, GROUP BY/HAVING, PREFIX/BASE.
 
-Pattern terms are canonical internal strings (de_ray.model) or ``Var``.
+Group bodies keep **syntactic order** (``GroupPattern.elements``) so the
+engine can apply SPARQL algebra (Join/LeftJoin/Minus sequence, then Filter
+over the whole group result).
+
+Pattern terms are canonical internal strings (de_ray.model), ``Var``, or a
+property-path node in predicate position.
 """
 
 from __future__ import annotations
@@ -31,13 +40,39 @@ class Var:
     name: str
 
 
+# --- property paths (reference surface: spargebra paths, src/sparql.rs:520) --
+
+
+@dataclass(frozen=True)
+class PathSeq:
+    parts: Tuple["Path", ...]  # p1 / p2 / ...
+
+
+@dataclass(frozen=True)
+class PathAlt:
+    alts: Tuple["Path", ...]  # p1 | p2 | ...
+
+
+@dataclass(frozen=True)
+class PathInv:
+    inner: "Path"  # ^p
+
+
+@dataclass(frozen=True)
+class PathClosure:
+    inner: "Path"
+    min_hops: int  # 1 for +, 0 for *
+    max_hops: Optional[int] = None  # 1 for ?, None = unbounded
+
+
+Path = Union[str, PathSeq, PathAlt, PathInv, PathClosure]
 PatTerm = Union[Var, str]  # Var or canonical string
 
 
 @dataclass(frozen=True)
 class TriplePattern:
     s: PatTerm
-    p: PatTerm
+    p: Union[PatTerm, PathSeq, PathAlt, PathInv, PathClosure]
     o: PatTerm
 
 
@@ -52,6 +87,13 @@ class Cmp:
 
 
 @dataclass(frozen=True)
+class Arith:
+    op: str  # + - * /
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass(frozen=True)
 class Logical:
     op: str  # && || !
     args: Tuple["Expr", ...]
@@ -59,7 +101,7 @@ class Logical:
 
 @dataclass(frozen=True)
 class Call:
-    fn: str  # regex contains str lang datatype bound strstarts strends lcase ucase strlen
+    fn: str  # builtin name, or "CAST" with args (Const(datatype_iri), expr)
     args: Tuple["Expr", ...]
 
 
@@ -68,22 +110,55 @@ class Const:
     value: str  # canonical string (literal or IRI)
 
 
-Expr = Union[Var, Cmp, Logical, Call, Const]
+@dataclass(frozen=True)
+class InList:
+    expr: "Expr"
+    options: Tuple["Expr", ...]
+    negated: bool = False
+
+
+Expr = Union[Var, Cmp, Arith, Logical, Call, Const, InList]
 
 
 @dataclass
 class GroupPattern:
-    """A group graph pattern: BGP + filters + optionals + unions + minus."""
+    """A group graph pattern in syntactic order.
 
-    patterns: List[TriplePattern] = field(default_factory=list)
+    ``elements`` entries are ``(kind, payload)``:
+      - ``("bgp", List[TriplePattern])``
+      - ``("optional", GroupPattern)``
+      - ``("union", List[GroupPattern])``  (n-way)
+      - ``("minus", GroupPattern)``
+      - ``("group", GroupPattern)``        (nested { ... } joined in)
+      - ``("graph", (PatTerm, GroupPattern))``
+      - ``("subselect", Query)``
+      - ``("bind", (Expr, Var))``
+      - ``("values", (List[Var], List[List[Optional[str]]]))``
+
+    FILTERs apply to the whole group result (SPARQL algebra
+    ``Filter(LeftJoin(...))``), so they are collected separately, as are
+    EXISTS / NOT EXISTS filters.
+    """
+
+    elements: List[Tuple[str, object]] = field(default_factory=list)
     filters: List[Expr] = field(default_factory=list)
-    optionals: List["GroupPattern"] = field(default_factory=list)
-    unions: List[Tuple["GroupPattern", "GroupPattern"]] = field(default_factory=list)
-    minus: List["GroupPattern"] = field(default_factory=list)
-    not_exists: List["GroupPattern"] = field(default_factory=list)
     exists: List["GroupPattern"] = field(default_factory=list)
-    binds: List[Tuple["Expr", Var]] = field(default_factory=list)
-    values: List[Tuple[List[Var], List[List[Optional[str]]]]] = field(default_factory=list)
+    not_exists: List["GroupPattern"] = field(default_factory=list)
+
+    # -- legacy views (older tests/introspection) --
+    @property
+    def patterns(self) -> List[TriplePattern]:
+        out: List[TriplePattern] = []
+        for kind, payload in self.elements:
+            if kind == "bgp":
+                out.extend(payload)
+        return out
+
+    def _add_triple(self, t: TriplePattern) -> None:
+        if self.elements and self.elements[-1][0] == "bgp":
+            self.elements[-1][1].append(t)
+        else:
+            self.elements.append(("bgp", [t]))
 
 
 @dataclass(frozen=True)
@@ -94,6 +169,10 @@ class Aggregate:
     var: Optional[Var]
     alias: Var
     distinct: bool = False
+    expr: Optional[Expr] = None  # aggregate over an expression, e.g. SUM(?a*?b)
+
+
+OrderKey = Tuple[Union[Var, Expr], bool]  # (key, descending)
 
 
 @dataclass
@@ -101,15 +180,17 @@ class Query:
     form: str  # SELECT ASK CONSTRUCT DESCRIBE
     variables: List[Var] = field(default_factory=list)  # empty == *
     aggregates: List[Aggregate] = field(default_factory=list)
+    projections: List[Tuple[Expr, Var]] = field(default_factory=list)  # (expr AS ?v)
     group_by: List[Var] = field(default_factory=list)
     having: List[Expr] = field(default_factory=list)
     distinct: bool = False
     where: GroupPattern = field(default_factory=GroupPattern)
-    order_by: List[Tuple[Var, bool]] = field(default_factory=list)  # (var, descending)
+    order_by: List[OrderKey] = field(default_factory=list)
     limit: Optional[int] = None
     offset: Optional[int] = None
     template: List[TriplePattern] = field(default_factory=list)  # CONSTRUCT
     describe_terms: List[PatTerm] = field(default_factory=list)  # DESCRIBE
+    select_order: List[str] = field(default_factory=list)  # projection order (names)
 
 
 _TOK = re.compile(
@@ -121,13 +202,24 @@ _TOK = re.compile(
   | (?P<langtag>@[a-zA-Z][a-zA-Z0-9-]*)
   | (?P<dtype>\^\^)
   | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<op><=|>=|!=|&&|\|\||[=<>!(){};,.*])
+  | (?P<op><=|>=|!=|&&|\|\||[=<>!(){};,.*+/|?^-])
   | (?P<pname>[A-Za-z_][\w-]*)?:(?P<local>[\w.\-%]*)
   | (?P<word>[A-Za-z_][\w-]*)
   | (?P<ws>\s+)
     """,
     re.VERBOSE,
 )
+
+_BUILTINS = (
+    "REGEX", "CONTAINS", "STR", "LANG", "DATATYPE", "BOUND",
+    "STRSTARTS", "STRENDS", "LCASE", "UCASE", "STRLEN",
+    "IF", "COALESCE", "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER",
+    "CONCAT", "ABS", "CEIL", "FLOOR", "ROUND",
+    "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "ISNUMERIC",
+    "IRI", "URI", "LANGMATCHES", "SAMETERM",
+)
+
+_AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
 
 
 class _T:
@@ -171,6 +263,15 @@ class _T:
         if v != val:
             raise ValueError(f"expected {val!r}, got {v!r}")
 
+    def split_signed_number(self):
+        """If the current token is a signed number, split its sign into an op
+        (binary +/- followed by an unsigned number, e.g. ``?x -3``)."""
+        k, v = self.peek()
+        if k == "number" and v and v[0] in "+-":
+            self.toks[self.pos] = ("number", v[1:])
+            return v[0]
+        return None
+
 
 class Parser:
     def __init__(self) -> None:
@@ -178,6 +279,10 @@ class Parser:
 
     def parse(self, text: str) -> Query:
         tk = _T(text)
+        q = self._parse_query(tk)
+        return q
+
+    def _parse_query(self, tk: _T, subquery: bool = False) -> Query:
         while True:
             w = tk.try_word("PREFIX", "BASE")
             if w == "PREFIX":
@@ -202,12 +307,13 @@ class Parser:
                 if k == "var":
                     tk.next()
                     q.variables.append(Var(v[1:]))
+                    q.select_order.append(v[1:])
                 elif v == "*":
                     tk.next()
                     break
                 elif v == "(":
                     tk.next()
-                    q.aggregates.append(self._aggregate(tk))
+                    self._projection(tk, q)
                 else:
                     break
             tk.try_word("WHERE")
@@ -236,6 +342,33 @@ class Parser:
         self._modifiers(tk, q)
         return q
 
+    def _projection(self, tk: _T, q: Query) -> None:
+        """Parse a parenthesized projection: aggregate or (expr AS ?v)."""
+        k, v = tk.peek()
+        if k == "word" and v.upper() in _AGG_FNS and tk.peek(1)[1] == "(":
+            q.aggregates.append(self._aggregate(tk))
+            q.select_order.append(q.aggregates[-1].alias.name)
+            return
+        expr = self._expr_or(tk)
+        if not tk.try_word("AS"):
+            raise ValueError("expected AS in SELECT expression")
+        kv, vv = tk.next()
+        if kv != "var":
+            raise ValueError("expected ?var after AS")
+        tk.expect(")")
+        alias = Var(vv[1:])
+        agg = _extract_aggregate(expr)
+        if agg is not None:
+            fn, distinct, inner = agg
+            var = inner if isinstance(inner, Var) else None
+            q.aggregates.append(
+                Aggregate(fn=fn, var=var, alias=alias, distinct=distinct,
+                          expr=None if isinstance(inner, Var) else inner)
+            )
+        else:
+            q.projections.append((expr, alias))
+        q.select_order.append(alias.name)
+
     # ---- group graph pattern ----
     def _group(self, tk: _T) -> GroupPattern:
         tk.expect("{")
@@ -262,11 +395,21 @@ class Parser:
                 continue
             if k == "word" and v.upper() == "OPTIONAL":
                 tk.next()
-                g.optionals.append(self._group(tk))
+                g.elements.append(("optional", self._group(tk)))
                 continue
             if k == "word" and v.upper() == "MINUS":
                 tk.next()
-                g.minus.append(self._group(tk))
+                g.elements.append(("minus", self._group(tk)))
+                continue
+            if k == "word" and v.upper() == "GRAPH":
+                tk.next()
+                kg, vg = tk.peek()
+                if kg == "var":
+                    tk.next()
+                    gterm: PatTerm = Var(vg[1:])
+                else:
+                    gterm = self._term(tk)
+                g.elements.append(("graph", (gterm, self._group(tk))))
                 continue
             if k == "word" and v.upper() == "BIND":
                 tk.next()
@@ -278,49 +421,54 @@ class Parser:
                 if kv != "var":
                     raise ValueError("expected ?var after AS in BIND")
                 tk.expect(")")
-                g.binds.append((expr, Var(vv[1:])))
+                g.elements.append(("bind", (expr, Var(vv[1:]))))
                 continue
             if k == "word" and v.upper() == "VALUES":
                 tk.next()
-                g.values.append(self._values(tk))
+                g.elements.append(("values", self._values(tk)))
                 continue
             if v == "{":
-                left = self._group(tk)
+                # subquery: { SELECT ... }
+                nk, nv = tk.peek(1)
+                if nk == "word" and nv.upper() in ("SELECT", "PREFIX", "BASE"):
+                    tk.next()
+                    sub = self._parse_query(tk, subquery=True)
+                    tk.expect("}")
+                    g.elements.append(("subselect", sub))
+                    continue
+                first = self._group(tk)
                 if tk.try_word("UNION"):
-                    right = self._group(tk)
-                    while tk.try_word("UNION"):  # a UNION b UNION c
-                        right2 = self._group(tk)
-                        right.unions.append((GroupPattern(), right2))
-                    g.unions.append((left, right))
+                    arms = [first, self._group(tk)]
+                    while tk.try_word("UNION"):  # a UNION b UNION c → flat n-way
+                        arms.append(self._group(tk))
+                    g.elements.append(("union", arms))
                 else:
-                    g.patterns.extend(left.patterns)
-                    g.filters.extend(left.filters)
-                    g.optionals.extend(left.optionals)
-                    g.unions.extend(left.unions)
+                    g.elements.append(("group", first))
                 continue
-            self._triples_same_subject(tk, g.patterns)
+            self._triples_same_subject(tk, g)
             k, v = tk.peek()
             if v == ".":
                 tk.next()
 
     def _bgp_only(self, tk: _T) -> List[TriplePattern]:
         pats: List[TriplePattern] = []
+        sink = GroupPattern()
         while True:
             k, v = tk.peek()
             if v == "}" or k is None:
-                return pats
-            self._triples_same_subject(tk, pats)
+                return sink.patterns
+            self._triples_same_subject(tk, sink)
             k, v = tk.peek()
             if v == ".":
                 tk.next()
 
-    def _triples_same_subject(self, tk: _T, out: List[TriplePattern]) -> None:
+    def _triples_same_subject(self, tk: _T, g: GroupPattern) -> None:
         s = self._term(tk)
         while True:
-            p = self._term(tk, predicate=True)
+            p = self._path(tk)
             while True:
                 o = self._term(tk)
-                out.append(TriplePattern(s, p, o))
+                g._add_triple(TriplePattern(s, p, o))
                 k, v = tk.peek()
                 if v == ",":
                     tk.next()
@@ -334,6 +482,67 @@ class Parser:
                     return
                 continue
             return
+
+    # ---- property paths (predicate position) ----
+    def _path(self, tk: _T):
+        k, v = tk.peek()
+        if k == "var":
+            tk.next()
+            return Var(v[1:])
+        return self._path_alt(tk)
+
+    def _path_alt(self, tk: _T):
+        parts = [self._path_seq(tk)]
+        while tk.peek()[1] == "|":
+            tk.next()
+            parts.append(self._path_seq(tk))
+        return parts[0] if len(parts) == 1 else PathAlt(tuple(parts))
+
+    def _path_seq(self, tk: _T):
+        parts = [self._path_elt(tk)]
+        while tk.peek()[1] == "/":
+            tk.next()
+            parts.append(self._path_elt(tk))
+        return parts[0] if len(parts) == 1 else PathSeq(tuple(parts))
+
+    def _path_elt(self, tk: _T):
+        inv = False
+        if tk.peek()[1] == "^":
+            tk.next()
+            inv = True
+        p = self._path_primary(tk)
+        k, v = tk.peek()
+        if v == "+":
+            tk.next()
+            p = PathClosure(p, 1)
+        elif v == "*":
+            tk.next()
+            p = PathClosure(p, 0)
+        elif v == "?":
+            tk.next()
+            p = PathClosure(p, 0, max_hops=1)
+        return PathInv(p) if inv else p
+
+    def _path_primary(self, tk: _T):
+        k, v = tk.peek()
+        if v == "(":
+            tk.next()
+            p = self._path_alt(tk)
+            tk.expect(")")
+            return p
+        if k == "iri":
+            tk.next()
+            return v[1:-1]
+        if k == "pname":
+            tk.next()
+            pfx, _, local = v.partition(":")
+            if pfx not in self.prefixes:
+                raise ValueError(f"undefined prefix {pfx!r}")
+            return self.prefixes[pfx] + local
+        if k == "word" and v == "a":
+            tk.next()
+            return RDF + "type"
+        raise ValueError(f"bad path token {v!r}")
 
     def _term(self, tk: _T, predicate: bool = False) -> PatTerm:
         k, v = tk.next()
@@ -402,22 +611,22 @@ class Parser:
         return self._term(tk)
 
     def _aggregate(self, tk: _T) -> Aggregate:
-        """Parse AGG([DISTINCT] ?v | *) AS ?alias, closing paren consumed."""
+        """Parse AGG([DISTINCT] ?v | * | expr) AS ?alias, closing paren consumed."""
         k, v = tk.next()
-        if k != "word":
-            raise ValueError(f"expected aggregate function, got {v!r}")
         fn = v.upper()
-        if fn not in ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"):
-            raise ValueError(f"unsupported aggregate {fn}")
         tk.expect("(")
         distinct = bool(tk.try_word("DISTINCT"))
-        k2, v2 = tk.next()
+        k2, v2 = tk.peek()
+        expr = None
         if v2 == "*":
+            tk.next()
             var = None
-        elif k2 == "var":
+        elif k2 == "var" and tk.peek(1)[1] == ")":
+            tk.next()
             var = Var(v2[1:])
         else:
-            raise ValueError(f"bad aggregate argument {v2!r}")
+            expr = self._expr_or(tk)
+            var = None
         tk.expect(")")
         if not tk.try_word("AS"):
             raise ValueError("expected AS in aggregate projection")
@@ -425,7 +634,7 @@ class Parser:
         if k3 != "var":
             raise ValueError("expected ?alias after AS")
         tk.expect(")")
-        return Aggregate(fn=fn, var=var, alias=Var(v3[1:]), distinct=distinct)
+        return Aggregate(fn=fn, var=var, alias=Var(v3[1:]), distinct=distinct, expr=expr)
 
     # ---- expressions ----
     def _expr_primary(self, tk: _T) -> Expr:
@@ -448,12 +657,50 @@ class Parser:
         return args[0] if len(args) == 1 else Logical("&&", tuple(args))
 
     def _expr_cmp(self, tk: _T) -> Expr:
-        left = self._expr_unary(tk)
+        left = self._expr_add(tk)
         k, v = tk.peek()
         if v in ("=", "!=", "<", ">", "<=", ">="):
             tk.next()
-            right = self._expr_unary(tk)
+            right = self._expr_add(tk)
             return Cmp(v, left, right)
+        if k == "word" and v.upper() == "IN":
+            tk.next()
+            return InList(left, self._in_options(tk), negated=False)
+        if k == "word" and v.upper() == "NOT" and (tk.peek(1)[1] or "").upper() == "IN":
+            tk.next()
+            tk.next()
+            return InList(left, self._in_options(tk), negated=True)
+        return left
+
+    def _in_options(self, tk: _T) -> Tuple[Expr, ...]:
+        tk.expect("(")
+        opts: List[Expr] = []
+        while tk.peek()[1] != ")":
+            opts.append(self._expr_or(tk))
+            if tk.peek()[1] == ",":
+                tk.next()
+        tk.expect(")")
+        return tuple(opts)
+
+    def _expr_add(self, tk: _T) -> Expr:
+        left = self._expr_mul(tk)
+        while True:
+            k, v = tk.peek()
+            if v in ("+", "-"):
+                tk.next()
+                left = Arith(v, left, self._expr_mul(tk))
+                continue
+            sign = tk.split_signed_number()
+            if sign is not None:  # `?x -3` tokenized as var, number(-3)
+                left = Arith(sign, left, self._expr_mul(tk))
+                continue
+            return left
+
+    def _expr_mul(self, tk: _T) -> Expr:
+        left = self._expr_unary(tk)
+        while tk.peek()[1] in ("*", "/"):
+            op = tk.next()[1]
+            left = Arith(op, left, self._expr_unary(tk))
         return left
 
     def _expr_unary(self, tk: _T) -> Expr:
@@ -461,6 +708,12 @@ class Parser:
         if v == "!":
             tk.next()
             return Logical("!", (self._expr_unary(tk),))
+        if v == "-":
+            tk.next()
+            return Arith("-", Const(f'"0"^^<{XSD_INTEGER}>'), self._expr_unary(tk))
+        if v == "+":
+            tk.next()
+            return self._expr_unary(tk)
         if v == "(":
             tk.next()
             e = self._expr_or(tk)
@@ -469,24 +722,59 @@ class Parser:
         if k == "var":
             tk.next()
             return Var(v[1:])
-        if k == "word" and v.upper() in (
-            "REGEX", "CONTAINS", "STR", "LANG", "DATATYPE", "BOUND",
-            "STRSTARTS", "STRENDS", "LCASE", "UCASE", "STRLEN",
-        ):
+        if k == "word" and v.upper() in _AGG_FNS and tk.peek(1)[1] == "(":
+            # aggregate inside a SELECT/HAVING expression
+            fn = v.upper()
+            tk.next()
+            tk.expect("(")
+            distinct = bool(tk.try_word("DISTINCT"))
+            if tk.peek()[1] == "*":
+                tk.next()
+                inner: Expr = Const("*")
+            else:
+                inner = self._expr_or(tk)
+            tk.expect(")")
+            return Call("AGG:" + fn + ("/D" if distinct else ""), (inner,))
+        if k == "word" and v.upper() in _BUILTINS:
             fn = v.upper()
             tk.next()
             tk.expect("(")
             args = []
-            while True:
-                args.append(self._expr_or(tk))
-                if tk.peek()[1] == ",":
-                    tk.next()
-                    continue
-                break
+            if tk.peek()[1] != ")":
+                while True:
+                    args.append(self._expr_or(tk))
+                    if tk.peek()[1] == ",":
+                        tk.next()
+                        continue
+                    break
             tk.expect(")")
             return Call(fn, tuple(args))
+        if k in ("pname", "iri") and tk.peek(1)[1] == "(":
+            # xsd:integer(?x) style cast / function IRI
+            iri = self._term(tk)
+            tk.expect("(")
+            args = [self._expr_or(tk)]
+            while tk.peek()[1] == ",":
+                tk.next()
+                args.append(self._expr_or(tk))
+            tk.expect(")")
+            return Call("CAST", (Const(iri), *args))
         # constant term
         return Const(self._term(tk))
+
+
+def _extract_aggregate(expr: Expr):
+    """If expr is a plain aggregate call (from _expr_unary AGG: path), return
+    (fn, distinct, inner_expr_or_var); else None."""
+    if isinstance(expr, Call) and expr.fn.startswith("AGG:"):
+        tail = expr.fn[4:]
+        distinct = tail.endswith("/D")
+        fn = tail[:-2] if distinct else tail
+        inner = expr.args[0]
+        if isinstance(inner, Const) and inner.value == "*":
+            return (fn, distinct, None)
+        return (fn, distinct, inner)
+    return None
 
 
 def _number_literal(v: str) -> str:
@@ -497,7 +785,7 @@ def _number_literal(v: str) -> str:
     return f'"{v}"^^<{XSD_DECIMAL}>'
 
 
-def _parse_order(tk: _T, q: Query) -> None:
+def _parse_order(self_parser: Parser, tk: _T, q: Query) -> None:
     while True:
         k, v = tk.peek()
         desc = False
@@ -505,14 +793,17 @@ def _parse_order(tk: _T, q: Query) -> None:
             tk.next()
             desc = v.upper() == "DESC"
             tk.expect("(")
-            kv, vv = tk.next()
-            if kv != "var":
-                raise ValueError("ORDER BY supports variables only")
+            e = self_parser._expr_or(tk)
             tk.expect(")")
-            q.order_by.append((Var(vv[1:]), desc))
+            q.order_by.append((e, desc))
         elif k == "var":
             tk.next()
             q.order_by.append((Var(v[1:]), False))
+        elif v == "(" or (k == "word" and v.upper() in _BUILTINS) or k in ("pname", "iri"):
+            if k == "word" and v.upper() in ("LIMIT", "OFFSET", "GROUP", "HAVING", "ORDER"):
+                return
+            e = self_parser._expr_or(tk)
+            q.order_by.append((e, False))
         else:
             return
 
@@ -523,7 +814,7 @@ def _attach_modifiers(self_parser: Parser, tk: _T, q: Query) -> None:
         if w == "ORDER":
             if not tk.try_word("BY"):
                 raise ValueError("ORDER must be followed by BY")
-            _parse_order(tk, q)
+            _parse_order(self_parser, tk, q)
         elif w == "GROUP":
             if not tk.try_word("BY"):
                 raise ValueError("GROUP must be followed by BY")

@@ -37,6 +37,10 @@ def _scan_term(line: str, i: int) -> Tuple[str, int]:
         j = i
         while j < n and line[j] not in " \t":
             j += 1
+        # BLANK_NODE_LABEL cannot end in '.' (NT grammar) — a trailing '.' is
+        # the statement terminator with no space before it (`<s> <p> _:b1.`)
+        if line[j - 1] == "." and j - 1 > i:
+            j -= 1
         return line[i:j], j
     if c == '"':  # literal
         j = i + 1
@@ -55,6 +59,9 @@ def _scan_term(line: str, i: int) -> Tuple[str, int]:
             j = k
             while j < n and line[j] not in " \t":
                 j += 1
+            # LANGTAG cannot end in '.' — unspaced statement dot (`"v"@en.`)
+            if line[j - 1] == "." and j - 1 > k:
+                j -= 1
             return lex + line[k:j], j
         if line[k : k + 3] == "^^<":
             j = line.index(">", k + 3)
