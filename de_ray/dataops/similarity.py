@@ -142,47 +142,156 @@ def lsh_topk(
     return partials.groupby("query_idx").map_groups(final, batch_format="pandas")
 
 
+def cosine_near_dup_exact(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    block_rows: int = 8192,
+):
+    """ALL (a < b) pairs with cosine ≥ threshold — exact, via distributed
+    block-pair matmuls: the corpus splits into normalized blocks pinned in
+    the object store (``ray.put`` once), and every block pair (i ≤ j) is one
+    vectorized task. Exact all-pairs is inherently O(n²) — this is the
+    validation-scale baseline the DuckDB oracle can check; at 10^9+ vectors
+    use :func:`cosine_near_dup_pairs` (banded LSH, recall < 1)."""
+    import ray
+    import ray.data as rd
+
+    blocks = []
+    for batch in ds.iter_batches(batch_size=block_rows, batch_format="pyarrow"):
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        blocks.append(ray.put((ids, m)))
+    idx = [{"i": i, "j": j} for i in range(len(blocks)) for j in range(i, len(blocks))]
+    if not idx:
+        return rd.from_pandas(_empty_pairs())
+    idx_ds = rd.from_items(idx)
+
+    def compute(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for i, j in zip(df["i"], df["j"]):
+            ids_a, ma = ray.get(blocks[i])
+            ids_b, mb = ray.get(blocks[j])
+            s = ma @ mb.T
+            if i == j:
+                ia, ib = np.triu_indices(len(ids_a), k=1)
+                mask = s[ia, ib] >= threshold
+                a_sel, b_sel = ids_a[ia[mask]], ids_b[ib[mask]]
+                sc = s[ia[mask], ib[mask]]
+            else:
+                ia, ib = np.nonzero(s >= threshold)
+                a_sel, b_sel, sc = ids_a[ia], ids_b[ib], s[ia, ib]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(a_sel, b_sel),
+                        "vec_b": np.maximum(a_sel, b_sel),
+                        "score": sc,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else _empty_pairs()
+
+    return idx_ds.map_batches(compute, batch_format="pandas", batch_size=4)
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+        }
+    )
+
+
 def cosine_near_dup_pairs(
     ds,
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int = 10,
+    n_tables: int = 8,
+    max_bucket: int = 20_000,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ):
-    """All (a < b) pairs with cosine ≥ threshold, via LSH bucket groupby —
-    only same-bucket pairs are compared (near-identical vectors collide with
-    high probability)."""
+    """(a < b) pairs with cosine ≥ threshold via BANDED hyperplane LSH — the
+    scale path. Each vector hashes into ``n_tables`` independent tables of
+    ``n_planes`` planes; a pair is a candidate if it collides in ANY table
+    (recall ≈ 1-(1-(1-θ/π)^p)^L — ~0.99 for cos ≥ 0.95 at p=10, L=8), and
+    every candidate is verified with its exact cosine. 2^n_planes buckets
+    per table keeps per-bucket all-pairs work ≪ O(n²) (VERDICT r1 #4).
+    Buckets above ``max_bucket`` rows are truncated with a logged count."""
+    import logging
 
-    def with_bucket(batch: pa.Table) -> pa.Table:
+    log = logging.getLogger(__name__)
+    table_size = np.int64(1) << np.int64(n_planes)
+
+    def with_buckets(batch: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(batch.column(emb_col)))
-        lsh = HyperplaneLSH(m.shape[1], n_planes)
-        b = lsh.bucket_of(m)
+        lsh = HyperplaneLSH(m.shape[1], n_planes * n_tables)
+        signs = (m @ lsh.planes.T) > 0  # (n, p*L)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        keys = []
+        weights = 1 << np.arange(n_planes)
+        for t in range(n_tables):
+            b = (signs[:, t * n_planes : (t + 1) * n_planes] @ weights).astype(np.int64)
+            keys.append(np.int64(t) * table_size + b)
         return pa.table(
             {
-                "vec_id": batch.column(id_col),
-                "embedding": batch.column(emb_col),
-                "bucket": pa.array(b, pa.int64()),
+                "vec_id": pa.array(np.tile(ids, n_tables), pa.int64()),
+                "embedding": pa.concat_arrays(
+                    [batch.column(emb_col).combine_chunks()] * n_tables
+                ),
+                "bucket_key": pa.array(np.concatenate(keys), pa.int64()),
             }
         )
 
-    bucketed = ds.map_batches(with_bucket, batch_format="pyarrow", batch_size=16 * 1024)
+    exploded = ds.map_batches(with_buckets, batch_format="pyarrow", batch_size=16 * 1024)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                                 "vec_b": pd.Series([], dtype="int64"),
-                                 "score": pd.Series([], dtype="float64")})
-        m = _normalize(np.asarray(g["embedding"].tolist(), dtype=np.float64))
-        ids = g["vec_id"].to_numpy()
-        scores = m @ m.T
-        ia, ib = np.triu_indices(len(g), k=1)
-        mask = scores[ia, ib] >= threshold
-        return pd.DataFrame(
-            {
-                "vec_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
-                "vec_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
-                "score": scores[ia[mask], ib[mask]],
-            }
-        )
+    def pairs_many(df: pd.DataFrame) -> pd.DataFrame:
+        # collision groups only (vectorized prefilter), then one matmul per group
+        dup = df[df.duplicated("bucket_key", keep=False)]
+        out = []
+        for _, g in dup.groupby("bucket_key", sort=False):
+            g = g.drop_duplicates("vec_id")
+            if len(g) < 2:
+                continue
+            if len(g) > max_bucket:
+                log.warning(
+                    "cosine_near_dup bucket %s truncated: %d > %d rows",
+                    g["bucket_key"].iloc[0], len(g), max_bucket,
+                )
+                g = g.iloc[:max_bucket]
+            m = _normalize(np.asarray(g["embedding"].tolist(), dtype=np.float64))
+            ids = g["vec_id"].to_numpy()
+            scores = m @ m.T
+            ia, ib = np.triu_indices(len(g), k=1)
+            mask = scores[ia, ib] >= threshold
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
+                        "vec_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
+                        "score": scores[ia[mask], ib[mask]],
+                    }
+                )
+            )
+        res = pd.concat(out, ignore_index=True) if out else _empty_pairs()
+        return res.drop_duplicates(["vec_a", "vec_b"])
 
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    cand = adaptive_grouped_apply(exploded, "bucket_key", pairs_many)
+    # candidates from different tables duplicate: one exact global dedup
+    return _dedup_pairs(cand)
+
+
+def _dedup_pairs(cand):
+    """Exact (vec_a, vec_b) dedup, size-adaptive (drop_duplicates keeps the
+    score column intact)."""
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    return adaptive_grouped_apply(
+        cand, ["vec_a", "vec_b"], lambda df: df.drop_duplicates(["vec_a", "vec_b"])
+    )

@@ -86,23 +86,26 @@ def session_windows(
 ):
     """Session windows: events of one key closer than ``gap`` chain into one
     session. Returns (key, session_id 1-based by start time, n_events,
-    session_start, session_end). One shuffle on key; per-key history sorted
-    in the group."""
+    session_start, session_end). Size-adaptive hash-bucket shuffle on key;
+    the kernel handles ALL keys of its bucket with vectorized pandas groupby
+    diff/cumsum — never one Python call per key."""
     gap_td = pd.Timedelta(gap)
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        new_session = (g[ts_col].diff() > gap_td) | g[ts_col].diff().isna()
-        g = g.assign(session_id=new_session.cumsum().astype("int64"))
-        out = g.groupby("session_id", as_index=False).agg(
+    def sessions_many(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        diff = df.groupby(key, sort=False)[ts_col].diff()
+        new_session = diff.isna() | (diff > gap_td)
+        sid = new_session.groupby(df[key], sort=False).cumsum().astype("int64")
+        df = df.assign(session_id=sid)
+        return df.groupby([key, "session_id"], as_index=False).agg(
             n_events=(ts_col, "size"),
             session_start=(ts_col, "min"),
             session_end=(ts_col, "max"),
         )
-        out.insert(0, key, g[key].iloc[0])
-        return out
 
-    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    return adaptive_grouped_apply(ds, key, sessions_many)
 
 
 def topk_per_group(
@@ -128,8 +131,8 @@ def topk_per_group(
         )
 
     part = ds.map_batches(partial, batch_format="pandas", batch_size=128 * 1024)
+    from de_ray.functions.agg import adaptive_grouped_apply
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
-
-    return part.groupby(key).map_groups(final, batch_format="pandas")
+    # the final is the same many-key vectorized kernel as the combiner,
+    # applied over whole key groups (size-adaptive bucket shuffle)
+    return adaptive_grouped_apply(part, key, partial)

@@ -43,6 +43,42 @@ def adaptive_grouped_sum(
     return partials.groupby(key_list).aggregate(*aggs)
 
 
+def adaptive_grouped_apply(
+    ds: rd.Dataset,
+    keys: Union[str, List[str]],
+    fn,
+    limit: int = DRIVER_FINAL_LIMIT,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Apply a MANY-KEY vectorized pandas kernel over whole key groups.
+
+    ``fn`` receives a DataFrame holding every row of many complete key
+    groups and must compute its result with vectorized pandas groupby ops
+    (never a Python loop per key). Size-adaptive: below ``limit`` rows one
+    driver pandas call; above it a stable-hash bucket groupby — one ``fn``
+    call per bucket instead of one Python call per key (the pathological
+    tiny-groups pattern VERDICT r1 #8 flags)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    ds = ds.materialize()
+    if ds.count() <= limit:
+        return rd.from_pandas(fn(ds.to_pandas()).reset_index(drop=True))
+    from de_ray.stages.canonicalize import stable_row_hash
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _bucket=(stable_row_hash(df, key_list) % num_buckets).astype("int64")
+        )
+
+    def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(apply_bucket, batch_format="pandas")
+    )
+
+
 def adaptive_distinct(
     ds: rd.Dataset,
     cols: Union[str, List[str], None] = None,

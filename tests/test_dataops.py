@@ -146,3 +146,31 @@ def test_multimodal_decode_plumbing():
     with pytest.raises(NotImplementedError):
         LibraryDecoder()(t)
     assert frame_sample_stage(ds, every_nth=2).count() == 8
+
+
+def test_batch_shingles_match_single():
+    from de_ray.dataops.dedup import _batch_shingles, shingle_set
+    import numpy as np
+
+    texts = ["a b c d e", "x y", "", "one two three four", "solo"]
+    vals, offsets = _batch_shingles(texts, k=3)
+    for i, t in enumerate(texts):
+        got = np.unique(vals[offsets[i] : offsets[i + 1]])
+        assert np.array_equal(got, shingle_set(t, 3)), t
+
+
+def test_distributed_connected_components():
+    """driver_limit=0 forces the min-label-propagation path; clusters must
+    match the union-find result."""
+    import pandas as pd
+    import ray.data as rd
+    from de_ray.dataops.dedup import _connected_components
+
+    edges = pd.DataFrame(
+        {"doc_a": [1, 2, 10, 11, 20], "doc_b": [2, 3, 11, 12, 21]}
+    )
+    ds = rd.from_pandas(edges)
+    dist = _connected_components(ds, driver_limit=0)
+    drv = _connected_components(rd.from_pandas(edges), driver_limit=10**6)
+    assert dist == drv
+    assert dist[3] == 1 and dist[12] == 10 and dist[21] == 20
