@@ -92,9 +92,10 @@ def _to_sections(batch: pa.Table) -> pa.Table:
 
 
 @ray.remote
-def _block_section_counts(tbl: pa.Table) -> Dict[int, int]:
+def _block_section_counts(tbl: pa.Table):
     vc = pc.value_counts(tbl.column("section"))
-    return {v["values"]: v["counts"] for v in vc.to_pylist()}
+    strlen = pc.sum(pc.utf8_length(tbl.column("term"))).as_py() or 0
+    return {v["values"]: v["counts"] for v in vc.to_pylist()}, int(strlen)
 
 
 @ray.remote
@@ -129,9 +130,13 @@ def _attach_ids(tbl: pa.Table, start_offsets: Dict[int, int], shared_count: int)
 class DictionaryBuild:
     """Result handle: the sections Dataset + per-section counts."""
 
-    def __init__(self, sections_ds: rd.Dataset, counts: Dict[int, int]):
+    def __init__(self, sections_ds: rd.Dataset, counts: Dict[int, int],
+                 strings_size: int = None):
         self.sections = sections_ds  # (term, section, sec_rank, id) sorted by (section, term)
         self.counts = counts
+        # total term codepoints, computed during the build — saves the header
+        # a separate full pass over the sections (VERDICT r1 #3)
+        self.strings_size = strings_size
 
     @property
     def shared_count(self) -> int:
@@ -200,17 +205,19 @@ def build_dictionary(
     refs = sections.to_arrow_refs()
     per_block = ray.get([_block_section_counts.remote(r) for r in refs])
     totals: Dict[int, int] = {}
+    strings_size = 0
     offsets: List[Dict[int, int]] = []
-    for c in per_block:
+    for c, strlen in per_block:
         offsets.append(dict(totals))
         for sec, n in c.items():
             totals[sec] = totals.get(sec, 0) + n
+        strings_size += strlen
     shared = totals.get(SECTION_SHARED, 0)
     new_refs = [
         _attach_ids.remote(r, off, shared) for r, off in zip(refs, offsets)
     ]
     ranked = rd.from_arrow_refs(new_refs)
-    return DictionaryBuild(ranked, totals)
+    return DictionaryBuild(ranked, totals, strings_size)
 
 
 def _driver_final_dictionary(roles: rd.Dataset) -> DictionaryBuild:
@@ -240,7 +247,10 @@ def _driver_final_dictionary(roles: rd.Dataset) -> DictionaryBuild:
     ids = ids + np.where(so, shared, 0)
     sec["id"] = ids.astype("int64")
     sec["section"] = sec["section"].astype("int32")
-    return DictionaryBuild(rd.from_pandas(sec), {int(k): int(v) for k, v in counts.items()})
+    strings_size = int(sec["term"].str.len().sum())
+    return DictionaryBuild(
+        rd.from_pandas(sec), {int(k): int(v) for k, v in counts.items()}, strings_size
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -57,9 +57,11 @@ def build_header(
 ) -> dict:
     c = dict_build.counts
     shared = c.get(SECTION_SHARED, 0)
-    strings_size = _sum_nbytes(
-        dict_build.sections.map_batches(_strlen_partial, batch_format="pyarrow")
-    )
+    strings_size = dict_build.strings_size
+    if strings_size is None:  # fallback: one pass over the sections
+        strings_size = _sum_nbytes(
+            dict_build.sections.map_batches(_strlen_partial, batch_format="pyarrow")
+        )
     return {
         "format": "http://purl.org/HDT/hdt#HDTv1",
         "dictionary": "http://purl.org/HDT/hdt#dictionaryFour",

@@ -406,7 +406,18 @@ def _join_bindings(a: Bindings, b: Bindings) -> Bindings:
             num_partitions=_join_partitions(),
             on=tuple(shared),
         )
+        joined = _clean_join_output(joined, out_vars)
     return out_vars, joined
+
+
+def _clean_join_output(ds: rd.Dataset, cols: List[str]) -> rd.Dataset:
+    """Hash-join outputs contain schema-less empty partition blocks that
+    crash any CHAINED join downstream — drop them by block metadata."""
+    from de_ray.functions.joins import drop_schemaless_empties, empty_table_factory
+
+    return drop_schemaless_empties(
+        ds, empty_table_factory({c: pa.large_string() for c in cols})
+    )
 
 
 def _with_columns(df: pd.DataFrame, cols: List[str]) -> pd.DataFrame:
@@ -459,6 +470,7 @@ def _left_join_optional(base: Bindings, opt: Bindings) -> Bindings:
             num_partitions=_join_partitions(),
             on=tuple(shared),
         )
+        joined = _clean_join_output(joined, out_vars)
         joined = joined.map_batches(
             lambda df: df.astype(object).where(pd.notna(df), None),
             batch_format="pandas",
@@ -472,12 +484,13 @@ def _semi_anti_join(ds: rd.Dataset, sub: rd.Dataset, on: List[str], anti: bool) 
     sub = sub.materialize()
     n = sub.count()
     if n > BROADCAST_ROWS:
-        return ds.join(
+        joined = ds.join(
             sub,
             join_type="left_anti" if anti else "left_semi",
             num_partitions=_join_partitions(),
             on=tuple(on),
         )
+        return _clean_join_output(joined, on)
     keys_df = _with_columns(sub.to_pandas(), on)[on].drop_duplicates()
     ref = ray.put(keys_df)
 

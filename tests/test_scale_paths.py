@@ -80,3 +80,58 @@ def test_service_description():
     t = service_description()
     assert ("urn:de-ray:service", RDF + "type", SD + "Service") in t
     assert any(p == SD + "resultFormat" for _, p, _o in t)
+
+
+def test_store_scale_lookup_and_decode(tmp_path, monkeypatch):
+    """TERM_MAP_LIMIT=0 forces the parquet range-scan lookup and the
+    hash-join decode; results must match the broadcast paths."""
+    import de_ray.hdt.store as st
+    from de_ray.hdt.store import Store, write_store
+    from de_ray.rdfio import read_rdf
+
+    out = str(tmp_path / "fruits")
+    write_store(read_rdf([f"{RES}/apple.ttl", f"{RES}/banana.nt"]), out)
+
+    small = Store(out)
+    base = sorted(
+        (r["subj"], r["pred"], r["obj"])
+        for r in small.pattern_scan(p="http://example.org/hasColor").take_all()
+    )
+    base_id = small.id_for_term("subj", "http://example.org/Banana")
+
+    monkeypatch.setattr(st, "TERM_MAP_LIMIT", 0)
+    big = Store(out)
+    got = sorted(
+        (r["subj"], r["pred"], r["obj"])
+        for r in big.pattern_scan(p="http://example.org/hasColor").take_all()
+    )
+    assert got == base and len(got) > 0
+    assert big.id_for_term("subj", "http://example.org/Banana") == base_id
+    assert big.id_for_term("subj", "http://example.org/Nope") is None
+
+
+def test_front_coded_manifest(tmp_path):
+    """Distributed front-coding writes a manifest whose byte ranges unpack
+    to the dictionary's own sorted term runs."""
+    import json as _json
+
+    from de_ray.hdt.dictionary import SECTION_NAMES, unpack_front_coded
+    from de_ray.hdt.store import Store, write_store
+    from de_ray.rdfio import read_rdf
+    import pyarrow.parquet as pq
+    import os
+
+    out = str(tmp_path / "m")
+    write_store(read_rdf([f"{RES}/apple.ttl", f"{RES}/banana.nt"]), out)
+    with open(os.path.join(out, "front_coded", "manifest.json")) as f:
+        manifest = _json.load(f)
+    dict_t = pq.read_table(os.path.join(out, "dictionary")).to_pandas()
+    for sec, name in SECTION_NAMES.items():
+        want = dict_t[dict_t["section"] == sec].sort_values("sec_rank")["term"].tolist()
+        with open(os.path.join(out, "front_coded", f"{name}.bin"), "rb") as f:
+            data = f.read()
+        got = []
+        for cm in manifest[name]:
+            chunk = data[cm["byte_offset"] : cm["byte_offset"] + cm["byte_len"]]
+            got.extend(unpack_front_coded(chunk))
+        assert got == want
