@@ -37,9 +37,21 @@ def _ensure_ray():
 
 def do_create(output: str, data: list[str]) -> None:
     _ensure_ray()
-    from de_ray.hdt.store import write_store
+    from de_ray.hdt.store import Store, write_store
     from de_ray.rdfio import read_rdf
 
+    if output.endswith(".hdt"):
+        # single-file binary export, like the reference's create
+        # (src/create.rs:43-50): build the store in a scratch dir, pack
+        import tempfile
+
+        from de_ray.hdt.hdtfile import write_hdt_file
+
+        tmp = tempfile.mkdtemp(prefix="de_ray_hdt_")
+        header = write_store(read_rdf(data), os.path.join(tmp, "store"))
+        info = write_hdt_file(Store(os.path.join(tmp, "store")), output)
+        print(f"created {output}: {info['n_triples']} triples", file=sys.stderr)
+        return
     header = write_store(read_rdf(data), output)
     print(f"created {output}: {header['void:triples']} triples", file=sys.stderr)
 
@@ -62,6 +74,16 @@ def do_query(data: list[str], queries: list[str], fmt: str, out=None) -> None:
             from de_ray.hdt.store import Store
 
             sources.append(StoreSource(Store(d)))
+        elif os.path.isfile(d) and d.endswith(".hdt"):
+            # binary .hdt interchange: full decode → in-memory triple source
+            import pandas as pd
+            import ray.data as rd
+
+            from de_ray.hdt.hdtfile import read_hdt_file
+
+            _hdr, triples = read_hdt_file(d)
+            df = pd.DataFrame(triples, columns=["subj", "pred", "obj"])
+            sources.append(DatasetSource(rd.from_pandas(df)))
         else:
             raw_files.append(d)
     if raw_files:

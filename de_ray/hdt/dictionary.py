@@ -49,19 +49,26 @@ SECTION_NAMES = {
 
 
 def _role_partials(batch: pa.Table) -> pa.Table:
-    """Per-batch distinct (term, role flags) — shrinks the shuffle input."""
-    out: Dict[str, List[int]] = {}
-    for col, idx in (("subj", 0), ("pred", 1), ("obj", 2)):
-        for v in pc.unique(batch.column(col)).to_pylist():
-            f = out.setdefault(v, [0, 0, 0])
-            f[idx] = 1
-    terms = list(out.keys())
+    """Per-batch distinct (term, role flags) — shrinks the shuffle input.
+    Fully vectorized: pc.unique per column + one pandas groupby-max merge
+    (the Python-loop version cost ~45M dict ops on a 2M-doc corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    frames = []
+    for col, flag in (("subj", "is_subj"), ("pred", "is_pred"), ("obj", "is_obj")):
+        u = pc.unique(batch.column(col)).to_pandas()
+        f = pd.DataFrame({"term": u})
+        for other in ("is_subj", "is_pred", "is_obj"):
+            f[other] = np.int32(1) if other == flag else np.int32(0)
+        frames.append(f)
+    merged = pd.concat(frames, ignore_index=True).groupby("term", as_index=False).max()
     return pa.table(
         {
-            "term": pa.array(terms, pa.large_string()),
-            "is_subj": pa.array([out[t][0] for t in terms], pa.int32()),
-            "is_pred": pa.array([out[t][1] for t in terms], pa.int32()),
-            "is_obj": pa.array([out[t][2] for t in terms], pa.int32()),
+            "term": pa.array(merged["term"], pa.large_string()),
+            "is_subj": pa.array(merged["is_subj"], pa.int32()),
+            "is_pred": pa.array(merged["is_pred"], pa.int32()),
+            "is_obj": pa.array(merged["is_obj"], pa.int32()),
         }
     )
 

@@ -107,18 +107,26 @@ def space_indexes_from_table(tbl: pa.Table):
     return out
 
 
-def _make_broadcast_encoder(maps_ref):
-    """Stateless-task encoder: dictionary-encode each column (C++), look up
-    only the small per-batch unique set against the cached pandas Index,
-    then expand with ``pc.take`` — no per-row Python, no per-batch hash
-    rebuilds."""
+class BroadcastEncoder:
+    """ACTOR-POOL encoder: the per-space pandas Indexes (hash tables over
+    the full term dictionary) build once per actor in ``__init__``; each
+    batch then dictionary-encodes its columns (C++), looks up only the
+    small per-batch unique set, and expands with ``pc.take``.
 
-    def encode_batch(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    This must NOT run as stateless tasks: Ray scatters tasks across every
+    idle worker process in the session, and each first-touch pays the full
+    index build (measured: a 2M-term dictionary costs ~1.7 s per process —
+    ~170 cold inits turned a 3 s encode into a 300 s-CPU stage)."""
 
+    def __init__(self, maps_ref):
         from de_ray.state.broadcast import get_broadcast
 
-        spaces = get_broadcast(maps_ref, transform=space_indexes_from_table)
+        self.spaces = get_broadcast(maps_ref, transform=space_indexes_from_table)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spaces = self.spaces
 
         def encode_col(col, space: str) -> pa.Array:
             idx, ids = spaces[space]
@@ -143,8 +151,6 @@ def _make_broadcast_encoder(maps_ref):
                 "graph": graph,
             }
         )
-
-    return encode_batch
 
 
 def _join_encode(triples_ds: rd.Dataset, dict_build: DictionaryBuild,
@@ -203,11 +209,19 @@ def encode_triples(
     if use_join:
         return _join_encode(triples_ds, dict_build)
     maps_ref = ray.put(collect_sections_table(dict_build))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # fixed-size pool: instant ramp to full width. SAFE ONLY because the
+    # caller feeds a MATERIALIZED input (Input → actors → sort): a task
+    # stage upstream in the same graph starves behind the idle actors and
+    # livelocks (observed with the canonicalize union as upstream)
+    pool = (max(2, cpus - 2), max(2, cpus - 2))
     return triples_ds.map_batches(
-        _make_broadcast_encoder(maps_ref),
+        BroadcastEncoder,
+        fn_constructor_args=(maps_ref,),
         batch_format="pyarrow",
         batch_size=128 * 1024,
         zero_copy_batch=True,
+        concurrency=pool,
     )
 
 

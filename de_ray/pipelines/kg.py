@@ -107,7 +107,11 @@ def run_kg_pipeline(
             t0 = time.time()
             # dedup_mode="clustered": extraction emits one subject per doc in
             # contiguous rows, so dedup needs no all-to-all shuffle
-            header = write_store(linked, store_dir, dedup_mode="clustered")
+            # linked is a checkpoint parquet read — skip the input pin, the
+            # two store consumers re-read it in parallel instead
+            header = write_store(
+                linked, store_dir, dedup_mode="clustered", materialize_input=False
+            )
             run.record(
                 "graph", shard="*", rows=header["void:triples"], wall_sec=time.time() - t0
             )

@@ -64,7 +64,8 @@ def _dedup_group(g: pd.DataFrame, cols) -> pd.DataFrame:
 DRIVER_FINAL_LIMIT = 500_000
 
 
-def canonicalize_clustered(ds, cols=None, cluster_col: str = "subj"):
+def canonicalize_clustered(ds, cols=None, cluster_col: str = "subj",
+                           pin_tagged: bool = True):
     """Exact dedup for CLUSTER-LOCAL duplicates: when any two identical rows
     are guaranteed to share ``cluster_col`` AND rows of one cluster are
     contiguous in the dataset (true for extraction output: one document =
@@ -91,7 +92,12 @@ def canonicalize_clustered(ds, cols=None, cluster_col: str = "subj"):
     # block edge. (A sized batch may concatenate non-adjacent blocks and hide
     # a split cluster in its interior — observed as missed duplicates.)
     tagged = ds.map_batches(split_edges, batch_format="pandas", batch_size=None)
-    tagged = tagged.materialize()
+    # pin_tagged=False trades one full object-store copy for re-running the
+    # cheap split_edges map on each of the two consumers (interior + edge
+    # sliver) — right when ``ds`` is a re-readable parquet checkpoint and
+    # the caller materializes the RESULT anyway (write_store does)
+    if pin_tagged:
+        tagged = tagged.materialize()
     interior = tagged.map_batches(
         lambda df: df[~df["_edge"]].drop(columns=["_edge"]), batch_format="pandas"
     )
