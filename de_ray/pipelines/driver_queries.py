@@ -692,6 +692,92 @@ SQL_SPARQL_MENTIONS = (
 )
 
 
+def q_sparql_arith(sf_dir: str):
+    """Round-2 SPARQL surface: arithmetic in BIND + FILTER (spareval parity,
+    reference src/sparql.rs:511-521)."""
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    triples = _doc_triples(sf_dir, linked=False)
+    L = len(ENT)
+    q = parse_query(
+        f"SELECT DISTINCT ?ent ?n2 WHERE {{ ?doc <{DE}mentions> ?ent "
+        f"BIND((STRLEN(STR(?ent)) - {L}) * 2 AS ?n2) "
+        f"FILTER(STRLEN(STR(?ent)) - {L} > 4) }}"
+    )
+    return evaluate(q, DatasetSource(triples)).ds
+
+
+SQL_SPARQL_ARITH = (
+    f"WITH {_TOKS_CTE} SELECT DISTINCT '{ENT}'||w AS ent, "
+    f"'\"'||CAST(len(w)*2 AS VARCHAR)||'\"^^<{XSD_INT}>' AS n2 "
+    f"FROM toks, unnest(ws) AS t(w) "
+    f"WHERE w NOT IN ({_STOP_SQL}) AND len(w) > 4"
+)
+
+
+def q_sparql_path(sf_dir: str):
+    """Round-2 SPARQL surface: sequence + inverse property path
+    (?a mentions/^mentions ?b = documents sharing an entity)."""
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    triples = _doc_triples(sf_dir, linked=False)
+    q = parse_query(
+        f"SELECT DISTINCT ?a ?b WHERE {{ "
+        f"?a <{DE}mentions>/^<{DE}mentions> ?b FILTER(STR(?a) < STR(?b)) }}"
+    )
+    return evaluate(q, DatasetSource(triples)).ds
+
+
+SQL_SPARQL_PATH = (
+    f"WITH {_TOKS_CTE}, m AS (SELECT DISTINCT doc_id, w FROM toks, "
+    f"unnest(ws) AS t(w) WHERE w NOT IN ({_STOP_SQL})) "
+    f"SELECT DISTINCT '{DOC}'||x.doc_id AS a, '{DOC}'||y.doc_id AS b "
+    f"FROM m x JOIN m y USING (w) WHERE '{DOC}'||x.doc_id < '{DOC}'||y.doc_id"
+)
+
+
+def q_sparql_graph(sf_dir: str):
+    """Round-2 SPARQL surface: GRAPH ?g clause over a two-graph store
+    (docs split by id parity)."""
+    import os
+    import shutil
+    import tempfile
+
+    from de_ray.hdt.store import Store, write_store
+    from de_ray.query.engine import StoreSource, evaluate
+    from de_ray.query.parser import parse_query
+    from de_ray.stages.triples import extract_triples_stage
+
+    triples = extract_triples_stage(
+        _docs(sf_dir), subject_col="doc_id", graph="g", source_col="source"
+    )
+
+    def regraph(df: pd.DataFrame) -> pd.DataFrame:
+        # graph by document parity: subj is DOC<doc_id>
+        ids = df["subj"].str.rsplit("/", n=1).str[-1].astype("int64")
+        df["graph"] = np.where(ids % 2 == 0, "file:///even.nt", "file:///odd.nt")
+        return df
+
+    triples = triples.map_batches(regraph, batch_format="pandas")
+    out = os.path.join(tempfile.gettempdir(), "de_ray_driver_graphstore")
+    shutil.rmtree(out, ignore_errors=True)
+    write_store(triples, out)
+    q = parse_query(
+        f"SELECT ?g ?doc WHERE {{ GRAPH ?g {{ ?doc <{DE}mentions> <{ENT}merge> }} }}"
+    )
+    return evaluate(q, StoreSource(Store(out))).ds
+
+
+SQL_SPARQL_GRAPH = (
+    f"WITH {_TOKS_CTE} SELECT DISTINCT "
+    f"CASE WHEN doc_id % 2 = 0 THEN 'file:///even.nt' ELSE 'file:///odd.nt' END AS g, "
+    f"'{DOC}'||doc_id AS doc "
+    f"FROM toks, unnest(ws) AS t(w) WHERE w = 'merge'"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -705,6 +791,9 @@ REGISTRY = {
     "kg_entity_degree": (q_kg_entity_degree, SQL_KG_ENTITY_DEGREE),
     "kg_header_stats": (q_kg_header_stats, SQL_KG_HEADER_STATS),
     "sparql_mentions": (q_sparql_mentions, SQL_SPARQL_MENTIONS),
+    "sparql_arith": (q_sparql_arith, SQL_SPARQL_ARITH),
+    "sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
+    "sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),
     # relational coverage
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),

@@ -1230,6 +1230,8 @@ def _distinct(ds: rd.Dataset, cols: List[str]) -> rd.Dataset:
 def _format_numeric_literal(v) -> str:
     from de_ray.model import XSD_DECIMAL, XSD_INTEGER
 
+    if hasattr(v, "item"):  # numpy scalar → python number
+        v = v.item()
     if isinstance(v, bool):
         v = int(v)
     if isinstance(v, int) or (isinstance(v, float) and v.is_integer() and abs(v) < 1e15):
@@ -1368,16 +1370,18 @@ def _eval_aggregates(q: Query, vars_out: List[str], ds: rd.Dataset):
         return row
 
     if group_vars:
-        def per_group(gdf: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame([agg_rows(gdf)], columns=out_cols)
+        # size-adaptive hash-bucket apply: one Python call per BUCKET of
+        # whole key groups, never one Ray map_groups call per key
+        # (the pathological tiny-groups pattern, VERDICT r1 #7)
+        from de_ray.functions.agg import adaptive_grouped_apply
 
-        out = ds.groupby(group_vars).map_groups(per_group, batch_format="pandas")
+        def many_groups(df: pd.DataFrame) -> pd.DataFrame:
+            rows = [agg_rows(g) for _, g in df.groupby(group_vars, sort=False)]
+            return pd.DataFrame(rows, columns=out_cols)
+
+        out = adaptive_grouped_apply(ds, group_vars, many_groups)
     else:
-        # global aggregate: the binding set reduces to ONE row; collecting the
-        # var columns is bounded by the pre-aggregation input here (small-side
-        # assumption documented; partials-merge is the scale path)
-        df = ds.to_pandas()
-        out = rd.from_pandas(pd.DataFrame([agg_rows(df)], columns=out_cols))
+        out = _global_aggregate(ds, work, agg_rows, out_cols)
     if q.having:
         out = _apply_filters(out, q.having)
     avail = list(out_cols)
@@ -1410,6 +1414,64 @@ def _order_extra_cols(q: Query, sel: List[str], avail: List[str]) -> List[str]:
             if n not in sel and n in avail and n not in extra:
                 extra.append(n)
     return extra
+
+
+def _global_aggregate(ds: rd.Dataset, work, agg_rows, out_cols) -> rd.Dataset:
+    """No-GROUP-BY aggregates. COUNT/SUM/AVG/MIN/MAX run as per-batch
+    partials merged on the driver (one tiny row per batch crosses the
+    wire); DISTINCT / SAMPLE / GROUP_CONCAT need the value multiset and
+    fall back to a driver collect (documented small-side assumption)."""
+    partial_ok = all(
+        a.fn in ("COUNT", "SUM", "AVG", "MIN", "MAX") and not a.distinct
+        for a, _ in work
+    )
+    if not partial_ok:
+        df = ds.to_pandas()
+        return rd.from_pandas(pd.DataFrame([agg_rows(df)], columns=out_cols))
+
+    specs = [(a.fn, col, a.alias.name) for a, col in work]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        row = {}
+        for fn, col, alias in specs:
+            if fn == "COUNT":
+                row[f"__c_{alias}"] = len(df) if col is None else df[col].notna().sum()
+                continue
+            vals = [] if col not in df.columns else [
+                _typed(x) for x in df[col].dropna()
+            ]
+            nums = [v for v in vals if isinstance(v, (int, float)) and not isinstance(v, bool)]
+            if fn in ("SUM", "AVG"):
+                row[f"__s_{alias}"] = sum(nums)
+                row[f"__n_{alias}"] = len(nums)
+            elif fn == "MIN":
+                keyed = sorted(df[col].dropna(), key=typed_sort_key) if col in df.columns else []
+                row[f"__m_{alias}"] = keyed[0] if keyed else None
+            else:  # MAX
+                keyed = sorted(df[col].dropna(), key=typed_sort_key) if col in df.columns else []
+                row[f"__m_{alias}"] = keyed[-1] if keyed else None
+        return pd.DataFrame([row])
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=128 * 1024).to_pandas()
+    row = {}
+    for fn, col, alias in specs:
+        if fn == "COUNT":
+            row[alias] = _format_numeric_literal(int(parts[f"__c_{alias}"].sum()))
+        elif fn in ("SUM", "AVG"):
+            s = parts[f"__s_{alias}"].sum()
+            n = int(parts[f"__n_{alias}"].sum())
+            if n == 0:
+                row[alias] = _format_numeric_literal(0)
+            else:
+                row[alias] = _format_numeric_literal(s if fn == "SUM" else s / n)
+        else:
+            vals = [v for v in parts[f"__m_{alias}"] if v is not None]
+            if not vals:
+                row[alias] = None
+            else:
+                keyed = sorted(vals, key=typed_sort_key)
+                row[alias] = keyed[0] if fn == "MIN" else keyed[-1]
+    return rd.from_pandas(pd.DataFrame([row], columns=out_cols))
 
 
 def evaluate(q: Query, source):

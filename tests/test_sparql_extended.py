@@ -326,3 +326,18 @@ def test_aggregate_over_expression(people):
     )
     rows = _rows(evaluate(q, people))
     assert rows[0]["t"] == '"180"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+
+def test_path_raw_equals_store(fruit_store, people):
+    """Reference conformance extended to paths: raw-RDF path query ≡ the
+    same query over the store (tests/test-commands.rs raw≡HDT invariant)."""
+    from de_ray.rdfio import read_rdf
+
+    q = parse_query(
+        EX + "SELECT ?x WHERE { ?x ex:hasColor|ex:hasVitamin ?v } ORDER BY ?x"
+    )
+    raw = evaluate(
+        q, DatasetSource(read_rdf([f"{RES}/apple.ttl", f"{RES}/pineapple.ttl"]))
+    ).ds.take_all()
+    store = evaluate(q, StoreSource(fruit_store)).ds.take_all()
+    assert raw == store and len(raw) > 0
