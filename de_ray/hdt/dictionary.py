@@ -33,7 +33,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Max
 
 SECTION_SHARED = 0
 SECTION_SUBJECT = 1
@@ -69,31 +68,6 @@ def _role_partials(batch: pa.Table) -> pa.Table:
             "is_subj": pa.array(merged["is_subj"], pa.int32()),
             "is_pred": pa.array(merged["is_pred"], pa.int32()),
             "is_obj": pa.array(merged["is_obj"], pa.int32()),
-        }
-    )
-
-
-def _to_sections(batch: pa.Table) -> pa.Table:
-    """Flags → section rows; a term may emit an SO-section row AND a predicate row."""
-    term = batch.column("term").to_pylist()
-    s = batch.column("max(is_subj)").to_pylist()
-    p = batch.column("max(is_pred)").to_pylist()
-    o = batch.column("max(is_obj)").to_pylist()
-    terms_out: List[str] = []
-    sections: List[int] = []
-    for t, fs, fp, fo in zip(term, s, p, o):
-        if fs and fo:
-            terms_out.append(t), sections.append(SECTION_SHARED)
-        elif fs:
-            terms_out.append(t), sections.append(SECTION_SUBJECT)
-        elif fo:
-            terms_out.append(t), sections.append(SECTION_OBJECT)
-        if fp:
-            terms_out.append(t), sections.append(SECTION_PREDICATE)
-    return pa.table(
-        {
-            "term": pa.array(terms_out, pa.large_string()),
-            "section": pa.array(sections, pa.int32()),
         }
     )
 

@@ -250,15 +250,21 @@ def write_store(
         id_ds = encode_triples(triples_ds, dict_build, concurrency=encode_concurrency)
         sorted_ds = sort_spo(id_ds).materialize()
         _t("encode_sort", t)
-        t = _time.time()
-        sorted_ds.write_parquet(os.path.join(out_dir, "triples"))
-        _t("write_triples", t)
+        # the two output writes both read the pinned sorted blocks and are
+        # task-only pipelines — safe to overlap (no actor pools involved)
+        fut_wt = pool.submit(
+            timed(
+                "write_triples",
+                lambda: sorted_ds.write_parquet(os.path.join(out_dir, "triples")),
+            )
+        )
         if with_adjacency:
             t = _time.time()
             sorted_ds.map_batches(
                 pack_adjacency_block, batch_format="pyarrow", batch_size=256 * 1024
             ).write_parquet(os.path.join(out_dir, "adjacency"))
             _t("adjacency", t)
+        fut_wt.result()
         if fut_fc is not None:
             fut_fc.result()
     header = build_header(dict_build, n_triples, per_graph, original_size)

@@ -34,6 +34,10 @@ from de_ray.hdt.dictionary import (
 # above this many dictionary entries, encode via shuffle join instead of broadcast
 BROADCAST_LIMIT = 5_000_000
 
+# at or below this many dictionary entries, encode with stateless tasks
+# (per-worker index build is cheap); above it, an actor pool
+TASK_ENCODE_TERMS = 1_000_000
+
 ID_TRIPLE_SCHEMA = pa.schema(
     [
         ("s_id", pa.int64()),
@@ -124,33 +128,38 @@ class BroadcastEncoder:
         self.spaces = get_broadcast(maps_ref, transform=space_indexes_from_table)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        return _encode_with(self.spaces, batch)
 
-        spaces = self.spaces
 
-        def encode_col(col, space: str) -> pa.Array:
-            idx, ids = spaces[space]
-            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            enc = pc.dictionary_encode(arr)
-            uniq = enc.dictionary.to_pandas()
-            pos = idx.get_indexer(uniq)
-            lut = pa.array(ids[pos], pa.int64())
-            return pc.take(lut, enc.indices)
+def _encode_with(spaces, batch: pa.Table) -> pa.Table:
+    """Vectorized batch encode: dictionary-encode each column (C++), look up
+    only the small per-batch unique set against the prebuilt pandas Index,
+    expand with ``pc.take``."""
+    import pyarrow.compute as pc
 
-        n = len(batch)
-        graph = (
-            batch.column("graph")
-            if "graph" in batch.schema.names
-            else pa.array([""] * n, pa.large_string())
-        )
-        return pa.table(
-            {
-                "s_id": encode_col(batch.column("subj"), "subj"),
-                "p_id": encode_col(batch.column("pred"), "pred"),
-                "o_id": encode_col(batch.column("obj"), "obj"),
-                "graph": graph,
-            }
-        )
+    def encode_col(col, space: str) -> pa.Array:
+        idx, ids = spaces[space]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        enc = pc.dictionary_encode(arr)
+        uniq = enc.dictionary.to_pandas()
+        pos = idx.get_indexer(uniq)
+        lut = pa.array(ids[pos], pa.int64())
+        return pc.take(lut, enc.indices)
+
+    n = len(batch)
+    graph = (
+        batch.column("graph")
+        if "graph" in batch.schema.names
+        else pa.array([""] * n, pa.large_string())
+    )
+    return pa.table(
+        {
+            "s_id": encode_col(batch.column("subj"), "subj"),
+            "p_id": encode_col(batch.column("pred"), "pred"),
+            "o_id": encode_col(batch.column("obj"), "obj"),
+            "graph": graph,
+        }
+    )
 
 
 def _join_encode(triples_ds: rd.Dataset, dict_build: DictionaryBuild,
@@ -208,12 +217,32 @@ def encode_triples(
         use_join = n_terms > BROADCAST_LIMIT
     if use_join:
         return _join_encode(triples_ds, dict_build)
+    n_terms = sum(dict_build.counts.values())
     maps_ref = ray.put(collect_sections_table(dict_build))
+    if n_terms <= TASK_ENCODE_TERMS:
+        # small dictionary: per-worker index build is cheap — stateless
+        # tasks reuse the warm worker pool with zero actor-spawn ramp
+
+        def encode_batch(batch: pa.Table) -> pa.Table:
+            from de_ray.state.broadcast import get_broadcast
+
+            spaces = get_broadcast(maps_ref, transform=space_indexes_from_table)
+            return _encode_with(spaces, batch)
+
+        return triples_ds.map_batches(
+            encode_batch,
+            batch_format="pyarrow",
+            batch_size=128 * 1024,
+            zero_copy_batch=True,
+        )
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    # fixed-size pool: instant ramp to full width. SAFE ONLY because the
-    # caller feeds a MATERIALIZED input (Input → actors → sort): a task
-    # stage upstream in the same graph starves behind the idle actors and
-    # livelocks (observed with the canonicalize union as upstream)
+    # large dictionary: ACTOR POOL — stateless tasks scatter the expensive
+    # per-process index build across every idle worker (measured 1.7 s per
+    # process on a 2M-term dictionary; ~170 cold inits = 300 s CPU).
+    # Fixed-size pool for instant ramp: SAFE ONLY because the caller feeds
+    # a MATERIALIZED input (Input → actors → sort) — a task stage upstream
+    # in the same graph starves behind the idle actors and livelocks
+    # (observed with the canonicalize union as upstream).
     pool = (max(2, cpus - 2), max(2, cpus - 2))
     return triples_ds.map_batches(
         BroadcastEncoder,
