@@ -123,6 +123,9 @@ def main(argv=None) -> int:
     )
     v = sub.add_parser("view", help="show store header/metadata")
     v.add_argument("target")
+    s = sub.add_parser("serve", help="SPARQL protocol + graph store HTTP endpoint")
+    s.add_argument("-l", "--load", required=True, help="directory of stores/.hdt files")
+    s.add_argument("--bind", default="127.0.0.1:7878")
     args = ap.parse_args(argv)
     try:
         if args.cmd == "create":
@@ -131,6 +134,12 @@ def main(argv=None) -> int:
             do_query(args.data, args.source, args.output)
         elif args.cmd == "view":
             do_view(args.target)
+        elif args.cmd == "serve":
+            _ensure_ray()
+            from de_ray.serve import serve as _serve
+
+            print(f"serving {args.load} on {args.bind}", file=sys.stderr)
+            _serve(args.load, args.bind)
     except (FileNotFoundError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 14  # UNAVAILABLE, matching the reference's exit style (src/main.rs:88-93)

@@ -1,0 +1,507 @@
+"""HTTP serve surface: SPARQL 1.1 Protocol + Graph Store Protocol subset.
+
+Parity target: the reference's ``serve`` subcommand (``src/serve.rs:162-524``
+routes; update validation matrix ``src/serve.rs:798-962``; handler tests
+``tests/test-server.rs``):
+
+- ``GET/POST /query``  — SPARQL Protocol (query param / form / raw body),
+  content-negotiated results; a bare GET returns the service description.
+- ``POST /update``     — append-only graph-store discipline: CREATE and
+  INSERT DATA **into new graphs** succeed (204); DELETE DATA and
+  DELETE/INSERT are FORBIDDEN (403, ``src/serve.rs:880-891``); LOAD
+  validates but is NOT_IMPLEMENTED (``src/serve.rs:1056``); CLEAR/DROP of
+  named graphs succeed.
+- ``/store``           — Graph Store Protocol: GET (serialize graph /
+  dataset), PUT (create 201 / replace 204), POST (merge into new graph),
+  DELETE (204 / 404), HEAD (200 / 404) — ``src/serve.rs:283-518``.
+
+The handler is a pure function (``handle_request``) exactly like the
+reference's, so tests exercise the full matrix in-process; ``serve()``
+wraps it in a stdlib ThreadingHTTPServer. Request-time state is an
+in-memory graph registry (graph → triple list) seeded from a directory of
+stores/.hdt files — mirroring the reference's registry-of-HDTs, which also
+re-syncs and reloads per request (``src/serve.rs:158-161``).
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.parse
+from typing import Dict, List, Optional, Tuple
+
+from de_ray.query.parser import _T, Parser
+from de_ray.rdfio.ntriples import format_nt_line, parse_nt_text
+
+Triple = Tuple[str, str, str]
+
+
+# ---------------------------------------------------------------------------
+# State
+# ---------------------------------------------------------------------------
+
+
+class ServeState:
+    """In-memory graph registry (reference AggregateHdt, src/sparql.rs:14-17)."""
+
+    def __init__(self):
+        self.graphs: Dict[str, List[Triple]] = {}
+
+    @classmethod
+    def from_dir(cls, path: str) -> "ServeState":
+        """Load every completed store directory and ``.hdt`` file under
+        ``path`` (reference dir scan, src/serve.rs:61-72)."""
+        st = cls()
+        if not os.path.isdir(path):
+            return st
+        for name in sorted(os.listdir(path)):
+            p = os.path.join(path, name)
+            if os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS")):
+                from de_ray.hdt.store import Store
+
+                store = Store(p)
+                rows = store.pattern_scan().take_all()
+                for r in rows:
+                    st.graphs.setdefault(r["graph"], []).append(
+                        (r["subj"], r["pred"], r["obj"])
+                    )
+            elif name.endswith(".hdt"):
+                from de_ray.hdt.hdtfile import read_hdt_file
+
+                _hdr, triples = read_hdt_file(p)
+                st.graphs[f"file:///{name}"] = list(triples)
+        return st
+
+    def contains(self, graph: str) -> bool:
+        return graph in self.graphs
+
+    def source(self, named: Optional[List[str]] = None):
+        return _MemSource(self, named)
+
+
+class _MemSource:
+    """TripleSource over the registry (union default graph, src/serve.rs:58)."""
+
+    def __init__(self, state: ServeState, named: Optional[List[str]] = None):
+        self.state = state
+        self.named = named
+
+    def _triples(self):
+        names = self.named if self.named is not None else list(self.state.graphs)
+        for g in names:
+            for t in self.state.graphs.get(g, ()):
+                yield t
+
+    def scan(self, s, p, o):
+        import pandas as pd
+        import ray.data as rd
+
+        rows = [
+            {"subj": ts, "pred": tp, "obj": to}
+            for (ts, tp, to) in self._triples()
+            if (s is None or ts == s) and (p is None or tp == p) and (o is None or to == o)
+        ]
+        df = pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+        return rd.from_pandas(df)
+
+    def graph_names(self) -> List[str]:
+        names = self.named if self.named is not None else list(self.state.graphs)
+        return sorted(names)
+
+    def restrict(self, graphs):
+        return _MemSource(self.state, list(graphs))
+
+
+# ---------------------------------------------------------------------------
+# SPARQL UPDATE parsing (subset matching the reference's validation matrix)
+# ---------------------------------------------------------------------------
+
+
+class UpdateError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+def _parse_quads(parser: Parser, tk: _T) -> List[Tuple[Optional[str], Triple]]:
+    """Parse an INSERT DATA quad block: triples and GRAPH <g> { triples }."""
+    tk.expect("{")
+    out: List[Tuple[Optional[str], Triple]] = []
+    while True:
+        k, v = tk.peek()
+        if v == "}":
+            tk.next()
+            return out
+        if k == "word" and v.upper() == "GRAPH":
+            tk.next()
+            g = parser._term(tk)
+            tk.expect("{")
+            while tk.peek()[1] != "}":
+                s = parser._term(tk)
+                p = parser._term(tk, predicate=True)
+                o = parser._term(tk)
+                out.append((g, (s, p, o)))
+                if tk.peek()[1] == ".":
+                    tk.next()
+            tk.next()
+            continue
+        s = parser._term(tk)
+        p = parser._term(tk, predicate=True)
+        o = parser._term(tk)
+        out.append((None, (s, p, o)))
+        if tk.peek()[1] == ".":
+            tk.next()
+
+
+def apply_update(state: ServeState, text: str) -> None:
+    """Validate-then-execute, two passes like the reference
+    (``src/serve.rs:783-1121``). Raises UpdateError with the matching
+    HTTP status."""
+    parser = Parser()
+    tk = _T(text)
+    ops = []
+    while tk.peek()[0] is not None:
+        w = tk.try_word("PREFIX", "BASE")
+        if w == "PREFIX":
+            k, pname = tk.next()
+            pfx = pname[: pname.index(":")]
+            _k2, iri = tk.next()
+            parser.prefixes[pfx] = iri[1:-1]
+            continue
+        if w == "BASE":
+            tk.next()
+            continue
+        word = tk.try_word(
+            "CREATE", "INSERT", "DELETE", "LOAD", "CLEAR", "DROP", "WITH"
+        )
+        if word is None:
+            if tk.peek()[1] == ";":
+                tk.next()
+                continue
+            raise UpdateError(400, f"cannot parse update at {tk.peek()[1]!r}")
+        if word == "CREATE":
+            silent = bool(tk.try_word("SILENT"))
+            if not tk.try_word("GRAPH"):
+                raise UpdateError(400, "expected GRAPH after CREATE")
+            g = parser._term(tk)
+            ops.append(("create", g, silent))
+        elif word == "INSERT":
+            if not tk.try_word("DATA"):
+                raise UpdateError(
+                    403,
+                    "DELETE/INSERT operations are not allowed. Only INSERT DATA "
+                    "to new graphs is permitted.",
+                )
+            quads = _parse_quads(parser, tk)
+            ops.append(("insert_data", quads, False))
+        elif word == "DELETE":
+            raise UpdateError(
+                403,
+                "DELETE DATA is not allowed. Only INSERT DATA to new graphs is "
+                "permitted.",
+            )
+        elif word == "WITH":
+            raise UpdateError(
+                403,
+                "DELETE/INSERT operations are not allowed. Only INSERT DATA to "
+                "new graphs is permitted.",
+            )
+        elif word == "LOAD":
+            silent = bool(tk.try_word("SILENT"))
+            _src = parser._term(tk)
+            dest = None
+            if tk.try_word("INTO"):
+                if not tk.try_word("GRAPH"):
+                    raise UpdateError(400, "expected GRAPH after INTO")
+                dest = parser._term(tk)
+            ops.append(("load", dest, silent))
+        elif word in ("CLEAR", "DROP"):
+            silent = bool(tk.try_word("SILENT"))
+            tgt = tk.try_word("GRAPH", "NAMED", "ALL", "DEFAULT")
+            if tgt == "GRAPH":
+                g = parser._term(tk)
+                ops.append(("drop", g, silent))
+            elif tgt in ("NAMED", "ALL"):
+                ops.append(("drop_all", None, silent))
+            elif tgt == "DEFAULT":
+                raise UpdateError(403, "the default graph cannot be cleared")
+            else:
+                raise UpdateError(400, f"expected GRAPH/NAMED/ALL after {word}")
+
+    # validation pass (reference src/serve.rs:798-962)
+    for kind, payload, silent in ops:
+        if kind == "create":
+            if state.contains(payload) and not silent:
+                raise UpdateError(403, f"Graph {payload} already exists.")
+        elif kind == "insert_data":
+            used = set()
+            for g, _t in payload:
+                if g is None:
+                    raise UpdateError(
+                        403,
+                        "INSERT DATA to default graph is not allowed. Only named "
+                        "graphs are supported.",
+                    )
+                used.add(g)
+            for g in used:
+                if state.contains(g):
+                    raise UpdateError(
+                        403,
+                        f"Graph {g} already exists. INSERT DATA is only allowed "
+                        "to new graphs.",
+                    )
+        elif kind == "load":
+            if payload is None:
+                raise UpdateError(
+                    403,
+                    "LOAD to default graph is not allowed. Only named graphs can "
+                    "be created.",
+                )
+            if state.contains(payload) and not silent:
+                raise UpdateError(403, f"Graph {payload} already exists.")
+        elif kind == "drop":
+            if not state.contains(payload) and not silent:
+                raise UpdateError(404, f"The graph {payload} does not exist")
+
+    # execution pass
+    for kind, payload, silent in ops:
+        if kind == "create":
+            state.graphs.setdefault(payload, [])
+        elif kind == "insert_data":
+            for g, t in payload:
+                state.graphs.setdefault(g, []).append(t)
+        elif kind == "load":
+            raise UpdateError(
+                501,
+                "LOAD operation is not yet implemented. Please use INSERT DATA "
+                "or the /store endpoint with PUT to add new graphs.",
+            )
+        elif kind == "drop":
+            state.graphs.pop(payload, None)
+        elif kind == "drop_all":
+            state.graphs.clear()
+
+
+# ---------------------------------------------------------------------------
+# Content negotiation
+# ---------------------------------------------------------------------------
+
+_SOLUTION_TYPES = {
+    "application/sparql-results+json": "json",
+    "application/json": "json",
+    "text/csv": "csv",
+    "text/tab-separated-values": "tsv",
+    "application/sparql-results+xml": "xml",
+}
+_GRAPH_TYPES = {
+    "application/n-triples": "ntriple",
+    "text/turtle": "turtle",
+    "application/rdf+xml": "rdfxml",
+    "application/n-quads": "nquads",
+    "text/n3": "n3",
+    "application/trig": "trig",
+}
+
+
+def _negotiate(accept: str, table: Dict[str, str], default: str) -> str:
+    for part in (accept or "").split(","):
+        mt = part.split(";")[0].strip().lower()
+        if mt in table:
+            return table[mt]
+        if mt in ("*/*", ""):
+            return default
+    return default
+
+
+# ---------------------------------------------------------------------------
+# Handler (pure function — mirrors reference handle_request)
+# ---------------------------------------------------------------------------
+
+
+def handle_request(
+    method: str,
+    path: str,
+    state: ServeState,
+    headers: Optional[Dict[str, str]] = None,
+    body: bytes = b"",
+) -> Tuple[int, str, bytes]:
+    """→ (status, content_type, body). Never raises for protocol errors."""
+    headers = {k.lower(): v for k, v in (headers or {}).items()}
+    parsed = urllib.parse.urlsplit(path)
+    route = parsed.path
+    params = urllib.parse.parse_qs(parsed.query)
+
+    try:
+        if route == "/" and method in ("GET", "HEAD"):
+            return 200, "text/html", b"<html><body>de_ray SPARQL endpoint</body></html>"
+        if route == "/query" and method in ("GET", "POST"):
+            return _handle_query(method, params, headers, body, state)
+        if route == "/update":
+            if method != "POST":
+                return 405, "text/plain", b"use POST for /update"
+            ct = headers.get("content-type", "")
+            if ct.split(";")[0] == "application/x-www-form-urlencoded":
+                form = urllib.parse.parse_qs(body.decode("utf-8"))
+                text = form.get("update", [""])[0]
+            elif ct.split(";")[0] in ("application/sparql-update", "text/plain", ""):
+                text = body.decode("utf-8")
+            else:
+                return 415, "text/plain", f"unsupported media type {ct}".encode()
+            try:
+                apply_update(state, text)
+            except UpdateError as e:
+                return e.status, "text/plain", str(e).encode()
+            return 204, "text/plain", b""
+        if route.startswith("/store"):
+            return _handle_store(method, params, headers, body, state)
+        return 404, "text/plain", f"{method} {route} is not supported".encode()
+    except Exception as e:  # parse errors etc → 400 like the reference
+        return 400, "text/plain", str(e).encode()
+
+
+def _handle_query(method, params, headers, body, state) -> Tuple[int, str, bytes]:
+    from de_ray.query.engine import GraphResult, SolutionsResult, evaluate
+    from de_ray.query.parser import parse_query
+    from de_ray.query.serialize import serialize_result
+
+    query_text = None
+    if method == "GET":
+        query_text = params.get("query", [None])[0]
+    else:
+        ct = headers.get("content-type", "").split(";")[0]
+        if ct == "application/sparql-query":
+            query_text = body.decode("utf-8")
+        elif ct == "application/x-www-form-urlencoded":
+            form = urllib.parse.parse_qs(body.decode("utf-8"))
+            query_text = form.get("query", [None])[0]
+        elif ct:
+            return 415, "text/plain", f"unsupported media type {ct}".encode()
+    if query_text is None:
+        # bare GET /query → service description (reference src/serve.rs:196-204)
+        from de_ray.query.service import service_description
+
+        nt = "\n".join(format_nt_line(*t) for t in service_description()) + "\n"
+        return 200, "application/n-triples", nt.encode()
+
+    named = params.get("named-graph-uri")
+    source = state.source(named=named)
+    accept = headers.get("accept", "")
+    try:
+        q = parse_query(query_text)
+        res = evaluate(q, source)
+    except ValueError as e:
+        return 400, "text/plain", str(e).encode()
+    if isinstance(res, GraphResult):
+        fmt = _negotiate(accept, _GRAPH_TYPES, "ntriple")
+        mt = next(k for k, v in _GRAPH_TYPES.items() if v == fmt)
+    else:
+        fmt = _negotiate(accept, _SOLUTION_TYPES, "json")
+        mt = next(k for k, v in _SOLUTION_TYPES.items() if v == fmt)
+    return 200, mt, serialize_result(res, fmt).encode()
+
+
+def _graph_param(params) -> Optional[str]:
+    g = params.get("graph", [None])[0]
+    if g is None and params.get("default"):
+        return None
+    return g
+
+
+def _handle_store(method, params, headers, body, state) -> Tuple[int, str, bytes]:
+    target = _graph_param(params)
+    if method == "GET":
+        if target is not None:
+            if not state.contains(target):
+                return 404, "text/plain", f"The graph {target} does not exist".encode()
+            triples = state.graphs[target]
+        else:
+            triples = [t for g in sorted(state.graphs) for t in state.graphs[g]]
+        nt = "\n".join(format_nt_line(*t) for t in triples)
+        return 200, "application/n-triples", (nt + "\n" if nt else "").encode()
+    if method == "HEAD":
+        if target is not None and not state.contains(target):
+            return 404, "text/plain", b""
+        return 200, "text/plain", b""
+    ct = headers.get("content-type", "").split(";")[0]
+    if method in ("PUT", "POST"):
+        if not ct:
+            return 400, "text/plain", b"No Content-Type given"
+        if ct not in ("application/n-triples", "text/plain", "text/turtle"):
+            return 415, "text/plain", f"unsupported media type {ct}".encode()
+        if ct == "text/turtle":
+            from de_ray.rdfio.turtle import parse_turtle
+
+            triples = parse_turtle(body.decode("utf-8"))
+        else:
+            triples = parse_nt_text(body.decode("utf-8"))
+        if target is None:
+            return 400, "text/plain", b"graph target required"
+        existed = state.contains(target)
+        if method == "PUT":
+            state.graphs[target] = list(triples)  # replace (src/serve.rs:390-437)
+        else:
+            state.graphs.setdefault(target, []).extend(triples)
+        return (204 if existed else 201), "text/plain", b""
+    if method == "DELETE":
+        if target is None:
+            state.graphs.clear()
+            return 204, "text/plain", b""
+        if not state.contains(target):
+            return 404, "text/plain", f"The graph {target} does not exist".encode()
+        del state.graphs[target]
+        return 204, "text/plain", b""
+    return 405, "text/plain", b"method not allowed"
+
+
+# ---------------------------------------------------------------------------
+# stdlib HTTP wrapper
+# ---------------------------------------------------------------------------
+
+
+def serve(load_dir: str, bind: str = "127.0.0.1:7878"):
+    """Run the HTTP endpoint (blocking). Returns the server object when
+    constructed with ``start=False`` via :func:`make_server`."""
+    server = make_server(load_dir, bind)
+    server.serve_forever()
+
+
+def make_server(load_dir: str, bind: str = "127.0.0.1:0"):
+    import http.server
+
+    state = ServeState.from_dir(load_dir)
+    host, _, port = bind.partition(":")
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _run(self, method):
+            ln = int(self.headers.get("Content-Length", "0") or 0)
+            body = self.rfile.read(ln) if ln else b""
+            status, ctype, out = handle_request(
+                method, self.path, state, dict(self.headers), body
+            )
+            self.send_response(status)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            if method != "HEAD":
+                self.wfile.write(out)
+
+        def do_GET(self):
+            self._run("GET")
+
+        def do_POST(self):
+            self._run("POST")
+
+        def do_PUT(self):
+            self._run("PUT")
+
+        def do_DELETE(self):
+            self._run("DELETE")
+
+        def do_HEAD(self):
+            self._run("HEAD")
+
+    server = http.server.ThreadingHTTPServer((host, int(port or 0)), Handler)
+    server.de_ray_state = state
+    return server

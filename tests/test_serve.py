@@ -1,0 +1,201 @@
+"""HTTP serve surface vs the reference's handler test matrix
+(tests/test-server.rs:55-455; routes src/serve.rs:162-524; update
+validation src/serve.rs:798-962)."""
+
+import json
+
+import pytest
+
+from de_ray.serve import ServeState, handle_request
+
+EX = "http://example.org/"
+
+
+@pytest.fixture()
+def state():
+    st = ServeState()
+    st.graphs["file:///banana.hdt"] = [
+        (f"{EX}Banana", f"{EX}hasColor", '"yellow"'),
+        (f"{EX}Banana", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", f"{EX}Fruit"),
+    ]
+    return st
+
+
+def _post_query(state, q, accept="application/sparql-results+json"):
+    return handle_request(
+        "POST", "/query", state,
+        {"Content-Type": "application/sparql-query", "Accept": accept},
+        q.encode(),
+    )
+
+
+def test_sparql_query_post(state):
+    status, ct, body = _post_query(state, "SELECT ?s WHERE { ?s ?p ?o }")
+    assert status == 200 and ct == "application/sparql-results+json"
+    d = json.loads(body)
+    assert {b["s"]["value"] for b in d["results"]["bindings"]} == {f"{EX}Banana"}
+
+
+def test_sparql_query_ask(state):
+    status, _, body = _post_query(
+        state, f'ASK {{ <{EX}Banana> <{EX}hasColor> "yellow" }}'
+    )
+    assert status == 200 and json.loads(body)["boolean"] is True
+
+
+def test_service_description(state):
+    status, ct, body = handle_request("GET", "/query", state)
+    assert status == 200 and ct == "application/n-triples"
+    assert b"sparql-service-description" in body
+
+
+def test_update_create_graph(state):
+    status, _, _ = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"},
+        b"CREATE GRAPH <http://example.org/newgraph>",
+    )
+    assert status == 204
+    assert state.contains("http://example.org/newgraph")
+
+
+def test_update_insert_data_new_graph(state):
+    update = (
+        "PREFIX ex: <http://example.org/> INSERT DATA { "
+        "GRAPH <http://example.org/newgraph> { ex:Apple ex:hasColor \"red\" } }"
+    )
+    status, _, _ = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"}, update.encode(),
+    )
+    assert status == 204
+    assert (f"{EX}Apple", f"{EX}hasColor", '"red"') in state.graphs[f"{EX}newgraph"]
+    # the inserted graph answers queries
+    status, _, body = _post_query(state, f"SELECT ?c WHERE {{ <{EX}Apple> <{EX}hasColor> ?c }}")
+    assert json.loads(body)["results"]["bindings"][0]["c"]["value"] == "red"
+
+
+def test_update_insert_existing_graph_forbidden(state):
+    update = (
+        "INSERT DATA { GRAPH <file:///banana.hdt> { "
+        f"<{EX}X> <{EX}p> \"v\" }} }}"
+    )
+    status, _, body = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"}, update.encode(),
+    )
+    assert status == 403 and b"already exists" in body
+
+
+def test_update_delete_data_forbidden(state):
+    update = (
+        "PREFIX ex: <http://example.org/> DELETE DATA { "
+        "GRAPH <file:///banana.hdt> { ex:Banana ex:hasColor \"yellow\" } }"
+    )
+    status, _, body = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"}, update.encode(),
+    )
+    assert status == 403
+    assert b"DELETE DATA" in body or b"not allowed" in body
+
+
+def test_update_delete_insert_forbidden(state):
+    status, _, _ = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"},
+        b"DELETE { ?s ?p ?o } INSERT { ?s ?p ?o } WHERE { ?s ?p ?o }",
+    )
+    assert status == 403
+
+
+def test_update_drop_graph(state):
+    status, _, _ = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"},
+        b"DROP GRAPH <file:///banana.hdt>",
+    )
+    assert status == 204 and not state.contains("file:///banana.hdt")
+
+
+def test_store_get_all(state):
+    status, ct, body = handle_request("GET", "/store", state)
+    assert status == 200 and ct == "application/n-triples"
+    assert b"Banana" in body
+
+
+def test_store_get_specific_graph(state):
+    g = "file%3A%2F%2F%2Fbanana.hdt"
+    status, _, body = handle_request("GET", f"/store?graph={g}", state)
+    assert status == 200 and body.count(b"\n") == 2
+
+
+def test_store_put_new_graph(state):
+    nt = f'<{EX}Pear> <{EX}hasColor> "green" .\n'
+    status, _, _ = handle_request(
+        "PUT", f"/store?graph={EX}pears", state,
+        {"Content-Type": "application/n-triples"}, nt.encode(),
+    )
+    assert status == 201
+    status2, _, _ = handle_request(
+        "PUT", f"/store?graph={EX}pears", state,
+        {"Content-Type": "application/n-triples"}, nt.encode(),
+    )
+    assert status2 == 204  # replace
+
+
+def test_store_delete_graph(state):
+    status, _, _ = handle_request("DELETE", "/store?graph=file%3A%2F%2F%2Fbanana.hdt", state)
+    assert status == 204
+    status2, _, _ = handle_request("DELETE", "/store?graph=file%3A%2F%2F%2Fbanana.hdt", state)
+    assert status2 == 404
+
+
+def test_store_head(state):
+    assert handle_request("HEAD", "/store?graph=file%3A%2F%2F%2Fbanana.hdt", state)[0] == 200
+    assert handle_request("HEAD", "/store?graph=http%3A%2F%2Fnope", state)[0] == 404
+
+
+def test_invalid_sparql_query(state):
+    status, _, _ = _post_query(state, "SELECT WHERE INVALID {")
+    assert status == 400
+
+
+def test_unsupported_media_type(state):
+    status, _, _ = handle_request(
+        "POST", "/query", state, {"Content-Type": "application/pdf"}, b"x"
+    )
+    assert status == 415
+
+
+def test_query_content_negotiation_csv(state):
+    status, ct, body = _post_query(
+        state, "SELECT ?s WHERE { ?s ?p ?o }", accept="text/csv"
+    )
+    assert status == 200 and ct == "text/csv" and body.startswith(b"s\r\n") or b"s\n" in body[:4]
+
+
+def test_live_socket_roundtrip(tmp_path):
+    """One end-to-end request over a real localhost socket."""
+    import http.client
+    import threading
+
+    from de_ray.serve import make_server
+
+    server = make_server(str(tmp_path), bind="127.0.0.1:0")
+    server.de_ray_state.graphs["file:///g.nt"] = [(f"{EX}s", f"{EX}p", '"v"')]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = server.server_address
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        conn.request(
+            "POST", "/query", body="SELECT ?o WHERE { ?s ?p ?o }",
+            headers={"Content-Type": "application/sparql-query"},
+        )
+        resp = conn.getresponse()
+        data = json.loads(resp.read())
+        assert resp.status == 200
+        assert data["results"]["bindings"][0]["o"]["value"] == "v"
+    finally:
+        server.shutdown()
