@@ -521,28 +521,46 @@ def minhash_dedup(
 
 
 class SimHash:
-    """64-bit simhash over whitespace tokens (map_batches stage)."""
+    """64-bit simhash over whitespace tokens — batch-vectorized: one
+    token-hash pass (pd.util.hash_array), a (tokens, 64) ±1 bit expansion,
+    and per-doc segment sums via ``np.add.reduceat`` (no per-row loop)."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col = id_col
         self.text_col = text_col
 
     @staticmethod
+    def simhash_batch(texts) -> np.ndarray:
+        tok_lists = [t.split() for t in texts]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+        total = int(lens.sum())
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in tok_lists:
+            flat[pos : pos + len(toks)] = toks
+            pos += len(toks)
+        th = _hash_token_array(flat)
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int8)
+        signed = (bits * 2 - 1).astype(np.int32)  # (tokens, 64) ±1
+        out = np.zeros((len(texts), 64), dtype=np.int64)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        nz = lens > 0
+        if nz.any():
+            acc = np.add.reduceat(signed, starts[nz], axis=0)
+            out[nz] = acc
+        sig_bits = (out > 0).astype(np.uint64)
+        vals = (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+        vals = vals & np.uint64(0x7FFFFFFFFFFFFFFF)
+        vals[~nz] = 0
+        return vals.astype(np.int64)
+
+    @staticmethod
     def simhash64(text: str) -> int:
-        toks = [t for t in text.split(" ") if t]
-        if not toks:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        vals, counts = np.unique(np.array(toks), return_counts=True)
-        for tok, cnt in zip(vals, counts):
-            h = _stable_u64(tok)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits.astype(bool), cnt, -cnt)
-        bits = (acc > 0).astype(np.uint64)
-        return int((bits << np.arange(64, dtype=np.uint64)).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))
+        return int(SimHash.simhash_batch([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [self.simhash64(t) for t in batch.column(self.text_col).to_pylist()]
+        hs = self.simhash_batch(batch.column(self.text_col).to_pylist())
         return pa.table(
             {
                 "doc_id": batch.column(self.id_col),

@@ -174,3 +174,20 @@ def test_distributed_connected_components():
     drv = _connected_components(rd.from_pandas(edges), driver_limit=10**6)
     assert dist == drv
     assert dist[3] == 1 and dist[12] == 10 and dist[21] == 20
+
+
+def test_lang_id_real_sentences():
+    """Ranked-bigram LangId classifies real sentences in six languages."""
+    from de_ray.dataops.text import LangId
+
+    l = LangId()
+    tests = {
+        "en": "the quick brown fox jumps over the lazy dog and the cat sits on the mat",
+        "de": "der schnelle braune fuchs springt über den faulen hund und die katze sitzt auf der matte",
+        "fr": "le renard brun rapide saute par dessus le chien paresseux et le chat est assis sur le tapis",
+        "es": "el rapido zorro marron salta sobre el perro perezoso y el gato esta sentado en la alfombra",
+        "it": "la volpe marrone veloce salta sopra il cane pigro e il gatto si siede sul tappeto con un amico",
+        "pt": "a rapida raposa marrom pula sobre o cachorro preguicoso e o gato esta sentado no tapete com outro amigo na casa",
+    }
+    for lang, text in tests.items():
+        assert l.predict(text) == lang, (lang, l.predict(text))
