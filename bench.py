@@ -125,15 +125,20 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_REPEAT=scaling_repeat)
-        out = subprocess.run(
-            [sys.executable, "bench.py"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        last_err = ""
+        for _attempt in range(2):  # one retry: leftover session state from the
+            # previous level occasionally kills a fresh ray.init
+            proc = subprocess.run(
+                [sys.executable, "bench.py"],
+                env=env,
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode == 0 and proc.stdout.strip():
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+            last_err = proc.stderr[-2000:]
+        raise RuntimeError(f"bench child (num_cpus={ncpu}) failed:\n{last_err}")
 
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)
