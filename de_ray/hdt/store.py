@@ -509,14 +509,15 @@ class Store:
                 arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
                 return pc.take(lut[space], pc.subtract(arr, 1))
 
+            g = batch.column("graph")
+            if isinstance(g, pa.ChunkedArray):
+                g = g.combine_chunks()
             return pa.table(
                 {
                     "subj": dec(batch.column("s_id"), "subj"),
                     "pred": dec(batch.column("p_id"), "pred"),
                     "obj": dec(batch.column("o_id"), "obj"),
-                    "graph": pa.array(
-                        batch.column("graph").to_pylist(), pa.large_string()
-                    ),
+                    "graph": g.cast(pa.large_string()),
                 }
             )
 

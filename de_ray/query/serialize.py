@@ -166,6 +166,62 @@ def graph_to_nt(res: GraphResult) -> str:
     return "\n".join(lines) + ("\n" if lines else "")
 
 
+def graph_to_turtle(res: GraphResult, trig_graph: str = None) -> str:
+    """Real compact Turtle writer (K4): @prefix extraction, subjects grouped
+    with ``;`` / ``,`` shorthand, ``a`` for rdf:type. ``trig_graph`` wraps
+    the block in ``GRAPH <g> { ... }`` (TriG). Round-trips through
+    de_ray.rdfio.turtle.parse_turtle."""
+    from collections import OrderedDict
+
+    from de_ray.model import RDF, canonical_to_nt
+
+    triples = []
+    for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
+        for r in batch.itertuples(index=False):
+            d = dict(zip(batch.columns, r))
+            triples.append((d["subj"], d["pred"], d["obj"]))
+    # prefix extraction over IRI namespaces (split at last # or /)
+    ns: "OrderedDict[str, str]" = OrderedDict()
+
+    def split_iri(iri: str):
+        for sep in ("#", "/"):
+            i = iri.rfind(sep)
+            if i > len("http://") and i + 1 < len(iri):
+                local = iri[i + 1 :]
+                if local and all(c.isalnum() or c in "_-" for c in local):
+                    return iri[: i + 1], local
+        return None
+
+    def term(t: str, predicate: bool = False) -> str:
+        if predicate and t == RDF + "type":
+            return "a"
+        if not t.startswith('"') and not t.startswith("_:"):
+            parts = split_iri(t)
+            if parts:
+                base, local = parts
+                if base not in ns:
+                    ns[base] = f"ns{len(ns)}"
+                return f"{ns[base]}:{local}"
+        return canonical_to_nt(t)
+
+    by_subject: "OrderedDict[str, OrderedDict[str, list]]" = OrderedDict()
+    for s, p, o in triples:
+        by_subject.setdefault(s, OrderedDict()).setdefault(p, []).append(o)
+    body_lines: List[str] = []
+    for s, preds in by_subject.items():
+        pred_strs = [
+            f"{term(p, predicate=True)} " + ", ".join(term(o) for o in objs)
+            for p, objs in preds.items()
+        ]
+        body_lines.append(f"{term(s)} " + " ;\n    ".join(pred_strs) + " .")
+    header = "".join(f"@prefix {pfx}: <{base}> .\n" for base, pfx in ns.items())
+    body = "\n".join(body_lines)
+    if trig_graph is not None:
+        body = f"GRAPH <{trig_graph}> {{\n{body}\n}}"
+    out = header + ("\n" if header and body else "") + body
+    return out + ("\n" if out else "")
+
+
 def graph_to_rdfxml(res: GraphResult) -> str:
     """Minimal RDF/XML graph writer: one rdf:Description per subject,
     property elements with generated namespace prefixes."""
@@ -243,6 +299,9 @@ def serialize_result(result, fmt: str = "csv") -> str:
             return solutions_to_xml(result)
         raise ValueError(f"SELECT supports csv/tsv/json/xml, not {fmt}")
     if isinstance(result, GraphResult):
+        if fmt in ("turtle", "ttl", "n3", "trig"):
+            # real compact Turtle (valid N3; a bare TriG default-graph block)
+            return graph_to_turtle(result)
         if fmt in GRAPH_FORMATS:
             return graph_to_nt(result)
         if fmt == "rdfxml":

@@ -65,3 +65,27 @@ def test_trig_graph_blocks_drop_graph():
             "http://example.org/Fruit") in t
     assert ("http://example.org/Pineapple", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
             "http://example.org/Fruit") in t
+
+
+def test_turtle_writer_compact_roundtrip(ray_session_guard=None):
+    """Real Turtle writer: prefixes + ; , shorthand + 'a'; round-trips
+    through our own Turtle parser with identical triples."""
+    import pandas as pd
+    import ray.data as rd
+
+    from de_ray.query.engine import GraphResult
+    from de_ray.query.serialize import graph_to_turtle
+    from de_ray.rdfio.turtle import parse_turtle
+
+    triples = [
+        ("http://example.org/Apple", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://example.org/Fruit"),
+        ("http://example.org/Apple", "http://example.org/hasColor", '"red"'),
+        ("http://example.org/Apple", "http://example.org/hasColor", '"green"'),
+        ("http://example.org/Apple", "http://example.org/weight", '"150"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("http://example.org/Pear", "http://example.org/hasColor", '"green"'),
+    ]
+    df = pd.DataFrame(triples, columns=["subj", "pred", "obj"])
+    ttl = graph_to_turtle(GraphResult(rd.from_pandas(df)))
+    assert "@prefix" in ttl and " ;\n" in ttl and ", " in ttl and " a " in ttl
+    back = parse_turtle(ttl)
+    assert sorted(back) == sorted(triples)
