@@ -1509,16 +1509,22 @@ def evaluate(q: Query, source):
         template = q.template
 
         def build(df: pd.DataFrame) -> pd.DataFrame:
-            rows = []
-            for r in df.to_dict("records"):
-                for pat in template:
-                    s = r.get(pat.s.name) if isinstance(pat.s, Var) else pat.s
-                    p = r.get(pat.p.name) if isinstance(pat.p, Var) else pat.p
-                    o = r.get(pat.o.name) if isinstance(pat.o, Var) else pat.o
-                    if s is None or p is None or o is None:
-                        continue
-                    rows.append({"subj": s, "pred": p, "obj": o})
-            return pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+            # vectorized template application: one column-select/broadcast
+            # per template slot, rows with any unbound slot dropped
+            frames = []
+            for pat in template:
+                cols = {}
+                for name, t in (("subj", pat.s), ("pred", pat.p), ("obj", pat.o)):
+                    if isinstance(t, Var):
+                        cols[name] = df[t.name] if t.name in df.columns else pd.Series(
+                            [None] * len(df), index=df.index
+                        )
+                    else:
+                        cols[name] = pd.Series([t] * len(df), index=df.index)
+                frames.append(pd.DataFrame(cols).dropna())
+            if not frames:
+                return pd.DataFrame(columns=["subj", "pred", "obj"])
+            return pd.concat(frames, ignore_index=True)
 
         out = ds.map_batches(build, batch_format="pandas")
         return GraphResult(_distinct(out, ["subj", "pred", "obj"]))
