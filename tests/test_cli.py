@@ -11,8 +11,8 @@ RES = "/root/reference/tests/resources"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _cli(*args):
-    return subprocess.run(
+def _cli(*args, expect_fail=False):
+    r = subprocess.run(
         [sys.executable, "-m", "de_ray.cli", *args],
         capture_output=True,
         text=True,
@@ -20,6 +20,18 @@ def _cli(*args):
         timeout=300,
         env={**os.environ, "RAY_ADDRESS": "local"},
     )
+    if r.returncode != 0 and not expect_fail:
+        # One retry: each CLI call boots its own Ray; under full-suite host
+        # load the startup occasionally fails transiently.
+        r = subprocess.run(
+            [sys.executable, "-m", "de_ray.cli", *args],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=300,
+            env={**os.environ, "RAY_ADDRESS": "local"},
+        )
+    return r
 
 
 @pytest.mark.slow
@@ -38,5 +50,5 @@ def test_cli_create_query_view_golden(tmp_path):
     assert r.returncode == 0
     assert '"void:triples": 24' in r.stdout  # 12 + 12
 
-    r = _cli("query", "-d", store, "-s", "/nonexistent.rq")
+    r = _cli("query", "-d", store, "-s", "/nonexistent.rq", expect_fail=True)
     assert r.returncode == 14  # UNAVAILABLE-style exit (reference src/main.rs:88-93)
