@@ -41,8 +41,6 @@ from de_ray.hdt.dictionary import (
 )
 from de_ray.hdt.header import build_header, original_size_of
 from de_ray.hdt.triples import (
-    BROADCAST_LIMIT,
-    collect_id_maps,
     encode_triples,
     pack_adjacency_block,
     sort_spo,
@@ -150,9 +148,18 @@ def write_store(
     with_adjacency: bool = True,
     with_front_coded: bool = True,
     materialize_input: bool = True,
+    graphs: Optional[List[str]] = None,
 ) -> dict:
     """String-triples Dataset → HDT-style store directory. Returns the header
-    (with a ``timings`` breakdown of the build phases)."""
+    (with a ``timings`` breakdown of the build phases).
+
+    Build order (round 2 restructure): **encode before dedup**. The
+    dictionary builds from the raw pre-dedup rows (duplicates add no terms,
+    and the raw blocks keep subject locality); encoding then runs as
+    fingerprint tasks fused with the input read, so exact dedup and the SPO
+    sort both operate on narrow integer rows — the canonicalize shuffle and
+    the sort exchange move ~16 B/row instead of 100+ B of strings, and no
+    full string-triples copy is ever materialized."""
     import time as _time
 
     timings = {}
@@ -162,26 +169,13 @@ def write_store(
 
     os.makedirs(out_dir, exist_ok=True)
     t = _time.time()
-    # pin the raw input once (the dictionary builds from the PRE-dedup rows —
-    # duplicate triples contribute no new terms — because the raw blocks
-    # keep document/subject locality that dedup bucketing would scatter).
     # Callers whose input is already a cheap re-readable source (a stage
-    # checkpoint parquet) pass materialize_input=False: re-reading twice is
+    # checkpoint parquet) pass materialize_input=False: re-reading is
     # parallel decompression (scales with CPUs) instead of an extra full
     # object-store copy (bound by node memory bandwidth).
     raw_ds = triples_ds.materialize() if materialize_input else triples_ds
     _t("materialize_input", t)
 
-    # Overlap only the SAFE phase pairs (VERDICT r1 #3: the serialized
-    # build tail left CPUs idle at high parallelism):
-    #   dictionary ∥ canonicalize — two plain task-stage Dataset
-    #     executions over raw_ds; no actor pools involved.
-    #   front-coding ∥ encode+sort — front-coding is raw @ray.remote
-    #     pack tasks (no Dataset executor), so it cannot deadlock against
-    #     the encoder's actor pool.
-    # stats and the final writes stay sequential: overlapping extra
-    # Dataset executions with the encode actor pool was observed to
-    # starve the encoder's upstream union into a livelock.
     from concurrent.futures import ThreadPoolExecutor
 
     def timed(name, fn):
@@ -193,45 +187,25 @@ def write_store(
 
         return run
 
-    # size-adaptive layout: small builds are LATENCY-dominated (thread
-    # overlap + re-reads add fixed costs), large builds are BANDWIDTH-
-    # dominated (every avoided object-store copy wins). The count on a
-    # parquet-backed input is metadata-only.
-    try:
-        n_input = raw_ds.count()
-    except Exception:
-        n_input = None
-    lean = n_input is None or n_input >= LEAN_BUILD_ROWS
-
     with ThreadPoolExecutor(max_workers=2) as pool:
-        if lean:
-            fut_dict = pool.submit(
-                timed("dictionary", lambda: build_dictionary_checkpointed(raw_ds, out_dir))
-            )
-        if dedup and dedup_mode == "clustered":
-            # lean: ONE materialized copy total — tagged is not pinned (its
-            # two consumers re-read the checkpoint parquet in parallel);
-            # the dedup RESULT is pinned for stats + encode
-            triples_ds = timed(
-                "canonicalize",
-                lambda: canonicalize_clustered(
-                    raw_ds, pin_tagged=not lean
-                ).materialize(),
-            )()
-        elif dedup:
-            triples_ds = timed(
-                "canonicalize", lambda: canonicalize_stage(raw_ds).materialize()
-            )()
-        else:
-            triples_ds = raw_ds
-        if not lean:
-            fut_dict = pool.submit(
-                timed("dictionary", lambda: build_dictionary_checkpointed(raw_ds, out_dir))
-            )
-        # ONE combined stats pass: per-graph counts + originalSize together
-        per_graph, original_size = timed("stats", lambda: _graph_stats(triples_ds))()
-        n_triples = sum(per_graph.values())
-        dict_build = fut_dict.result()
+        # graph discovery ∥ dictionary build: both are task-only Dataset
+        # executions over raw_ds (a column-pruned scan and the role
+        # partials), safe to overlap. Callers that know their graph set
+        # (the flagship pipeline writes ONE named graph; the CLI derives
+        # one per input file) pass ``graphs`` and skip the scan.
+        fut_graphs = (
+            None
+            if graphs is not None
+            else pool.submit(timed("graphs", lambda: _distinct_graphs(raw_ds)))
+        )
+        dict_build = timed(
+            "dictionary", lambda: build_dictionary_checkpointed(raw_ds, out_dir)
+        )()
+        if fut_graphs is not None:
+            graphs = fut_graphs.result()
+        graphs = sorted(graphs)
+        # front-coding needs only the dictionary sections: raw @ray.remote
+        # pack tasks (no Dataset executor), overlapped with encode+sort
         fut_fc = None
         if with_front_coded:
             fut_fc = pool.submit(
@@ -243,13 +217,35 @@ def write_store(
                 )
             )
         t = _time.time()
-        # triples_ds is materialized above: the encoder's actor pool
-        # livelocks when fed by task stages in the same dataset graph
-        # (upstream union starves behind idle actors), so its graph must
-        # stay Input → actors → sort
-        id_ds = encode_triples(triples_ds, dict_build, concurrency=encode_concurrency)
+        # ONE streaming graph: read → fingerprint-encode (fused tasks) →
+        # exact dedup on int ids → SPO sort. per_block=True keeps block
+        # boundaries intact for the clustered dedup's edge handling.
+        id_ds = encode_triples(
+            raw_ds,
+            dict_build,
+            concurrency=encode_concurrency,
+            graphs=graphs,
+            per_block=dedup and dedup_mode == "clustered",
+        )
+        id_cols = ["s_id", "p_id", "o_id", "g_id"]
+        if dedup and dedup_mode == "clustered":
+            # pin_tagged=True: the tagged rows here are NARROW INTEGER rows
+            # (~17 B/row), so pinning them once is cheap — while NOT pinning
+            # would re-execute the whole read+encode chain for each of the
+            # two consumers (edge sliver + interior), doubling encode cost
+            id_ds = canonicalize_clustered(
+                id_ds, cols=id_cols, cluster_col="s_id", pin_tagged=True
+            )
+        elif dedup:
+            id_ds = canonicalize_stage(id_ds, cols=id_cols)
         sorted_ds = sort_spo(id_ds).materialize()
         _t("encode_sort", t)
+        # per-graph counts + originalSize from the sorted int rows via a
+        # broadcast term-length LUT — never re-reads the strings
+        per_graph, original_size = timed(
+            "stats", lambda: _graph_stats_ids(sorted_ds, dict_build, graphs)
+        )()
+        n_triples = sum(per_graph.values())
         # the two output writes both read the pinned sorted blocks and are
         # task-only pipelines — safe to overlap (no actor pools involved)
         fut_wt = pool.submit(
@@ -268,6 +264,7 @@ def write_store(
         if fut_fc is not None:
             fut_fc.result()
     header = build_header(dict_build, n_triples, per_graph, original_size)
+    header["graph_list"] = graphs  # g_id → graph name (triples/ stores g_id)
     header["hdtSize"] = _dir_size(out_dir)
     header["timings"] = timings
     with open(os.path.join(out_dir, "header.json"), "w") as f:
@@ -277,37 +274,99 @@ def write_store(
     return header
 
 
-def _graph_stats(triples_ds: rd.Dataset):
-    """One pass: per-graph triple counts + originalSize partials together."""
-    import pandas as pd
+def _distinct_graphs(triples_ds: rd.Dataset) -> List[str]:
+    """Sorted distinct graph names — a column-pruned scan with per-batch
+    unique partials (graphs are few: one per input file/crawl)."""
+    if "graph" not in triples_ds.schema().names:
+        return [""]
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        return pa.table({"graph": pc.unique(batch.column("graph"))})
+
+    parts = (
+        triples_ds.select_columns(["graph"])
+        .map_batches(uniq, batch_format="pyarrow")
+        .take_all()
+    )
+    return sorted({r["graph"] for r in parts})
+
+
+def _graph_stats_ids(sorted_ds: rd.Dataset, dict_build, graphs: List[str]):
+    """Per-graph triple counts + originalSize from ID-triples: term lengths
+    resolve through a broadcast per-space length LUT (int32 per term), so
+    the stats pass moves only integers."""
+    import numpy as np
+
+    lut_ref = ray.put(_length_luts(dict_build))
 
     def partial(batch: pa.Table) -> pa.Table:
-        lens = pc.add(
-            pc.add(
-                pc.utf8_length(batch.column("subj")),
-                pc.utf8_length(batch.column("pred")),
-            ),
-            pc.utf8_length(batch.column("obj")),
-        )
-        df = pd.DataFrame(
+        from de_ray.state.broadcast import get_broadcast
+
+        ls, lp, lo = get_broadcast(lut_ref)
+        s = batch.column("s_id").to_numpy(zero_copy_only=False)
+        p = batch.column("p_id").to_numpy(zero_copy_only=False)
+        o = batch.column("o_id").to_numpy(zero_copy_only=False)
+        g = batch.column("g_id").to_numpy(zero_copy_only=False)
+        nbytes = ls[s - 1].astype(np.int64) + lp[p - 1] + lo[o - 1] + 8
+        n_g = np.bincount(g, minlength=len(graphs))
+        b_g = np.bincount(g, weights=nbytes, minlength=len(graphs))
+        return pa.table(
             {
-                "graph": batch.column("graph").to_pandas()
-                if "graph" in batch.column_names
-                else "default",
-                "nbytes": pc.add(lens, 8).to_pandas(),  # separators + " .\n"
+                "g_id": pa.array(np.arange(len(graphs)), pa.int32()),
+                "n": pa.array(n_g, pa.int64()),
+                "nbytes": pa.array(b_g.astype(np.int64), pa.int64()),
             }
         )
-        out = df.groupby("graph", as_index=False).agg(
-            n=("nbytes", "size"), nbytes=("nbytes", "sum")
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
 
     rows = adaptive_grouped_sum(
-        triples_ds.map_batches(partial, batch_format="pyarrow"), "graph", ["n", "nbytes"]
+        sorted_ds.map_batches(partial, batch_format="pyarrow"), "g_id", ["n", "nbytes"]
     ).take_all()
-    per_graph = {r["graph"]: int(r["n"]) for r in rows}
+    per_graph = {graphs[int(r["g_id"])]: int(r["n"]) for r in rows if int(r["n"])}
     original_size = int(sum(r["nbytes"] for r in rows))
     return per_graph, original_size
+
+
+def _length_luts(dict_build):
+    """Per-space utf8 term lengths ordered by ID (position k ↔ id k+1).
+
+    Computed with a distributed map that drops the term strings per batch —
+    only (section, id, tlen) integers reach the driver, so the LUT stays
+    cheap even when the dictionary itself is too large to broadcast."""
+    import numpy as np
+
+    def lens(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "section": t.column("section"),
+                "id": t.column("id"),
+                "tlen": pc.utf8_length(t.column("term")),
+            }
+        )
+
+    parts = list(
+        dict_build.sections.map_batches(lens, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    )
+    tbl = pa.concat_tables(parts) if parts else pa.table(
+        {"section": pa.array([], pa.int32()), "id": pa.array([], pa.int64()),
+         "tlen": pa.array([], pa.int32())}
+    )
+    sec = tbl.column("section")
+    out = []
+    for sections in (
+        (SECTION_SHARED, SECTION_SUBJECT),
+        (SECTION_PREDICATE,),
+        (SECTION_SHARED, SECTION_OBJECT),
+    ):
+        mask = pc.is_in(sec, value_set=pa.array(list(sections), pa.int32()))
+        sub = tbl.filter(mask)
+        ids = sub.column("id").to_numpy(zero_copy_only=False)
+        tl = sub.column("tlen").to_numpy(zero_copy_only=False)
+        lut = np.zeros(len(ids), dtype=np.int64)
+        lut[ids - 1] = tl  # ids are dense 1..N per space
+        out.append(lut)
+    return tuple(out)
 
 
 def build_dictionary_checkpointed(triples_ds: rd.Dataset, out_dir: str) -> DictionaryBuild:
@@ -421,6 +480,10 @@ class Store:
     def graphs(self) -> List[str]:
         return sorted(self.header.get("graphs", {}).keys())
 
+    def graph_list(self) -> List[str]:
+        """g_id → graph name mapping as written by the build."""
+        return self.header.get("graph_list") or [""]
+
     # -- scans (J1) ---------------------------------------------------------
     def pattern_scan_ids(
         self,
@@ -448,10 +511,11 @@ class Store:
                     return None
                 conj(pc.field(col) == i)
         if graphs is not None:
-            gl = list(graphs)
-            if not gl:
+            glist = self.graph_list()
+            gids = [glist.index(g) for g in graphs if g in glist]
+            if not gids:
                 return None
-            conj(pc.field("graph").isin(gl))
+            conj(pc.field("g_id").isin(gids))
         ds = rd.read_parquet(os.path.join(self.path, "triples"), filter=expr)
         return ds
 
@@ -490,6 +554,7 @@ class Store:
         if self._rev_ref is None:
             self._rev_ref = ray.put(self._dict_table())
         tbl_ref = self._rev_ref
+        glist = pa.array(self.graph_list(), pa.large_string())
 
         def terms_by_id(tbl: pa.Table):
             from de_ray.hdt.triples import space_arrays_from_table
@@ -509,7 +574,7 @@ class Store:
                 arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
                 return pc.take(lut[space], pc.subtract(arr, 1))
 
-            g = batch.column("graph")
+            g = batch.column("g_id")
             if isinstance(g, pa.ChunkedArray):
                 g = g.combine_chunks()
             return pa.table(
@@ -517,7 +582,7 @@ class Store:
                     "subj": dec(batch.column("s_id"), "subj"),
                     "pred": dec(batch.column("p_id"), "pred"),
                     "obj": dec(batch.column("o_id"), "obj"),
-                    "graph": g.cast(pa.large_string()),
+                    "graph": pc.take(glist, g),
                 }
             )
 
@@ -528,6 +593,7 @@ class Store:
     def _decode_join(self, id_ds: rd.Dataset) -> rd.Dataset:
         """Hash-join decode for dictionaries too large to broadcast."""
         nparts = max(2, min(32, int(ray.cluster_resources().get("CPU", 4)) - 1))
+        glist = pa.array(self.graph_list(), pa.large_string())
 
         id_schema = {
             "s_id": pa.int64(), "p_id": pa.int64(), "o_id": pa.int64(),
@@ -537,11 +603,23 @@ class Store:
         def _norm_to(schema: Dict[str, pa.DataType]):
             # 0-row blocks (parquet filter fragments, empty join partitions)
             # can carry an EMPTY schema, breaking hash-join key resolution —
-            # rebuild them with the expected columns
+            # rebuild them with the expected columns. Also resolves g_id →
+            # graph string and widens int32 ids to the join key type.
             def norm(t: pa.Table) -> pa.Table:
-                if t.num_rows == 0 or set(schema) - set(t.column_names):
+                if t.num_rows == 0 or (
+                    set(schema) - set(t.column_names) - {"graph"}
+                ):
                     return pa.table({c: pa.array([], ty) for c, ty in schema.items()})
-                return t.select(list(schema))
+                cols = {}
+                for c, ty in schema.items():
+                    if c == "graph" and "g_id" in t.column_names:
+                        g = t.column("g_id")
+                        if isinstance(g, pa.ChunkedArray):
+                            g = g.combine_chunks()
+                        cols[c] = pc.take(glist, g)
+                    else:
+                        cols[c] = t.column(c).cast(ty)
+                return pa.table(cols)
 
             return norm
 

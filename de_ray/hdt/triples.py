@@ -48,6 +48,45 @@ ID_TRIPLE_SCHEMA = pa.schema(
 )
 
 
+def id_dtype_for(n_terms: int) -> pa.DataType:
+    """Narrowest integer type that holds every ID (1..n_terms): int32 unless
+    the dictionary exceeds 2^31-1 terms. At 46.9M triples this halves the
+    bytes the SPO sort shuffles; on the 10^12-doc cluster it halves them per
+    node."""
+    return pa.int32() if n_terms < 2**31 - 1 else pa.int64()
+
+
+def fingerprint_strings(arr: pa.Array):
+    """Deterministic uint64 per string (pandas hash_pandas_object with the
+    fixed default key — identical across processes and nodes)."""
+    import pandas as pd
+
+    s = arr.to_pandas() if not isinstance(arr, pd.Series) else arr
+    return pd.util.hash_pandas_object(s, index=False).to_numpy()
+
+
+def fp_spaces_from_table(tbl: pa.Table):
+    """Per-space (pandas UInt64Index over term fingerprints, ids numpy).
+
+    Returns None if any space has a fingerprint collision (two distinct
+    terms, same 64-bit hash — probability ~n²/2⁶⁵; the caller then falls
+    back to the exact string-index encoder). Building an int64 hash index
+    is ~30× cheaper than a string one, which is what lets the encoder run
+    as stateless fused tasks instead of a ramped actor pool."""
+    import numpy as np
+    import pandas as pd
+
+    out = {}
+    for space, (terms, ids) in space_arrays_from_table(tbl).items():
+        fps = fingerprint_strings(terms)
+        if len(np.unique(fps)) != len(fps):
+            return None
+        idx = pd.Index(fps)
+        idx.get_indexer(idx[:1])  # force hash-table build now, once
+        out[space] = (idx, ids.to_numpy(zero_copy_only=False))
+    return out
+
+
 def collect_sections_table(dict_build: DictionaryBuild) -> pa.Table:
     """Concatenate the sections Dataset into one Arrow table (term, section,
     id) — the broadcast form. Arrow stays zero-copy in the object store;
@@ -122,16 +161,44 @@ class BroadcastEncoder:
     index build (measured: a 2M-term dictionary costs ~1.7 s per process —
     ~170 cold inits turned a 3 s encode into a 300 s-CPU stage)."""
 
-    def __init__(self, maps_ref):
+    def __init__(self, maps_ref, graphs=None, id_dtype=pa.int64()):
         from de_ray.state.broadcast import get_broadcast
 
         self.spaces = get_broadcast(maps_ref, transform=space_indexes_from_table)
+        self.graphs = graphs
+        self.id_dtype = id_dtype
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _encode_with(self.spaces, batch)
+        return _encode_with(self.spaces, batch, self.graphs, self.id_dtype)
 
 
-def _encode_with(spaces, batch: pa.Table) -> pa.Table:
+def _graph_col(batch: pa.Table, graphs) -> pa.Array:
+    """Graph column of the encoded batch: ``g_id`` int32 when a graph list is
+    given (the store path — strings never enter the sort shuffle), else the
+    passthrough string column."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = len(batch)
+    if graphs is None:
+        return (
+            batch.column("graph").combine_chunks()
+            if "graph" in batch.schema.names
+            else pa.array([""] * n, pa.large_string())
+        ), "graph"
+    if "graph" not in batch.schema.names:
+        return pa.array(np.zeros(n, dtype=np.int32)), "g_id"
+    arr = batch.column("graph")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = pc.dictionary_encode(arr)
+    lut = pa.array(
+        [graphs.index(g) for g in enc.dictionary.to_pylist()], pa.int32()
+    )
+    return pc.take(lut, enc.indices), "g_id"
+
+
+def _encode_with(spaces, batch: pa.Table, graphs=None, id_dtype=pa.int64()) -> pa.Table:
     """Vectorized batch encode: dictionary-encode each column (C++), look up
     only the small per-batch unique set against the prebuilt pandas Index,
     expand with ``pc.take``."""
@@ -143,21 +210,42 @@ def _encode_with(spaces, batch: pa.Table) -> pa.Table:
         enc = pc.dictionary_encode(arr)
         uniq = enc.dictionary.to_pandas()
         pos = idx.get_indexer(uniq)
-        lut = pa.array(ids[pos], pa.int64())
+        lut = pa.array(ids[pos], id_dtype)
         return pc.take(lut, enc.indices)
 
-    n = len(batch)
-    graph = (
-        batch.column("graph")
-        if "graph" in batch.schema.names
-        else pa.array([""] * n, pa.large_string())
-    )
+    gcol, gname = _graph_col(batch, graphs)
     return pa.table(
         {
             "s_id": encode_col(batch.column("subj"), "subj"),
             "p_id": encode_col(batch.column("pred"), "pred"),
             "o_id": encode_col(batch.column("obj"), "obj"),
-            "graph": graph,
+            gname: gcol,
+        }
+    )
+
+
+def _encode_with_fp(fp_spaces, batch: pa.Table, graphs=None, id_dtype=pa.int64()) -> pa.Table:
+    """Fingerprint variant of :func:`_encode_with`: per-batch unique terms are
+    hashed to uint64 and looked up in a prebuilt int index — no string hash
+    table anywhere, so the per-process state costs ~30 ms and the encoder
+    runs as stateless tasks fused with its upstream."""
+    import pyarrow.compute as pc
+
+    def encode_col(col, space: str) -> pa.Array:
+        idx, ids = fp_spaces[space]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        enc = pc.dictionary_encode(arr)
+        pos = idx.get_indexer(fingerprint_strings(enc.dictionary))
+        lut = pa.array(ids[pos], id_dtype)
+        return pc.take(lut, enc.indices)
+
+    gcol, gname = _graph_col(batch, graphs)
+    return pa.table(
+        {
+            "s_id": encode_col(batch.column("subj"), "subj"),
+            "p_id": encode_col(batch.column("pred"), "pred"),
+            "o_id": encode_col(batch.column("obj"), "obj"),
+            gname: gcol,
         }
     )
 
@@ -210,47 +298,93 @@ def encode_triples(
     dict_build: DictionaryBuild,
     use_join: Optional[bool] = None,
     concurrency: int = 4,
+    graphs: Optional[list] = None,
+    per_block: bool = False,
 ) -> rd.Dataset:
-    """String triples → ID triples (s_id, p_id, o_id, graph)."""
-    if use_join is None:
-        n_terms = sum(dict_build.counts.values())
-        use_join = n_terms > BROADCAST_LIMIT
-    if use_join:
-        return _join_encode(triples_ds, dict_build)
-    n_terms = sum(dict_build.counts.values())
-    maps_ref = ray.put(collect_sections_table(dict_build))
-    if n_terms <= TASK_ENCODE_TERMS:
-        # small dictionary: per-worker index build is cheap — stateless
-        # tasks reuse the warm worker pool with zero actor-spawn ramp
+    """String triples → ID triples.
 
+    Output columns: ``(s_id, p_id, o_id, graph)`` by default; with a
+    ``graphs`` list, ``(s_id, p_id, o_id, g_id)`` where ids use the
+    narrowest integer dtype that fits the dictionary (``id_dtype_for``) and
+    ``g_id`` indexes into ``graphs`` — the store path, where no string ever
+    enters the sort shuffle.
+
+    Strategy ladder:
+    1. **fingerprint tasks** (default): uint64 term fingerprints → int hash
+       index, ~30 ms per-process state, stateless fused tasks. Falls back if
+       any ID space has a 64-bit collision (checked exactly, up front).
+    2. **string-index actor pool**: exact string lookup; the per-actor index
+       build is expensive (~1.7 s at 2M terms) so it must not scatter across
+       the task worker pool. Requires a materialized input (livelock
+       otherwise — see BroadcastEncoder).
+    3. **shuffle join** above BROADCAST_LIMIT terms (the 10^12-doc path).
+
+    ``per_block=True`` maps one batch per input block (``batch_size=None``)
+    so block boundaries — and with them subject-cluster contiguity — survive
+    for a downstream clustered dedup.
+    """
+    n_terms = sum(dict_build.counts.values())
+    if use_join is None:
+        use_join = n_terms > BROADCAST_LIMIT
+    id_dtype = id_dtype_for(n_terms) if graphs is not None else pa.int64()
+    if use_join:
+        ds = _join_encode(triples_ds, dict_build)
+        if graphs is not None:
+            def to_gid(batch: pa.Table) -> pa.Table:
+                gcol, gname = _graph_col(batch, graphs)
+                return pa.table(
+                    {
+                        "s_id": batch.column("s_id").cast(id_dtype),
+                        "p_id": batch.column("p_id").cast(id_dtype),
+                        "o_id": batch.column("o_id").cast(id_dtype),
+                        gname: gcol,
+                    }
+                )
+
+            ds = ds.map_batches(to_gid, batch_format="pyarrow")
+        return ds
+    batch_kw = dict(
+        batch_format="pyarrow",
+        batch_size=None if per_block else 128 * 1024,
+        zero_copy_batch=True,
+    )
+    maps_ref = ray.put(collect_sections_table(dict_build))
+    fp_ok = fp_spaces_from_table(ray.get(maps_ref)) is not None
+    if fp_ok:
+        # fingerprint tasks: per-process state is an int index (~30 ms even
+        # at 2M terms) cached via get_broadcast, so cold worker processes
+        # cost nothing measurable and the stage fuses with its upstream
+        def encode_batch(batch: pa.Table) -> pa.Table:
+            from de_ray.state.broadcast import get_broadcast
+
+            fp_spaces = get_broadcast(maps_ref, transform=fp_spaces_from_table)
+            return _encode_with_fp(fp_spaces, batch, graphs, id_dtype)
+
+        return triples_ds.map_batches(encode_batch, **batch_kw)
+    if n_terms <= TASK_ENCODE_TERMS:
+        # small dictionary: per-worker string index build is cheap enough
+        # for stateless tasks
         def encode_batch(batch: pa.Table) -> pa.Table:
             from de_ray.state.broadcast import get_broadcast
 
             spaces = get_broadcast(maps_ref, transform=space_indexes_from_table)
-            return _encode_with(spaces, batch)
+            return _encode_with(spaces, batch, graphs, id_dtype)
 
-        return triples_ds.map_batches(
-            encode_batch,
-            batch_format="pyarrow",
-            batch_size=128 * 1024,
-            zero_copy_batch=True,
-        )
+        return triples_ds.map_batches(encode_batch, **batch_kw)
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    # large dictionary: ACTOR POOL — stateless tasks scatter the expensive
-    # per-process index build across every idle worker (measured 1.7 s per
-    # process on a 2M-term dictionary; ~170 cold inits = 300 s CPU).
-    # Fixed-size pool for instant ramp: SAFE ONLY because the caller feeds
-    # a MATERIALIZED input (Input → actors → sort) — a task stage upstream
-    # in the same graph starves behind the idle actors and livelocks
-    # (observed with the canonicalize union as upstream).
+    # large dictionary with fp collision: ACTOR POOL — stateless tasks
+    # scatter the expensive per-process string index build across every idle
+    # worker (measured 1.7 s per process on a 2M-term dictionary; ~170 cold
+    # inits = 300 s CPU). Fixed-size pool for instant ramp: SAFE ONLY
+    # because the caller feeds a MATERIALIZED input (Input → actors → sort)
+    # — a task stage upstream in the same graph starves behind the idle
+    # actors and livelocks (observed with the canonicalize union upstream).
     pool = (max(2, cpus - 2), max(2, cpus - 2))
-    return triples_ds.map_batches(
+    return triples_ds.materialize().map_batches(
         BroadcastEncoder,
-        fn_constructor_args=(maps_ref,),
-        batch_format="pyarrow",
-        batch_size=128 * 1024,
-        zero_copy_batch=True,
+        fn_constructor_args=(maps_ref, graphs, id_dtype),
         concurrency=pool,
+        **batch_kw,
     )
 
 

@@ -4,8 +4,10 @@
       → extract_text_stage                      # M6, html dropped in-stage
       → extract_triples_stage                   # M7 batched exploder
       → link_entities_stage                     # A3, ray.put-broadcast alias dict
-      → canonicalize (clustered exact dedup)    # D5, no all-to-all
-      → write_store                             # O1/O2/K1/G1 dictionary+triples+header
+      (one fused task chain, checkpointed per shard group as "linked")
+      → write_store                             # O1/O2/K1/G1: dictionary,
+        fingerprint-encode, exact dedup on int ID-triples (D5, no string
+        shuffle), SPO sort, adjacency, header
 
 The per-record map stages run as STATELESS TASKS with per-process state
 (compiled regexes / broadcast alias dict via de_ray.state.broadcast) so
@@ -65,40 +67,38 @@ def run_kg_pipeline(
     run = CheckpointedRun(out_root)
 
     cols = ["url", "warc_ts", "html", "lang"]
+
+    def _fused(files) -> rd.Dataset:
+        # ONE fused task chain: read → extract → triples → link. No
+        # intermediate parquet of extracted text — the text column is
+        # consumed by the triple extractor in the same pass it is produced
+        # (one full-corpus write+read less per run).
+        return link_entities_stage(
+            extract_triples_stage(
+                extract_text_stage(
+                    rd.read_parquet(files, columns=cols),
+                    concurrency=extract_concurrency,
+                ),
+                subject_col="url",
+                graph=graph,
+            ),
+            concurrency=link_concurrency,
+        )
+
     if os.path.isdir(webtext_path):
-        # sharded crawl input → shard-group checkpoints (mid-stage resume:
-        # a killed run restarts at the first unfinished group, north rule)
+        # sharded crawl input → shard-group checkpoints: the WHOLE map chain
+        # is per-group resumable (a killed run restarts at the first
+        # unfinished group, north rule)
         shards = [
             os.path.join(webtext_path, f)
             for f in os.listdir(webtext_path)
             if f.endswith(".parquet")
         ]
-        extracted = run.sharded_stage(
-            "extracted",
-            shards,
-            lambda files: extract_text_stage(
-                rd.read_parquet(files, columns=cols), concurrency=extract_concurrency
-            ),
-            group_size=extract_group_size,
+        linked = run.sharded_stage(
+            "linked", shards, _fused, group_size=extract_group_size
         )
     else:
-        extracted = run.stage(
-            "extracted",
-            lambda: extract_text_stage(
-                rd.read_parquet(webtext_path, columns=cols),
-                concurrency=extract_concurrency,
-            ),
-            inputs=webtext_path,
-        )
-
-    linked = run.stage(
-        "linked",
-        lambda: link_entities_stage(
-            extract_triples_stage(extracted, subject_col="url", graph=graph),
-            concurrency=link_concurrency,
-        ),
-        inputs=webtext_path,
-    )
+        linked = run.stage("linked", lambda: _fused(webtext_path), inputs=webtext_path)
 
     store_dir = os.path.join(out_root, "graph")
     header = None
@@ -110,7 +110,11 @@ def run_kg_pipeline(
             # linked is a checkpoint parquet read — skip the input pin, the
             # two store consumers re-read it in parallel instead
             header = write_store(
-                linked, store_dir, dedup_mode="clustered", materialize_input=False
+                linked,
+                store_dir,
+                dedup_mode="clustered",
+                materialize_input=False,
+                graphs=[graph],  # the pipeline writes exactly one named graph
             )
             run.record(
                 "graph", shard="*", rows=header["void:triples"], wall_sec=time.time() - t0
