@@ -135,3 +135,38 @@ def test_front_coded_manifest(tmp_path):
             chunk = data[cm["byte_offset"] : cm["byte_offset"] + cm["byte_len"]]
             got.extend(unpack_front_coded(chunk))
         assert got == want
+
+
+def test_fp_encode_gid_and_fallback(monkeypatch):
+    """Fingerprint task encoding with graphs= emits int32 (s,p,o) + g_id;
+    the collision-fallback actor path and the join path must agree."""
+    import pyarrow as pa
+
+    import de_ray.hdt.triples as T
+    from de_ray.hdt.dictionary import build_dictionary
+
+    ds = read_rdf([f"{RES}/apple.ttl", f"{RES}/banana.nt"]).materialize()
+    d = build_dictionary(ds)
+    graphs = sorted({r["graph"] for r in ds.select_columns(["graph"]).take_all()})
+
+    fp = T.encode_triples(ds, d, graphs=graphs)
+    sch = fp.schema()
+    assert dict(zip(sch.names, sch.types))["s_id"] == pa.int32()
+    assert "g_id" in sch.names
+
+    key = lambda r: (r["s_id"], r["p_id"], r["o_id"], r["g_id"])
+    fp_rows = sorted(map(key, fp.take_all()))
+
+    # force the string-index fallback (as if a 64-bit fp collision occurred)
+    monkeypatch.setattr(T, "fp_spaces_from_table", lambda tbl: None)
+    monkeypatch.setattr(T, "TASK_ENCODE_TERMS", 0)  # → actor-pool path
+    fb = T.encode_triples(ds, d, graphs=graphs)
+    assert sorted(map(key, fb.take_all())) == fp_rows
+    monkeypatch.undo()
+
+    jn = T.encode_triples(ds, d, graphs=graphs, use_join=True)
+    assert sorted(map(key, jn.take_all())) == fp_rows
+
+    # g_id indexes into the graphs list; every graph appears
+    gids = {r[3] for r in fp_rows}
+    assert gids == set(range(len(graphs)))
