@@ -127,6 +127,9 @@ def run_bench() -> dict:
         "n_triples": summary["n_triples"],
         "triples_per_sec": round(summary["n_triples"] / headline, 1),
         "loadavg_at_trials": loads,
+        # per-phase walls of the store build (best trial) — itemizes the
+        # non-scaling floor for the BASELINE.md scaling decomposition
+        "store_timings": (summary.get("header") or {}).get("timings"),
     }
     ray.shutdown()
     return result
@@ -162,6 +165,13 @@ def run_scaling() -> dict:
             # the headline trials already repeat inside the child; skip the
             # operator-query trials there (they don't feed the ratio)
             GRAFT_QUERY_TRIALS=os.environ.get("GRAFT_QUERY_TRIALS", "1"),
+            # driver-side native thread pools (polars dictionary final, OMP/
+            # pyarrow kernels) size to the HOST's cores by default — in the
+            # narrow child that would borrow 32 threads inside an "8-CPU"
+            # measurement and corrupt the ratio; cap them to the child's level
+            POLARS_MAX_THREADS=str(ncpu),
+            OMP_NUM_THREADS=str(ncpu),
+            OPENBLAS_NUM_THREADS=str(ncpu),
         )
         last_err = ""
         for _attempt in range(2):  # one retry: leftover session state from the
