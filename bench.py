@@ -206,6 +206,7 @@ def run_scaling() -> dict:
         "sf": r_hi.get("sf"),
         "num_cpus": [lo, hi],
         "loadavg_before": [r_lo.get("loadavg_before"), r_hi.get("loadavg_before")],
+        "store_timings": [r_lo.get("store_timings"), r_hi.get("store_timings")],
     }
 
 

@@ -66,24 +66,40 @@ def fingerprint_strings(arr: pa.Array):
 
 
 def fp_spaces_from_table(tbl: pa.Table):
-    """Per-space (pandas UInt64Index over term fingerprints, ids numpy).
+    """Per-space (sorted uint64 term fingerprints, aligned ids) numpy arrays.
 
     Returns None if any space has a fingerprint collision (two distinct
     terms, same 64-bit hash — probability ~n²/2⁶⁵; the caller then falls
-    back to the exact string-index encoder). Building an int64 hash index
-    is ~30× cheaper than a string one, which is what lets the encoder run
-    as stateless fused tasks instead of a ramped actor pool."""
-    import numpy as np
-    import pandas as pd
+    back to the exact string-index encoder).
 
+    The terms are hashed ONCE for the whole table and the per-space arrays
+    are sorted here, on the driver — workers read them zero-copy from the
+    object store with NO per-process rebuild and look batches up with
+    ``np.searchsorted``. (The previous shape — each worker re-hashing the
+    2M-term dictionary and building a pandas hash index — cost ~5 s per
+    worker process: an anti-scaling term, total setup grew with worker
+    count while the encode work itself shrank per worker.)"""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    fps_all = fingerprint_strings(tbl.column("term").combine_chunks())
+    sec = tbl.column("section")
+    ids_all = tbl.column("id").to_numpy(zero_copy_only=False)
     out = {}
-    for space, (terms, ids) in space_arrays_from_table(tbl).items():
-        fps = fingerprint_strings(terms)
-        if len(np.unique(fps)) != len(fps):
+    for space, sections in (
+        ("subj", (SECTION_SHARED, SECTION_SUBJECT)),
+        ("obj", (SECTION_SHARED, SECTION_OBJECT)),
+        ("pred", (SECTION_PREDICATE,)),
+    ):
+        mask = pc.is_in(sec, value_set=pa.array(list(sections), pa.int32())).to_numpy(
+            zero_copy_only=False
+        )
+        fps = fps_all[mask]
+        order = np.argsort(fps, kind="stable")
+        sfps = fps[order]
+        if len(sfps) > 1 and (sfps[1:] == sfps[:-1]).any():
             return None
-        idx = pd.Index(fps)
-        idx.get_indexer(idx[:1])  # force hash-table build now, once
-        out[space] = (idx, ids.to_numpy(zero_copy_only=False))
+        out[space] = (sfps, ids_all[mask][order])
     return out
 
 
@@ -226,16 +242,18 @@ def _encode_with(spaces, batch: pa.Table, graphs=None, id_dtype=pa.int64()) -> p
 
 def _encode_with_fp(fp_spaces, batch: pa.Table, graphs=None, id_dtype=pa.int64()) -> pa.Table:
     """Fingerprint variant of :func:`_encode_with`: per-batch unique terms are
-    hashed to uint64 and looked up in a prebuilt int index — no string hash
-    table anywhere, so the per-process state costs ~30 ms and the encoder
-    runs as stateless tasks fused with its upstream."""
+    hashed to uint64 and binary-searched against the broadcast sorted
+    fingerprint arrays — zero per-process state, so the encoder runs as
+    stateless tasks fused with its upstream."""
+    import numpy as np
     import pyarrow.compute as pc
 
     def encode_col(col, space: str) -> pa.Array:
-        idx, ids = fp_spaces[space]
+        sfps, ids = fp_spaces[space]
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         enc = pc.dictionary_encode(arr)
-        pos = idx.get_indexer(fingerprint_strings(enc.dictionary))
+        pos = np.searchsorted(sfps, fingerprint_strings(enc.dictionary))
+        pos = np.clip(pos, 0, max(0, len(ids) - 1))
         lut = pa.array(ids[pos], id_dtype)
         return pc.take(lut, enc.indices)
 
@@ -348,19 +366,24 @@ def encode_triples(
         batch_size=None if per_block else 128 * 1024,
         zero_copy_batch=True,
     )
-    maps_ref = ray.put(collect_sections_table(dict_build))
-    fp_ok = fp_spaces_from_table(ray.get(maps_ref)) is not None
-    if fp_ok:
-        # fingerprint tasks: per-process state is an int index (~30 ms even
-        # at 2M terms) cached via get_broadcast, so cold worker processes
-        # cost nothing measurable and the stage fuses with its upstream
+    sections_tbl = collect_sections_table(dict_build)
+    fp_lk = fp_spaces_from_table(sections_tbl)
+    if fp_lk is not None:
+        # fingerprint tasks: the sorted-fp arrays are computed ONCE (driver,
+        # one hash pass + three int argsorts) and broadcast; workers read
+        # them zero-copy from the object store — no per-process rebuild, so
+        # cold worker processes cost nothing and the stage fuses with its
+        # upstream regardless of how many workers the session has
+        lk_ref = ray.put(fp_lk)
+
         def encode_batch(batch: pa.Table) -> pa.Table:
             from de_ray.state.broadcast import get_broadcast
 
-            fp_spaces = get_broadcast(maps_ref, transform=fp_spaces_from_table)
+            fp_spaces = get_broadcast(lk_ref)
             return _encode_with_fp(fp_spaces, batch, graphs, id_dtype)
 
         return triples_ds.map_batches(encode_batch, **batch_kw)
+    maps_ref = ray.put(sections_tbl)
     if n_terms <= TASK_ENCODE_TERMS:
         # small dictionary: per-worker string index build is cheap enough
         # for stateless tasks
