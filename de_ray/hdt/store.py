@@ -41,13 +41,14 @@ from de_ray.hdt.dictionary import (
 )
 from de_ray.hdt.header import build_header, original_size_of
 from de_ray.hdt.triples import (
+    dedup_sorted_blocks,
     encode_triples,
+    local_distinct,
     pack_adjacency_block,
     sort_spo,
 )
 from de_ray.functions.agg import adaptive_grouped_sum
 from de_ray.hdt.dictionary import build_dictionary
-from de_ray.stages.canonicalize import canonicalize_clustered, canonicalize_stage
 
 # dictionaries above this many terms are never fully loaded into one
 # process: bound-term lookup becomes a parquet range scan and decode
@@ -143,7 +144,6 @@ def write_store(
     triples_ds: rd.Dataset,
     out_dir: str,
     dedup: bool = True,
-    dedup_mode: str = "global",  # "global" | "clustered" (subject-clustered input)
     encode_concurrency: int = 4,
     with_adjacency: bool = True,
     with_front_coded: bool = True,
@@ -153,13 +153,18 @@ def write_store(
     """String-triples Dataset → HDT-style store directory. Returns the header
     (with a ``timings`` breakdown of the build phases).
 
-    Build order (round 2 restructure): **encode before dedup**. The
+    Build order (round 2 restructure): **encode → sort → dedup**. The
     dictionary builds from the raw pre-dedup rows (duplicates add no terms,
     and the raw blocks keep subject locality); encoding then runs as
-    fingerprint tasks fused with the input read, so exact dedup and the SPO
-    sort both operate on narrow integer rows — the canonicalize shuffle and
-    the sort exchange move ~16 B/row instead of 100+ B of strings, and no
-    full string-triples copy is ever materialized."""
+    fingerprint tasks fused with the input read, so the SPO sort operates on
+    narrow integer rows (~17 B/row instead of 100+ B of strings). Exact
+    dedup piggybacks on the sort the HDT layout needs anyway: a per-block
+    local combiner before the sort cuts shuffle volume, then duplicates —
+    adjacent after sorting on (s,p,o,g) — are removed by a per-block
+    adjacent-equality pass plus a two-rows-per-block boundary
+    reconciliation. No dedup shuffle exists at all, and correctness holds
+    under any input block layout (checkpoint writes do not preserve row
+    order, so any contiguity-premised dedup is unsound)."""
     import time as _time
 
     timings = {}
@@ -218,26 +223,20 @@ def write_store(
             )
         t = _time.time()
         # ONE streaming graph: read → fingerprint-encode (fused tasks) →
-        # exact dedup on int ids → SPO sort. per_block=True keeps block
-        # boundaries intact for the clustered dedup's edge handling.
+        # local-distinct combiner → SPO(+g) sort → adjacent dedup.
         id_ds = encode_triples(
-            raw_ds,
-            dict_build,
-            concurrency=encode_concurrency,
-            graphs=graphs,
-            per_block=dedup and dedup_mode == "clustered",
+            raw_ds, dict_build, concurrency=encode_concurrency, graphs=graphs
         )
         id_cols = ["s_id", "p_id", "o_id", "g_id"]
-        if dedup and dedup_mode == "clustered":
-            # pin_tagged=True: the tagged rows here are NARROW INTEGER rows
-            # (~17 B/row), so pinning them once is cheap — while NOT pinning
-            # would re-execute the whole read+encode chain for each of the
-            # two consumers (edge sliver + interior), doubling encode cost
-            id_ds = canonicalize_clustered(
-                id_ds, cols=id_cols, cluster_col="s_id", pin_tagged=True
+        if dedup:
+            # combiner: per-block C++ distinct fused with the encode tasks
+            # (most duplicates are doc-local) — cuts sort-shuffle volume
+            id_ds = id_ds.map_batches(
+                lambda t_, _c=tuple(id_cols): local_distinct(t_, _c),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
             )
-        elif dedup:
-            id_ds = canonicalize_stage(id_ds, cols=id_cols)
         # Coalesce the many small per-input-block outputs before the sort:
         # Ray's sort fanout is map_blocks × reduce_partitions tiny objects,
         # so 195 input blocks cost 2.5× more wall than 32 (measured 5.5 s vs
@@ -251,7 +250,14 @@ def write_store(
         n_parts = max(
             cpus, 0 if n_rows is None else (n_rows * 17) // (128 << 20) + 1
         )
-        sorted_ds = sort_spo(id_ds.repartition(n_parts)).materialize()
+        # g_id joins the sort key so cross-graph copies of one (s,p,o) are
+        # adjacent too — required for the adjacent-equality dedup, and a
+        # pure tie-break for the S/P/O order the layout needs
+        sorted_ds = sort_spo(
+            id_ds.repartition(n_parts), keys=id_cols if dedup else None
+        ).materialize()
+        if dedup:
+            sorted_ds = dedup_sorted_blocks(sorted_ds, id_cols)
         _t("encode_sort", t)
         # per-graph counts + originalSize from the sorted int rows via a
         # broadcast term-length LUT — never re-reads the strings

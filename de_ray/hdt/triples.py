@@ -317,7 +317,6 @@ def encode_triples(
     use_join: Optional[bool] = None,
     concurrency: int = 4,
     graphs: Optional[list] = None,
-    per_block: bool = False,
 ) -> rd.Dataset:
     """String triples → ID triples.
 
@@ -336,10 +335,6 @@ def encode_triples(
        the task worker pool. Requires a materialized input (livelock
        otherwise — see BroadcastEncoder).
     3. **shuffle join** above BROADCAST_LIMIT terms (the 10^12-doc path).
-
-    ``per_block=True`` maps one batch per input block (``batch_size=None``)
-    so block boundaries — and with them subject-cluster contiguity — survive
-    for a downstream clustered dedup.
     """
     n_terms = sum(dict_build.counts.values())
     if use_join is None:
@@ -363,7 +358,7 @@ def encode_triples(
         return ds
     batch_kw = dict(
         batch_format="pyarrow",
-        batch_size=None if per_block else 128 * 1024,
+        batch_size=128 * 1024,
         zero_copy_batch=True,
     )
     sections_tbl = collect_sections_table(dict_build)
@@ -411,9 +406,75 @@ def encode_triples(
     )
 
 
-def sort_spo(id_triples: rd.Dataset) -> rd.Dataset:
-    """Global SPO sort (O2) — the HDT triples order."""
-    return id_triples.sort(["s_id", "p_id", "o_id"])
+def sort_spo(id_triples: rd.Dataset, keys=None) -> rd.Dataset:
+    """Global SPO sort (O2) — the HDT triples order. ``keys`` may append
+    tie-break columns (e.g. ``g_id``) without changing the S/P/O order."""
+    return id_triples.sort(keys or ["s_id", "p_id", "o_id"])
+
+
+def local_distinct(tbl: pa.Table, cols) -> pa.Table:
+    """Per-block exact dedup combiner (all C++: group_by over the int key
+    columns). Cuts sort-shuffle volume; the global pass after the sort
+    removes the cross-block survivors."""
+    if tbl.num_rows <= 1:
+        return tbl
+    return tbl.select(list(cols)).group_by(list(cols)).aggregate([])
+
+
+@ray.remote(num_returns=2)
+def _dedup_block_task(tbl: pa.Table, cols):
+    """Adjacent-equality dedup of ONE sorted block. Returns the deduped
+    block plus its (first_row, last_row) keys for boundary reconciliation."""
+    n = tbl.num_rows
+    if n == 0:
+        return tbl, (None, None)
+    first = tuple(tbl.column(c)[0].as_py() for c in cols)
+    last = tuple(tbl.column(c)[n - 1].as_py() for c in cols)
+    if n > 1:
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = True
+        for c in cols:
+            a = tbl.column(c).to_numpy(zero_copy_only=False)
+            keep[1:] |= a[1:] != a[:-1]
+        if not keep.all():
+            tbl = tbl.filter(pa.array(keep))
+    return tbl, (first, last)
+
+
+@ray.remote
+def _drop_first_row(tbl: pa.Table) -> pa.Table:
+    return tbl.slice(1)
+
+
+def dedup_sorted_blocks(sorted_ds: rd.Dataset, cols) -> rd.Dataset:
+    """Exact global dedup of an ALREADY-SORTED ID-triples Dataset.
+
+    After the SPO(+graph) sort every duplicate is adjacent, so dedup is a
+    per-block vectorized adjacent-equality pass plus a driver-side boundary
+    reconciliation over one (first_row, last_row) pair per block — correct
+    under ANY input block layout (unlike cluster-contiguity dedup, which a
+    non-order-preserving checkpoint write breaks) and it moves no extra
+    data: the only cross-node traffic is two key tuples per block.
+
+    A run of equal rows spanning whole blocks chains correctly: each
+    block's ORIGINAL last row is compared against the next block's ORIGINAL
+    first row, so interior blocks collapse to one row and then drop it.
+    ``sorted_ds`` must be materialized (the sort output is)."""
+    cols = list(cols)
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    pairs = [_dedup_block_task.remote(r, cols) for r in refs]
+    metas = ray.get([m for _, m in pairs])
+    out_refs = []
+    prev_last = None
+    for (tbl_ref, _), (first, last) in zip(pairs, metas):
+        if first is not None and first == prev_last:
+            tbl_ref = _drop_first_row.remote(tbl_ref)
+        out_refs.append(tbl_ref)
+        if last is not None:
+            prev_last = last
+    return rd.from_arrow_refs(out_refs)
 
 
 def pack_adjacency_block(tbl: pa.Table) -> pa.Table:

@@ -105,14 +105,12 @@ def run_kg_pipeline(
     if build_store:
         if not (resume and os.path.exists(os.path.join(store_dir, "_SUCCESS"))):
             t0 = time.time()
-            # dedup_mode="clustered": extraction emits one subject per doc in
-            # contiguous rows, so dedup needs no all-to-all shuffle
             # linked is a checkpoint parquet read — skip the input pin, the
-            # two store consumers re-read it in parallel instead
+            # store consumers re-read it in parallel instead (exact dedup
+            # happens inside write_store, after the SPO sort)
             header = write_store(
                 linked,
                 store_dir,
-                dedup_mode="clustered",
                 materialize_input=False,
                 graphs=[graph],  # the pipeline writes exactly one named graph
             )

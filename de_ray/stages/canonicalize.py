@@ -64,56 +64,6 @@ def _dedup_group(g: pd.DataFrame, cols) -> pd.DataFrame:
 DRIVER_FINAL_LIMIT = 500_000
 
 
-def canonicalize_clustered(ds, cols=None, cluster_col: str = "subj",
-                           pin_tagged: bool = True):
-    """Exact dedup for CLUSTER-LOCAL duplicates: when any two identical rows
-    are guaranteed to share ``cluster_col`` AND rows of one cluster are
-    contiguous in the dataset (true for extraction output: one document =
-    one subject = one contiguous row range), global dedup reduces to
-    per-batch dedup plus a tiny global pass over the rows of each batch's
-    FIRST and LAST cluster value (the only clusters a batch boundary can
-    split). Interior rows pass through untouched — no all-to-all shuffle of
-    the full data, only of the boundary sliver.
-    """
-    import ray.data as rd
-
-    cols = list(cols) if cols is not None else [c for c in KEY_COLS if c in ds.schema().names]
-
-    def split_edges(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df.assign(_edge=pd.Series([], dtype=bool))
-        df = df.drop_duplicates(subset=cols)
-        first, last = df[cluster_col].iloc[0], df[cluster_col].iloc[-1]
-        edge = df[cluster_col].isin([first, last])
-        return df.assign(_edge=edge)
-
-    # batch_size=None → one batch per BLOCK: each block is a contiguous slice
-    # of the upstream stream, so a cluster split across blocks is always at a
-    # block edge. (A sized batch may concatenate non-adjacent blocks and hide
-    # a split cluster in its interior — observed as missed duplicates.)
-    tagged = ds.map_batches(split_edges, batch_format="pandas", batch_size=None)
-    # pin_tagged=False trades one full object-store copy for re-running the
-    # cheap split_edges map on each of the two consumers (interior + edge
-    # sliver) — right when ``ds`` is a re-readable parquet checkpoint and
-    # the caller materializes the RESULT anyway (write_store does)
-    if pin_tagged:
-        tagged = tagged.materialize()
-    interior = tagged.map_batches(
-        lambda df: df[~df["_edge"]].drop(columns=["_edge"]), batch_format="pandas"
-    )
-    edge_df = (
-        tagged.map_batches(
-            lambda df: df[df["_edge"]].drop(columns=["_edge"]), batch_format="pandas"
-        )
-        .to_pandas()
-        .drop_duplicates(subset=cols)
-        .reset_index(drop=True)
-    )
-    if len(edge_df) == 0:
-        return interior
-    return interior.union(rd.from_pandas(edge_df))
-
-
 def canonicalize_stage(ds, num_buckets: int = 64, cols=None,
                        driver_final_limit: int = DRIVER_FINAL_LIMIT):
     """Global exact dedup; returns distinct rows (keyed on ``cols``).

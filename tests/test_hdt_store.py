@@ -116,3 +116,35 @@ def test_adjacency_segments(apple_store):
     y_last = sum(sum(x) for x in t.column("bitmap_y").to_pylist())
     assert y_last == 2  # Apple, Fruit
     assert sum(len(x) for x in t.column("z").to_pylist()) == 9
+
+
+def test_dedup_scattered_duplicates(tmp_path):
+    """Exact dedup must hold under ANY block layout: duplicates of one
+    triple scattered across many non-adjacent blocks (what a
+    non-order-preserving checkpoint write produces) are still removed.
+    Regression: the former cluster-contiguity dedup kept 42 dupes at 8 CPUs
+    on the scaled corpus because a doc's rows landed 160k rows apart."""
+    import pandas as pd
+    import ray.data as rd
+
+    rows = []
+    for i in range(2000):
+        rows.append(
+            {
+                "subj": f"http://example.org/s{i % 37}",
+                "pred": f"http://example.org/p{i % 5}",
+                "obj": f'"v{i % 11}"',
+                "graph": "file:///g",
+            }
+        )
+    df = pd.DataFrame(rows)
+    distinct = len(df.drop_duplicates())
+    # many tiny blocks, duplicates guaranteed non-adjacent
+    ds = rd.from_pandas([df.iloc[i : i + 40] for i in range(0, len(df), 40)])
+    out = str(tmp_path / "scattered")
+    h = write_store(ds, out)
+    assert h["void:triples"] == distinct
+    st = Store(out)
+    got = st.triples_all().take_all()
+    assert len(got) == distinct
+    assert len({(r["subj"], r["pred"], r["obj"]) for r in got}) == distinct
