@@ -60,8 +60,10 @@ def _tr_cte(linked: bool) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _docs(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    # columns= pushes the projection into the parquet read (no Project op,
+    # no unread column bytes leave storage)
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _doc_triples(sf_dir: str, linked: bool) -> rd.Dataset:
@@ -413,7 +415,9 @@ SQL_FILTER_ORDERS = (
 def q_dedup_exact(sf_dir: str):
     from de_ray.dataops.dedup import exact_dedup
 
-    return exact_dedup(_docs(sf_dir)).select_columns(["doc_id", "text"])
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "text"]
+    )
 
 
 SQL_DEDUP_EXACT = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
@@ -422,7 +426,7 @@ SQL_DEDUP_EXACT = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY te
 def q_token_counts(sf_dir: str):
     from de_ray.dataops.text import token_count_batch
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "n_tokens"]
     )
@@ -434,7 +438,7 @@ SQL_TOKEN_COUNTS = "SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM 
 def q_fingerprints(sf_dir: str):
     from de_ray.dataops.text import fingerprint_batch
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "fingerprint"]
     )
@@ -446,7 +450,7 @@ SQL_FINGERPRINTS = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 def q_quality_scores(sf_dir: str):
     from de_ray.dataops.text import quality_score_batch
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     out = ds.map_batches(quality_score_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "n_chars_calc", "n_tokens", "stopword_ratio", "mean_token_len"]
     )
@@ -635,7 +639,7 @@ SQL_TOPK_PER_ORDER = (
 def q_lang_id(sf_dir: str):
     from de_ray.dataops.text import LangId
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).select_columns(
         ["doc_id", "lang_pred"]
     )
@@ -644,13 +648,13 @@ def q_lang_id(sf_dir: str):
 def q_minhash_clusters(sf_dir: str):
     from de_ray.dataops.dedup import minhash_dedup
 
-    return minhash_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]), threshold=0.8)
+    return minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
 
 
 def q_simhash(sf_dir: str):
     from de_ray.dataops.dedup import simhash_stage
 
-    return simhash_stage(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return simhash_stage(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_lsh_topk(sf_dir: str):
