@@ -142,7 +142,7 @@ def run_scaling() -> dict:
     # the regime the 100 TB deployment lives in
     scaling_repeat = os.environ.get("GRAFT_SCALING_REPEAT", "400")
 
-    def wait_quiet(max_load: float = 5.0, timeout_s: int = 600) -> float:
+    def wait_quiet(max_load: float = 2.5, timeout_s: int = 600) -> float:
         """Hold each child until the host is quiet: this sandbox shows
         intermittent EXTERNAL load spikes (loadavg 17+ with nothing of ours
         running) that steal cores. They hurt the wide run far more than the

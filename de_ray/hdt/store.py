@@ -192,7 +192,7 @@ def write_store(
 
         return run
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=4) as pool:
         # graph discovery ∥ dictionary build: both are task-only Dataset
         # executions over raw_ds (a column-pruned scan and the role
         # partials), safe to overlap. Callers that know their graph set
@@ -221,6 +221,9 @@ def write_store(
                     ),
                 )
             )
+        # term-length LUTs depend only on the dictionary — overlap them with
+        # the encode+sort stream (raw block tasks, no executor slot)
+        fut_luts = pool.submit(timed("length_luts", lambda: _length_luts(dict_build)))
         t = _time.time()
         # ONE streaming graph: read → fingerprint-encode (fused tasks) →
         # local-distinct combiner → SPO(+g) sort → adjacent dedup.
@@ -259,14 +262,18 @@ def write_store(
         if dedup:
             sorted_ds = dedup_sorted_blocks(sorted_ds, id_cols)
         _t("encode_sort", t)
-        # per-graph counts + originalSize from the sorted int rows via a
-        # broadcast term-length LUT — never re-reads the strings
-        per_graph, original_size = timed(
-            "stats", lambda: _graph_stats_ids(sorted_ds, dict_build, graphs)
-        )()
-        n_triples = sum(per_graph.values())
-        # the two output writes both read the pinned sorted blocks and are
-        # task-only pipelines — safe to overlap (no actor pools involved)
+        # stats + the two output writes all read the pinned sorted blocks
+        # and are task-only pipelines — safe to overlap all three (the
+        # stats pass moves only integers via a broadcast term-length LUT,
+        # never re-reading the strings)
+        fut_stats = pool.submit(
+            timed(
+                "stats",
+                lambda: _graph_stats_ids(
+                    sorted_ds, dict_build, graphs, luts=fut_luts.result()
+                ),
+            )
+        )
         fut_wt = pool.submit(
             timed(
                 "write_triples",
@@ -279,6 +286,8 @@ def write_store(
                 pack_adjacency_block, batch_format="pyarrow", batch_size=256 * 1024
             ).write_parquet(os.path.join(out_dir, "adjacency"))
             _t("adjacency", t)
+        per_graph, original_size = fut_stats.result()
+        n_triples = sum(per_graph.values())
         fut_wt.result()
         if fut_fc is not None:
             fut_fc.result()
@@ -310,13 +319,16 @@ def _distinct_graphs(triples_ds: rd.Dataset) -> List[str]:
     return sorted({r["graph"] for r in parts})
 
 
-def _graph_stats_ids(sorted_ds: rd.Dataset, dict_build, graphs: List[str]):
+def _graph_stats_ids(sorted_ds: rd.Dataset, dict_build, graphs: List[str],
+                     luts=None):
     """Per-graph triple counts + originalSize from ID-triples: term lengths
     resolve through a broadcast per-space length LUT (int32 per term), so
-    the stats pass moves only integers."""
+    the stats pass moves only integers. ``luts`` may be precomputed (the
+    build overlaps it with encode+sort — it depends only on the
+    dictionary)."""
     import numpy as np
 
-    lut_ref = ray.put(_length_luts(dict_build))
+    lut_ref = ray.put(luts if luts is not None else _length_luts(dict_build))
 
     def partial(batch: pa.Table) -> pa.Table:
         from de_ray.state.broadcast import get_broadcast
@@ -345,28 +357,30 @@ def _graph_stats_ids(sorted_ds: rd.Dataset, dict_build, graphs: List[str]):
     return per_graph, original_size
 
 
+@ray.remote
+def _block_lens(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "section": t.column("section"),
+            "id": t.column("id"),
+            "tlen": pc.utf8_length(t.column("term")),
+        }
+    )
+
+
 def _length_luts(dict_build):
     """Per-space utf8 term lengths ordered by ID (position k ↔ id k+1).
 
-    Computed with a distributed map that drops the term strings per batch —
-    only (section, id, tlen) integers reach the driver, so the LUT stays
-    cheap even when the dictionary itself is too large to broadcast."""
+    Computed with raw per-block tasks that drop the term strings — only
+    (section, id, tlen) integers reach the driver, so the LUT stays cheap
+    even when the dictionary itself is too large to broadcast; raw tasks
+    (not a Dataset execution) so it runs concurrently with the encode+sort
+    stream without competing for executor slots."""
     import numpy as np
 
-    def lens(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "section": t.column("section"),
-                "id": t.column("id"),
-                "tlen": pc.utf8_length(t.column("term")),
-            }
-        )
-
-    parts = list(
-        dict_build.sections.map_batches(lens, batch_format="pyarrow").iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"
-        )
-    )
+    refs = dict_build.sections.materialize().to_arrow_refs()
+    parts = ray.get([_block_lens.remote(r) for r in refs])
+    parts = [p for p in parts if p.num_rows]
     tbl = pa.concat_tables(parts) if parts else pa.table(
         {"section": pa.array([], pa.int32()), "id": pa.array([], pa.int64()),
          "tlen": pa.array([], pa.int32())}
