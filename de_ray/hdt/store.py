@@ -340,7 +340,9 @@ def _graph_stats_ids(sorted_ds: rd.Dataset, dict_build, graphs: List[str],
         g = batch.column("g_id").to_numpy(zero_copy_only=False)
         nbytes = ls[s - 1].astype(np.int64) + lp[p - 1] + lo[o - 1] + 8
         n_g = np.bincount(g, minlength=len(graphs))
-        b_g = np.bincount(g, weights=nbytes, minlength=len(graphs))
+        # integer accumulation — float64 bincount weights lose precision >2^53
+        b_g = np.zeros(len(graphs), dtype=np.int64)
+        np.add.at(b_g, g, nbytes)
         return pa.table(
             {
                 "g_id": pa.array(np.arange(len(graphs)), pa.int32()),
@@ -429,6 +431,12 @@ class Store:
             raise FileNotFoundError(f"not a completed store (no _SUCCESS): {path}")
         with open(os.path.join(path, "header.json")) as f:
             self.header = json.load(f)
+        if "graph_list" not in self.header:
+            raise ValueError(
+                f"store format too old at {path}: header.json lacks 'graph_list' "
+                "(pre-g_id layout with a string 'graph' triples column). "
+                "Rebuild the store with the current write_store()."
+            )
         self._maps = None
         self._rev = None
         self._rev_ref = None

@@ -208,9 +208,15 @@ def _graph_col(batch: pa.Table, graphs) -> pa.Array:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     enc = pc.dictionary_encode(arr)
-    lut = pa.array(
-        [graphs.index(g) for g in enc.dictionary.to_pylist()], pa.int32()
-    )
+    batch_graphs = enc.dictionary.to_pylist()
+    unknown = [g for g in batch_graphs if g not in graphs]
+    if unknown:
+        raise ValueError(
+            f"graph name(s) {unknown[:5]!r} present in the data but missing from "
+            f"the graphs= list passed to write_store ({graphs!r}); the graphs "
+            "argument must enumerate every distinct graph in the input."
+        )
+    lut = pa.array([graphs.index(g) for g in batch_graphs], pa.int32())
     return pc.take(lut, enc.indices), "g_id"
 
 
@@ -252,8 +258,22 @@ def _encode_with_fp(fp_spaces, batch: pa.Table, graphs=None, id_dtype=pa.int64()
         sfps, ids = fp_spaces[space]
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         enc = pc.dictionary_encode(arr)
-        pos = np.searchsorted(sfps, fingerprint_strings(enc.dictionary))
+        fps = fingerprint_strings(enc.dictionary)
+        pos = np.searchsorted(sfps, fps)
         pos = np.clip(pos, 0, max(0, len(ids) - 1))
+        # A fingerprint absent from the dictionary would otherwise be silently
+        # encoded to an arbitrary neighbouring ID — verify every hit.
+        miss = sfps[pos] != fps if len(sfps) else np.ones(len(fps), bool)
+        if miss.any():
+            bad = enc.dictionary.take(
+                pa.array(np.flatnonzero(miss)[:5], pa.int64())
+            ).to_pylist()
+            raise ValueError(
+                f"{int(miss.sum())} term(s) in space '{space}' are missing from the "
+                f"dictionary fingerprint index (first: {bad!r}). The encode input "
+                "diverged from the dictionary input — rebuild with "
+                "materialize_input=True or a deterministic source."
+            )
         lut = pa.array(ids[pos], id_dtype)
         return pc.take(lut, enc.indices)
 

@@ -65,7 +65,19 @@ class PathClosure:
     max_hops: Optional[int] = None  # 1 for ?, None = unbounded
 
 
-Path = Union[str, PathSeq, PathAlt, PathInv, PathClosure]
+@dataclass(frozen=True)
+class PathNeg:
+    """Negated property set ``!(iri|^iri|...)`` (SPARQL 1.1 §9.1).
+
+    ``fwd`` excludes predicates on forward arcs, ``inv`` on inverse arcs;
+    a None component means that direction contributes no arcs at all
+    (pure-forward / pure-inverse sets)."""
+
+    fwd: Optional[Tuple[str, ...]]
+    inv: Optional[Tuple[str, ...]]
+
+
+Path = Union[str, PathSeq, PathAlt, PathInv, PathClosure, PathNeg]
 PatTerm = Union[Var, str]  # Var or canonical string
 
 
@@ -170,6 +182,7 @@ class Aggregate:
     alias: Var
     distinct: bool = False
     expr: Optional[Expr] = None  # aggregate over an expression, e.g. SUM(?a*?b)
+    separator: Optional[str] = None  # GROUP_CONCAT(...; SEPARATOR="..."), None = " "
 
 
 OrderKey = Tuple[Union[Var, Expr], bool]  # (key, descending)
@@ -217,6 +230,11 @@ _BUILTINS = (
     "CONCAT", "ABS", "CEIL", "FLOOR", "ROUND",
     "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "ISNUMERIC",
     "IRI", "URI", "LANGMATCHES", "SAMETERM",
+    # datetime accessors + constructors + hashes (spareval surface,
+    # /root/reference/src/sparql.rs:511-521 via the spareval crate)
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TIMEZONE", "TZ",
+    "NOW", "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+    "STRLANG", "STRDT", "BNODE", "UUID", "STRUUID", "ENCODE_FOR_URI",
 )
 
 _AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
@@ -359,11 +377,12 @@ class Parser:
         alias = Var(vv[1:])
         agg = _extract_aggregate(expr)
         if agg is not None:
-            fn, distinct, inner = agg
+            fn, distinct, inner, separator = agg
             var = inner if isinstance(inner, Var) else None
             q.aggregates.append(
                 Aggregate(fn=fn, var=var, alias=alias, distinct=distinct,
-                          expr=None if isinstance(inner, Var) else inner)
+                          expr=None if isinstance(inner, Var) else inner,
+                          separator=separator)
             )
         else:
             q.projections.append((expr, alias))
@@ -525,6 +544,9 @@ class Parser:
 
     def _path_primary(self, tk: _T):
         k, v = tk.peek()
+        if v == "!":
+            tk.next()
+            return self._path_negated(tk)
         if v == "(":
             tk.next()
             p = self._path_alt(tk)
@@ -543,6 +565,47 @@ class Parser:
             tk.next()
             return RDF + "type"
         raise ValueError(f"bad path token {v!r}")
+
+    def _path_negated(self, tk: _T) -> PathNeg:
+        """After '!': PathOneInPropertySet or '(' one ('|' one)* ')'."""
+
+        def one() -> Tuple[bool, str]:
+            invert = False
+            if tk.peek()[1] == "^":
+                tk.next()
+                invert = True
+            iri = self._path_iri(tk)
+            return invert, iri
+
+        items: List[Tuple[bool, str]] = []
+        if tk.peek()[1] == "(":
+            tk.next()
+            if tk.peek()[1] != ")":
+                items.append(one())
+                while tk.peek()[1] == "|":
+                    tk.next()
+                    items.append(one())
+            tk.expect(")")
+        else:
+            items.append(one())
+        fwd = tuple(iri for invert, iri in items if not invert)
+        inv = tuple(iri for invert, iri in items if invert)
+        has_fwd = any(not invert for invert, _ in items) or not items
+        has_inv = any(invert for invert, _ in items)
+        return PathNeg(fwd if has_fwd else None, inv if has_inv else None)
+
+    def _path_iri(self, tk: _T) -> str:
+        k, v = tk.next()
+        if k == "iri":
+            return v[1:-1]
+        if k == "pname":
+            pfx, _, local = v.partition(":")
+            if pfx not in self.prefixes:
+                raise ValueError(f"undefined prefix {pfx!r}")
+            return self.prefixes[pfx] + local
+        if k == "word" and v == "a":
+            return RDF + "type"
+        raise ValueError(f"bad negated-property-set member {v!r}")
 
     def _term(self, tk: _T, predicate: bool = False) -> PatTerm:
         k, v = tk.next()
@@ -627,6 +690,7 @@ class Parser:
         else:
             expr = self._expr_or(tk)
             var = None
+        separator = self._separator(tk)
         tk.expect(")")
         if not tk.try_word("AS"):
             raise ValueError("expected AS in aggregate projection")
@@ -634,7 +698,21 @@ class Parser:
         if k3 != "var":
             raise ValueError("expected ?alias after AS")
         tk.expect(")")
-        return Aggregate(fn=fn, var=var, alias=Var(v3[1:]), distinct=distinct, expr=expr)
+        return Aggregate(fn=fn, var=var, alias=Var(v3[1:]), distinct=distinct,
+                         expr=expr, separator=separator)
+
+    def _separator(self, tk: _T) -> Optional[str]:
+        """Optional ``; SEPARATOR="..."`` tail inside GROUP_CONCAT(...)."""
+        if tk.peek()[1] != ";":
+            return None
+        tk.next()
+        if not tk.try_word("SEPARATOR"):
+            raise ValueError("expected SEPARATOR after ';' in aggregate")
+        tk.expect("=")
+        k, v = tk.next()
+        if k != "string":
+            raise ValueError("expected string after SEPARATOR=")
+        return unescape_literal(v[1:-1])
 
     # ---- expressions ----
     def _expr_primary(self, tk: _T) -> Expr:
@@ -733,8 +811,12 @@ class Parser:
                 inner: Expr = Const("*")
             else:
                 inner = self._expr_or(tk)
+            separator = self._separator(tk)
             tk.expect(")")
-            return Call("AGG:" + fn + ("/D" if distinct else ""), (inner,))
+            args: Tuple[Expr, ...] = (inner,)
+            if separator is not None:
+                args = (inner, Const("\x00SEP:" + separator))
+            return Call("AGG:" + fn + ("/D" if distinct else ""), args)
         if k == "word" and v.upper() in _BUILTINS:
             fn = v.upper()
             tk.next()
@@ -763,17 +845,26 @@ class Parser:
         return Const(self._term(tk))
 
 
+def agg_call_separator(expr: "Call") -> Optional[str]:
+    """SEPARATOR= payload smuggled through an AGG: Call's second arg."""
+    if len(expr.args) > 1 and isinstance(expr.args[1], Const) and \
+            isinstance(expr.args[1].value, str) and expr.args[1].value.startswith("\x00SEP:"):
+        return expr.args[1].value[5:]
+    return None
+
+
 def _extract_aggregate(expr: Expr):
     """If expr is a plain aggregate call (from _expr_unary AGG: path), return
-    (fn, distinct, inner_expr_or_var); else None."""
+    (fn, distinct, inner_expr_or_var, separator); else None."""
     if isinstance(expr, Call) and expr.fn.startswith("AGG:"):
         tail = expr.fn[4:]
         distinct = tail.endswith("/D")
         fn = tail[:-2] if distinct else tail
+        separator = agg_call_separator(expr)
         inner = expr.args[0]
         if isinstance(inner, Const) and inner.value == "*":
-            return (fn, distinct, None)
-        return (fn, distinct, inner)
+            return (fn, distinct, None, separator)
+        return (fn, distinct, inner, separator)
     return None
 
 
