@@ -782,6 +782,54 @@ SQL_SPARQL_GRAPH = (
 )
 
 
+XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+
+
+def q_sparql_datetime(sf_dir: str):
+    """Round-3 SPARQL surface: datetime accessors (YEAR/MONTH/DAY in BIND and
+    FILTER) + GROUP_CONCAT with SEPARATOR= over event triples (spareval
+    function library, reference src/sparql.rs:511-521)."""
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+
+    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
+        subj = f"{DE}event/" + df["event_id"].astype(str)
+        ts_rows = pd.DataFrame(
+            {
+                "subj": subj,
+                "pred": f"{DE}ts",
+                "obj": '"' + df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+                + f'"^^<{XSD_DT}>',
+            }
+        )
+        ty_rows = pd.DataFrame(
+            {"subj": subj, "pred": f"{DE}etype", "obj": '"' + df["event_type"] + '"'}
+        )
+        return pd.concat([ts_rows, ty_rows], ignore_index=True)
+
+    triples = ev.map_batches(to_triples, batch_format="pandas")
+    q = parse_query(
+        f"SELECT ?m (COUNT(*) AS ?n) "
+        f'(GROUP_CONCAT(DISTINCT ?ty ; SEPARATOR="|") AS ?types) WHERE {{ '
+        f"?e <{DE}ts> ?t . ?e <{DE}etype> ?ty "
+        f"FILTER(YEAR(?t) = 2024) BIND(MONTH(?t) AS ?m) FILTER(DAY(?t) <= 28) }} "
+        f"GROUP BY ?m"
+    )
+    return evaluate(q, DatasetSource(triples)).ds
+
+
+SQL_SPARQL_DATETIME = (
+    f"SELECT '\"'||CAST(month(ts) AS VARCHAR)||'\"^^<{XSD_INT}>' AS m, "
+    f"'\"'||CAST(COUNT(*) AS VARCHAR)||'\"^^<{XSD_INT}>' AS n, "
+    f"'\"'||string_agg(DISTINCT event_type, '|' ORDER BY event_type)||'\"' AS types "
+    f"FROM events WHERE year(ts) = 2024 AND day(ts) <= 28 GROUP BY month(ts)"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -798,6 +846,7 @@ REGISTRY = {
     "sparql_arith": (q_sparql_arith, SQL_SPARQL_ARITH),
     "sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
     "sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),
+    "sparql_datetime": (q_sparql_datetime, SQL_SPARQL_DATETIME),
     # relational coverage
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),

@@ -1697,8 +1697,10 @@ def _eval_aggregates(q: Query, vars_out: List[str], ds: rd.Dataset):
                 continue
             if a.fn == "GROUP_CONCAT":
                 sep = a.separator if a.separator is not None else " "
+                # SPARQL leaves concat order undefined; sort lexically so the
+                # result is deterministic under distributed (re)partitioning
                 row[a.alias.name] = (
-                    '"' + sep.join(effective_string(x) for x in col) + '"'
+                    '"' + sep.join(sorted(effective_string(x) for x in col)) + '"'
                 )
                 continue
             typed_vals = [_typed(x) for x in col]

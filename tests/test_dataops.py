@@ -170,10 +170,98 @@ def test_distributed_connected_components():
         {"doc_a": [1, 2, 10, 11, 20], "doc_b": [2, 3, 11, 12, 21]}
     )
     ds = rd.from_pandas(edges)
-    dist = _connected_components(ds, driver_limit=0)
+    dist_ds = _connected_components(ds, driver_limit=0)
+    assert not isinstance(dist_ds, dict)  # distributed path returns a Dataset
+    out = dist_ds.to_pandas()
+    dist = dict(zip(out["node"], out["label"]))
     drv = _connected_components(rd.from_pandas(edges), driver_limit=10**6)
+    assert isinstance(drv, dict)
     assert dist == drv
     assert dist[3] == 1 and dist[12] == 10 and dist[21] == 20
+
+
+def test_minhash_dedup_forced_distributed_paths():
+    """driver_limit=0 forces the distributed verify join, Dataset-label
+    components, and label join-back; output must match the driver path."""
+    from de_ray.dataops.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    other = "completely different words entirely unrelated content here now then"
+    third = "yet another cluster of words shared by two documents exactly " * 2
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array([base, near, other, third, third], pa.string()),
+            }
+        )
+    )
+    want = (
+        minhash_dedup(ds, threshold=0.5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = (
+        minhash_dedup(ds, threshold=0.5, driver_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert got.set_index("doc_id")["cluster_id"][1] == got.set_index("doc_id")["cluster_id"][2]
+
+
+def test_minhash_clusters_match_exact_jaccard_oracle():
+    """Property oracle for the rows-only driver query (VERDICT r2 #8):
+    cluster assignments over the sf0.001 corpus must equal an INDEPENDENT
+    exhaustive computation — pure-Python word-3-shingle sets (no hashing),
+    exact all-pairs Jaccard >= 0.8, union-find min-member labels."""
+    import itertools
+
+    import pyarrow.parquet as pq
+    from de_ray.dataops.dedup import minhash_dedup
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+    def sh(text, k=3):
+        toks = text.split()
+        if not toks:
+            return frozenset()
+        if len(toks) < k:
+            return frozenset([tuple(toks)])
+        return frozenset(tuple(toks[i : i + k]) for i in range(len(toks) - k + 1))
+
+    S = {d: sh(x) for d, x in docs.items()}
+    ids = sorted(S)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(ids, 2):
+        sa, sb = S[a], S[b]
+        if not sa and not sb:
+            j = 1.0
+        else:
+            inter = len(sa & sb)
+            uni = len(sa) + len(sb) - inter
+            j = inter / uni if uni else 0.0
+        if j >= 0.8:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in ids}
+
+    out = minhash_dedup(
+        rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+        threshold=0.8,
+    ).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == want
+    assert sum(1 for d in ids if want[d] != d) > 0  # corpus has real near-dups
 
 
 def test_lang_id_real_sentences():
