@@ -112,12 +112,13 @@ class DictionaryBuild:
     """Result handle: the sections Dataset + per-section counts."""
 
     def __init__(self, sections_ds: rd.Dataset, counts: Dict[int, int],
-                 strings_size: int = None):
+                 strings_size: int = None, timings: Dict[str, float] = None):
         self.sections = sections_ds  # (term, section, sec_rank, id) sorted by (section, term)
         self.counts = counts
         # total term codepoints, computed during the build — saves the header
         # a separate full pass over the sections (VERDICT r1 #3)
         self.strings_size = strings_size
+        self.timings = timings or {}  # phase walls, surfaced in store header
 
     @property
     def shared_count(self) -> int:
@@ -151,11 +152,20 @@ def build_dictionary(
     (exact, just cheaper than two shuffles), beyond that the distributed
     groupby → sort → per-block-offset rank path runs (the 10^12-doc path).
     """
+    import time as _time
+
+    t0 = _time.time()
     roles = triples_ds.map_batches(
         _role_partials, batch_format="pyarrow", batch_size=128 * 1024
     ).materialize()
-    if roles.count() <= driver_final_limit:
-        return _driver_final_dictionary(roles)
+    n_roles = roles.count()
+    timings = {"roles_pass": round(_time.time() - t0, 2), "role_rows": n_roles}
+    if n_roles <= driver_final_limit:
+        t1 = _time.time()
+        out = _driver_final_dictionary(roles)
+        timings["driver_final"] = round(_time.time() - t1, 2)
+        out.timings = timings
+        return out
     # distributed merge: bucket on a stable term hash, merge each bucket with
     # ONE vectorized pandas groupby (not per-term map_groups), then the
     # global (section, term) sort gives front-coding order and rank input
@@ -202,7 +212,8 @@ def build_dictionary(
         _attach_ids.remote(r, off, shared) for r, off in zip(refs, offsets)
     ]
     ranked = rd.from_arrow_refs(new_refs)
-    return DictionaryBuild(ranked, totals, strings_size)
+    timings["distributed_final"] = round(_time.time() - t0, 2) - timings["roles_pass"]
+    return DictionaryBuild(ranked, totals, strings_size, timings)
 
 
 def _driver_final_dictionary(roles: rd.Dataset) -> DictionaryBuild:

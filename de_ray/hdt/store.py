@@ -294,6 +294,7 @@ def write_store(
     header = build_header(dict_build, n_triples, per_graph, original_size)
     header["graph_list"] = graphs  # g_id → graph name (triples/ stores g_id)
     header["hdtSize"] = _dir_size(out_dir)
+    timings["dictionary_detail"] = dict_build.timings
     header["timings"] = timings
     with open(os.path.join(out_dir, "header.json"), "w") as f:
         json.dump(header, f, indent=1, sort_keys=True)
