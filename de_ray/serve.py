@@ -18,9 +18,11 @@ routes; update validation matrix ``src/serve.rs:798-962``; handler tests
 The handler is a pure function (``handle_request``) exactly like the
 reference's, so tests exercise the full matrix in-process; ``serve()``
 wraps it in a stdlib ThreadingHTTPServer. Request-time state is an
-in-memory graph registry (graph → triple list) seeded from a directory of
-stores/.hdt files — mirroring the reference's registry-of-HDTs, which also
-re-syncs and reloads per request (``src/serve.rs:158-161``).
+in-memory graph registry (graph → Arrow triples table) seeded from a
+directory of stores/.hdt files — mirroring the reference's registry-of-HDTs,
+which also re-syncs and reloads per request (``src/serve.rs:158-161``).
+Bulk loads stay columnar end-to-end (the reference likewise keeps loaded
+HDTs in their compressed in-memory form, ``src/sparql.rs:101-117``).
 """
 
 from __future__ import annotations
@@ -40,16 +42,98 @@ Triple = Tuple[str, str, str]
 # ---------------------------------------------------------------------------
 
 
+_TRIPLE_SCHEMA = None  # built lazily (pyarrow import deferred)
+
+
+def _triple_schema():
+    global _TRIPLE_SCHEMA
+    if _TRIPLE_SCHEMA is None:
+        import pyarrow as pa
+
+        _TRIPLE_SCHEMA = pa.schema(
+            [
+                ("subj", pa.large_string()),
+                ("pred", pa.large_string()),
+                ("obj", pa.large_string()),
+            ]
+        )
+    return _TRIPLE_SCHEMA
+
+
+def _tuples_to_table(triples):
+    import pyarrow as pa
+
+    rows = list(triples)
+    return pa.table(
+        {
+            "subj": pa.array([t[0] for t in rows], pa.large_string()),
+            "pred": pa.array([t[1] for t in rows], pa.large_string()),
+            "obj": pa.array([t[2] for t in rows], pa.large_string()),
+        }
+    )
+
+
+class GraphTable:
+    """One graph's triples: Arrow chunks (bulk loads stay columnar, no
+    Python tuple materialization) + a small tuple tail for incremental
+    INSERT DATA appends, folded into a chunk on first read."""
+
+    def __init__(self, table=None):
+        self._chunks = [] if table is None or table.num_rows == 0 else [table]
+        self._tail: List[Triple] = []
+
+    def append_rows(self, triples) -> None:
+        self._tail.extend(triples)
+
+    def table(self):
+        """Consolidated Arrow table (folds the tail)."""
+        import pyarrow as pa
+
+        if self._tail:
+            self._chunks.append(_tuples_to_table(self._tail))
+            self._tail = []
+        if not self._chunks:
+            return _triple_schema().empty_table()
+        if len(self._chunks) > 1:
+            self._chunks = [pa.concat_tables(self._chunks).combine_chunks()]
+        return self._chunks[0]
+
+    @property
+    def num_rows(self) -> int:
+        return sum(c.num_rows for c in self._chunks) + len(self._tail)
+
+    def __contains__(self, triple) -> bool:
+        return tuple(triple) in set(self.iter_triples())
+
+    def iter_triples(self):
+        """Tuple view — used only at serialization boundaries."""
+        t = self.table()
+        yield from zip(
+            t.column("subj").to_pylist(),
+            t.column("pred").to_pylist(),
+            t.column("obj").to_pylist(),
+        )
+
+
 class ServeState:
-    """In-memory graph registry (reference AggregateHdt, src/sparql.rs:14-17)."""
+    """In-memory graph registry (reference AggregateHdt, src/sparql.rs:14-17).
+
+    Graphs are held as Arrow tables (columnar, zero Python-tuple overhead
+    for bulk-loaded stores), mutated through the narrow append-only API the
+    update matrix allows."""
 
     def __init__(self):
-        self.graphs: Dict[str, List[Triple]] = {}
+        self.graphs: Dict[str, GraphTable] = {}
 
     @classmethod
     def from_dir(cls, path: str) -> "ServeState":
         """Load every completed store directory and ``.hdt`` file under
-        ``path`` (reference dir scan, src/serve.rs:61-72)."""
+        ``path`` (reference dir scan, src/serve.rs:61-72). Store scans stay
+        Arrow end-to-end: batches stream from the decode tasks and are
+        split per graph with vectorized filters."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         st = cls()
         if not os.path.isdir(path):
             return st
@@ -59,49 +143,85 @@ class ServeState:
                 from de_ray.hdt.store import Store
 
                 store = Store(p)
-                rows = store.pattern_scan().take_all()
-                for r in rows:
-                    st.graphs.setdefault(r["graph"], []).append(
-                        (r["subj"], r["pred"], r["obj"])
+                batches = list(
+                    store.pattern_scan().iter_batches(
+                        batch_size=256 * 1024, batch_format="pyarrow"
                     )
+                )
+                if not batches:
+                    continue
+                tbl = pa.concat_tables(batches, promote_options="permissive")
+                for g in pc.unique(tbl.column("graph")).to_pylist():
+                    sub = tbl.filter(pc.equal(tbl.column("graph"), g)).select(
+                        ["subj", "pred", "obj"]
+                    )
+                    sub = sub.cast(_triple_schema())
+                    if g in st.graphs:
+                        st.graphs[g].append_rows(
+                            zip(*(sub.column(c).to_pylist() for c in sub.column_names))
+                        )
+                    else:
+                        st.graphs[g] = GraphTable(sub.combine_chunks())
             elif name.endswith(".hdt"):
                 from de_ray.hdt.hdtfile import read_hdt_file
 
                 _hdr, triples = read_hdt_file(p)
-                st.graphs[f"file:///{name}"] = list(triples)
+                st.graphs[f"file:///{name}"] = GraphTable(_tuples_to_table(triples))
         return st
 
     def contains(self, graph: str) -> bool:
         return graph in self.graphs
+
+    def names(self) -> List[str]:
+        return sorted(self.graphs)
+
+    def create(self, graph: str) -> None:
+        self.graphs.setdefault(graph, GraphTable())
+
+    def insert(self, graph: str, triples) -> None:
+        self.graphs.setdefault(graph, GraphTable()).append_rows(triples)
+
+    def replace(self, graph: str, triples) -> None:
+        self.graphs[graph] = GraphTable(_tuples_to_table(triples))
+
+    def drop(self, graph: str) -> None:
+        self.graphs.pop(graph, None)
+
+    def drop_all(self) -> None:
+        self.graphs.clear()
 
     def source(self, named: Optional[List[str]] = None):
         return _MemSource(self, named)
 
 
 class _MemSource:
-    """TripleSource over the registry (union default graph, src/serve.rs:58)."""
+    """TripleSource over the registry (union default graph, src/serve.rs:58).
+    Scans are vectorized Arrow filters over the per-graph tables."""
 
     def __init__(self, state: ServeState, named: Optional[List[str]] = None):
         self.state = state
         self.named = named
 
-    def _triples(self):
+    def _union_table(self):
+        import pyarrow as pa
+
         names = self.named if self.named is not None else list(self.state.graphs)
-        for g in names:
-            for t in self.state.graphs.get(g, ()):
-                yield t
+        tables = [
+            self.state.graphs[g].table() for g in names if g in self.state.graphs
+        ]
+        if not tables:
+            return _triple_schema().empty_table()
+        return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
 
     def scan(self, s, p, o):
-        import pandas as pd
+        import pyarrow.compute as pc
         import ray.data as rd
 
-        rows = [
-            {"subj": ts, "pred": tp, "obj": to}
-            for (ts, tp, to) in self._triples()
-            if (s is None or ts == s) and (p is None or tp == p) and (o is None or to == o)
-        ]
-        df = pd.DataFrame(rows, columns=["subj", "pred", "obj"])
-        return rd.from_pandas(df)
+        tbl = self._union_table()
+        for col, want in (("subj", s), ("pred", p), ("obj", o)):
+            if want is not None and tbl.num_rows:
+                tbl = tbl.filter(pc.equal(tbl.column(col), want))
+        return rd.from_arrow(tbl)
 
     def graph_names(self) -> List[str]:
         names = self.named if self.named is not None else list(self.state.graphs)
@@ -265,10 +385,10 @@ def apply_update(state: ServeState, text: str) -> None:
     # execution pass
     for kind, payload, silent in ops:
         if kind == "create":
-            state.graphs.setdefault(payload, [])
+            state.create(payload)
         elif kind == "insert_data":
             for g, t in payload:
-                state.graphs.setdefault(g, []).append(t)
+                state.insert(g, [t])
         elif kind == "load":
             raise UpdateError(
                 501,
@@ -276,9 +396,9 @@ def apply_update(state: ServeState, text: str) -> None:
                 "or the /store endpoint with PUT to add new graphs.",
             )
         elif kind == "drop":
-            state.graphs.pop(payload, None)
+            state.drop(payload)
         elif kind == "drop_all":
-            state.graphs.clear()
+            state.drop_all()
 
 
 # ---------------------------------------------------------------------------
@@ -412,9 +532,11 @@ def _handle_store(method, params, headers, body, state) -> Tuple[int, str, bytes
         if target is not None:
             if not state.contains(target):
                 return 404, "text/plain", f"The graph {target} does not exist".encode()
-            triples = state.graphs[target]
+            triples = state.graphs[target].iter_triples()
         else:
-            triples = [t for g in sorted(state.graphs) for t in state.graphs[g]]
+            triples = (
+                t for g in state.names() for t in state.graphs[g].iter_triples()
+            )
         nt = "\n".join(format_nt_line(*t) for t in triples)
         return 200, "application/n-triples", (nt + "\n" if nt else "").encode()
     if method == "HEAD":
@@ -437,17 +559,17 @@ def _handle_store(method, params, headers, body, state) -> Tuple[int, str, bytes
             return 400, "text/plain", b"graph target required"
         existed = state.contains(target)
         if method == "PUT":
-            state.graphs[target] = list(triples)  # replace (src/serve.rs:390-437)
+            state.replace(target, triples)  # replace (src/serve.rs:390-437)
         else:
-            state.graphs.setdefault(target, []).extend(triples)
+            state.insert(target, triples)
         return (204 if existed else 201), "text/plain", b""
     if method == "DELETE":
         if target is None:
-            state.graphs.clear()
+            state.drop_all()
             return 204, "text/plain", b""
         if not state.contains(target):
             return 404, "text/plain", f"The graph {target} does not exist".encode()
-        del state.graphs[target]
+        state.drop(target)
         return 204, "text/plain", b""
     return 405, "text/plain", b"method not allowed"
 

@@ -14,10 +14,10 @@ EX = "http://example.org/"
 @pytest.fixture()
 def state():
     st = ServeState()
-    st.graphs["file:///banana.hdt"] = [
+    st.replace("file:///banana.hdt", [
         (f"{EX}Banana", f"{EX}hasColor", '"yellow"'),
         (f"{EX}Banana", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", f"{EX}Fruit"),
-    ]
+    ])
     return st
 
 
@@ -183,7 +183,7 @@ def test_live_socket_roundtrip(tmp_path):
     from de_ray.serve import make_server
 
     server = make_server(str(tmp_path), bind="127.0.0.1:0")
-    server.de_ray_state.graphs["file:///g.nt"] = [(f"{EX}s", f"{EX}p", '"v"')]
+    server.de_ray_state.replace("file:///g.nt", [(f"{EX}s", f"{EX}p", '"v"')])
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     try:
