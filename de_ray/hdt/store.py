@@ -41,10 +41,12 @@ from de_ray.hdt.dictionary import (
 )
 from de_ray.hdt.header import build_header, original_size_of
 from de_ray.hdt.triples import (
-    dedup_sorted_blocks,
     encode_triples,
+    finalize_sorted_blocks,
+    id_dtype_for,
     local_distinct,
     pack_adjacency_block,
+    pack_spec_for,
     sort_spo,
 )
 from de_ray.functions.agg import adaptive_grouped_sum
@@ -225,17 +227,25 @@ def write_store(
         # the encode+sort stream (raw block tasks, no executor slot)
         fut_luts = pool.submit(timed("length_luts", lambda: _length_luts(dict_build)))
         t = _time.time()
-        # ONE streaming graph: read → fingerprint-encode (fused tasks) →
-        # local-distinct combiner → SPO(+g) sort → adjacent dedup.
+        # ONE streaming graph: read → fingerprint-encode (fused tasks, IDs
+        # packed into one int64 sort key when the bit widths fit) →
+        # local-distinct combiner → SPO(+g) sort → one finalize pass
+        # (adjacent dedup + unpack + per-graph stats, fused per block).
+        pack = pack_spec_for(dict_build, graphs) if dedup else None
         id_ds = encode_triples(
-            raw_ds, dict_build, concurrency=encode_concurrency, graphs=graphs
+            raw_ds,
+            dict_build,
+            concurrency=encode_concurrency,
+            graphs=graphs,
+            pack=pack,
         )
         id_cols = ["s_id", "p_id", "o_id", "g_id"]
+        key_cols = ["spog"] if pack is not None else id_cols
         if dedup:
             # combiner: per-block C++ distinct fused with the encode tasks
             # (most duplicates are doc-local) — cuts sort-shuffle volume
             id_ds = id_ds.map_batches(
-                lambda t_, _c=tuple(id_cols): local_distinct(t_, _c),
+                lambda t_, _c=tuple(key_cols): local_distinct(t_, _c),
                 batch_format="pyarrow",
                 batch_size=None,
                 zero_copy_batch=True,
@@ -250,30 +260,44 @@ def write_store(
             n_rows = raw_ds.count()  # parquet-backed: metadata only
         except Exception:
             n_rows = None
+        row_bytes = 8 if pack is not None else 17
         n_parts = max(
-            cpus, 0 if n_rows is None else (n_rows * 17) // (128 << 20) + 1
+            cpus, 0 if n_rows is None else (n_rows * row_bytes) // (128 << 20) + 1
         )
         # g_id joins the sort key so cross-graph copies of one (s,p,o) are
         # adjacent too — required for the adjacent-equality dedup, and a
         # pure tie-break for the S/P/O order the layout needs
         sorted_ds = sort_spo(
-            id_ds.repartition(n_parts), keys=id_cols if dedup else None
+            id_ds.repartition(n_parts), keys=key_cols if dedup else None
         ).materialize()
-        if dedup:
-            sorted_ds = dedup_sorted_blocks(sorted_ds, id_cols)
         _t("encode_sort", t)
-        # stats + the two output writes all read the pinned sorted blocks
-        # and are task-only pipelines — safe to overlap all three (the
-        # stats pass moves only integers via a broadcast term-length LUT,
-        # never re-reading the strings)
-        fut_stats = pool.submit(
-            timed(
-                "stats",
-                lambda: _graph_stats_ids(
-                    sorted_ds, dict_build, graphs, luts=fut_luts.result()
-                ),
+        n_terms = sum(dict_build.counts.values())
+        if dedup:
+            # ONE fused pass over the pinned sorted blocks: dedup + unpack
+            # + per-graph stats (the separate stats scan was a pure
+            # memory-bandwidth floor at both CPU levels)
+            t = _time.time()
+            sorted_ds, n_g, b_g = finalize_sorted_blocks(
+                sorted_ds,
+                key_cols,
+                pack,
+                id_dtype_for(n_terms),
+                fut_luts.result(),
+                len(graphs),
             )
-        )
+            per_graph = {g: int(n) for g, n in zip(graphs, n_g) if n}
+            original_size = int(b_g.sum())
+            _t("finalize", t)
+            fut_stats = None
+        else:
+            fut_stats = pool.submit(
+                timed(
+                    "stats",
+                    lambda: _graph_stats_ids(
+                        sorted_ds, dict_build, graphs, luts=fut_luts.result()
+                    ),
+                )
+            )
         fut_wt = pool.submit(
             timed(
                 "write_triples",
@@ -286,7 +310,8 @@ def write_store(
                 pack_adjacency_block, batch_format="pyarrow", batch_size=256 * 1024
             ).write_parquet(os.path.join(out_dir, "adjacency"))
             _t("adjacency", t)
-        per_graph, original_size = fut_stats.result()
+        if fut_stats is not None:
+            per_graph, original_size = fut_stats.result()
         n_triples = sum(per_graph.values())
         fut_wt.result()
         if fut_fc is not None:

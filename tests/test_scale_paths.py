@@ -170,3 +170,58 @@ def test_fp_encode_gid_and_fallback(monkeypatch):
     # g_id indexes into the graphs list; every graph appears
     gids = {r[3] for r in fp_rows}
     assert gids == set(range(len(graphs)))
+
+
+def test_packed_store_matches_unpacked(tmp_path, monkeypatch):
+    """The int64 spog-packed sort/dedup/stats path must produce a store
+    byte-identical in content (triples rows + header stats) to the 4-column
+    fallback path it replaces."""
+    import json
+
+    import de_ray.hdt.store as S
+    from de_ray.hdt.store import write_store
+
+    ds = read_rdf(
+        [f"{RES}/apple.ttl", f"{RES}/banana.nt", f"{RES}/apple.ttl"]
+    ).materialize()
+    h_packed = write_store(ds, str(tmp_path / "packed"))
+    monkeypatch.setattr(S, "pack_spec_for", lambda *_a, **_k: None)
+    h_plain = write_store(ds, str(tmp_path / "plain"))
+
+    import pyarrow.parquet as pq
+
+    a = pq.read_table(str(tmp_path / "packed" / "triples")).sort_by(
+        [("s_id", "ascending"), ("p_id", "ascending"), ("o_id", "ascending"), ("g_id", "ascending")]
+    )
+    b = pq.read_table(str(tmp_path / "plain" / "triples")).sort_by(
+        [("s_id", "ascending"), ("p_id", "ascending"), ("o_id", "ascending"), ("g_id", "ascending")]
+    )
+    assert a.equals(b)
+    for k in ("void:triples", "originalSize", "numSharedSubjectObject", "graph_list"):
+        assert h_packed[k] == h_plain[k], k
+
+
+def test_pack_spec_roundtrip():
+    """Packing then unpacking recovers every (s,p,o,g) and preserves order."""
+    import numpy as np
+
+    from de_ray.hdt.dictionary import build_dictionary
+    from de_ray.hdt.triples import _pack_table, pack_spec_for
+
+    ds = read_rdf([f"{RES}/apple.ttl", f"{RES}/banana.nt"]).materialize()
+    d = build_dictionary(ds)
+    pack = pack_spec_for(d, ["file:///a", "file:///b"])
+    assert pack is not None
+    s = np.array([1, 2, d.max_subject_id() or 1], dtype=np.int64)
+    p = np.array([1, d.num_predicates() or 1, 1], dtype=np.int64)
+    o = np.array([d.max_object_id() or 1, 1, 2], dtype=np.int64)
+    g = np.array([0, 1, 0], dtype=np.int64)
+    tbl = pa.table({"s_id": s, "p_id": p, "o_id": o, "g_id": g})
+    k = _pack_table(tbl, pack).column("spog").to_numpy()
+    assert ((k >> pack.s_shift) == s).all()
+    assert (((k >> pack.p_shift) & pack.p_mask) == p).all()
+    assert (((k >> pack.o_shift) & pack.o_mask) == o).all()
+    assert ((k & pack.g_mask) == g).all()
+    # numeric order of the key == lexicographic (s,p,o,g) order
+    order = np.lexsort((g, o, p, s))
+    assert (np.argsort(k, kind="stable") == order).all()
