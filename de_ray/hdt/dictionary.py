@@ -49,27 +49,24 @@ SECTION_NAMES = {
 
 def _role_partials(batch: pa.Table) -> pa.Table:
     """Per-batch distinct (term, role flags) — shrinks the shuffle input.
-    Fully vectorized: pc.unique per column + one pandas groupby-max merge
-    (the Python-loop version cost ~45M dict ops on a 2M-doc corpus)."""
+    Pure Arrow: pc.unique per column + constant flag columns. No per-batch
+    cross-role merge — a term seen in several roles emits one row per role
+    and the global final's groupby-max folds them (the merge bought <20%
+    fewer partial rows for a pandas round-trip per batch)."""
     import numpy as np
-    import pandas as pd
 
-    frames = []
+    tables = []
+    flags = ("is_subj", "is_pred", "is_obj")
     for col, flag in (("subj", "is_subj"), ("pred", "is_pred"), ("obj", "is_obj")):
-        u = pc.unique(batch.column(col)).to_pandas()
-        f = pd.DataFrame({"term": u})
-        for other in ("is_subj", "is_pred", "is_obj"):
-            f[other] = np.int32(1) if other == flag else np.int32(0)
-        frames.append(f)
-    merged = pd.concat(frames, ignore_index=True).groupby("term", as_index=False).max()
-    return pa.table(
-        {
-            "term": pa.array(merged["term"], pa.large_string()),
-            "is_subj": pa.array(merged["is_subj"], pa.int32()),
-            "is_pred": pa.array(merged["is_pred"], pa.int32()),
-            "is_obj": pa.array(merged["is_obj"], pa.int32()),
-        }
-    )
+        u = pc.unique(batch.column(col))
+        n = len(u)
+        cols = {"term": u.cast(pa.large_string())}
+        for other in flags:
+            cols[other] = pa.array(
+                np.full(n, 1 if other == flag else 0, dtype=np.int32)
+            )
+        tables.append(pa.table(cols))
+    return pa.concat_tables(tables)
 
 
 @ray.remote

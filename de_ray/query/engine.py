@@ -1352,6 +1352,9 @@ def _static_vars(g: GroupPattern) -> List[str]:
                 add(gterm.name)
             for v in _static_vars(sub):
                 add(v)
+        elif kind == "service":
+            for v in _static_vars(payload[1]):
+                add(v)
         elif kind == "bind":
             add(payload[1].name)
         elif kind == "values":
@@ -1391,6 +1394,77 @@ def _eval_graph(payload, source) -> Bindings:
     return _union_bindings(arms)
 
 
+def _json_binding_to_canonical(b: dict) -> str:
+    """SPARQL-results-JSON term object → canonical internal string."""
+    from de_ray.model import XSD_STRING, escape_literal
+
+    t = b.get("type")
+    v = b.get("value", "")
+    if t == "uri":
+        return v
+    if t == "bnode":
+        return "_:" + v
+    # literal / typed-literal
+    s = '"' + escape_literal(v) + '"'
+    lang = b.get("xml:lang")
+    if lang:
+        return s + "@" + lang
+    dt = b.get("datatype")
+    if dt and dt != XSD_STRING:
+        return s + "^^<" + dt + ">"
+    return s
+
+
+def _service_query(endpoint: str, raw_body: str, prefixes: dict) -> Bindings:
+    """POST ``SELECT * WHERE <raw_body>`` to a SPARQL Protocol endpoint and
+    turn the JSON results into bindings (SPARQL 1.1 Federated Query §2)."""
+    import json as _json
+    import urllib.request
+
+    q = (
+        "".join(f"PREFIX {p}: <{iri}>\n" for p, iri in prefixes.items())
+        + "SELECT * WHERE "
+        + raw_body
+    )
+    req = urllib.request.Request(
+        endpoint,
+        data=q.encode("utf-8"),
+        headers={
+            "Content-Type": "application/sparql-query",
+            "Accept": "application/sparql-results+json",
+        },
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        d = _json.loads(resp.read())
+    vars_ = list(d["head"]["vars"])
+    rows = [
+        {v: _json_binding_to_canonical(b[v]) for v in vars_ if v in b}
+        for b in d["results"]["bindings"]
+    ]
+    df = pd.DataFrame(rows, columns=vars_)
+    return vars_, rd.from_pandas(df)
+
+
+def _eval_service(payload) -> Bindings:
+    """SERVICE <endpoint> { ... }: ship the body verbatim to the remote
+    SPARQL endpoint; join happens locally on the returned bindings. The
+    reference gets federation from the spareval crate
+    (/root/reference/src/sparql.rs:511-521); a SERVICE result is a small
+    remote-side answer by design, so driver-side JSON parsing is the right
+    shape (the remote endpoint did the heavy scan)."""
+    endpoint, sub, raw, prefixes, silent = payload
+    if isinstance(endpoint, Var):
+        raise ValueError("SERVICE with a variable endpoint is not supported")
+    try:
+        return _service_query(endpoint, raw, prefixes)
+    except Exception:
+        if silent:
+            # SPARQL 1.1 Federated Query §2.2: SERVICE SILENT failure yields
+            # exactly one solution with no bindings
+            return _unit_bindings()
+        raise
+
+
 def _eval_group(g: GroupPattern, source) -> Bindings:
     cur: Optional[Bindings] = None
     for kind, payload in g.elements:
@@ -1416,6 +1490,9 @@ def _eval_group(g: GroupPattern, source) -> Bindings:
             cur = (cur[0], _semi_anti_join(cur[1], sds, shared, anti=True))
         elif kind == "graph":
             nxt = _eval_graph(payload, source)
+            cur = nxt if cur is None else _join_bindings(cur, nxt)
+        elif kind == "service":
+            nxt = _eval_service(payload)
             cur = nxt if cur is None else _join_bindings(cur, nxt)
         elif kind == "subselect":
             res = evaluate(payload, source)

@@ -143,6 +143,8 @@ class GroupPattern:
       - ``("minus", GroupPattern)``
       - ``("group", GroupPattern)``        (nested { ... } joined in)
       - ``("graph", (PatTerm, GroupPattern))``
+      - ``("service", (PatTerm, GroupPattern, str, Dict[str, str], bool))``
+        (endpoint, parsed body, raw body text, prefix snapshot, silent)
       - ``("subselect", Query)``
       - ``("bind", (Expr, Var))``
       - ``("values", (List[Var], List[List[Optional[str]]]))``
@@ -238,6 +240,19 @@ _BUILTINS = (
 )
 
 _AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
+
+
+def _tokens_to_text(toks) -> str:
+    """Re-join a token span into equivalent SPARQL text. Tokens are
+    whitespace-separable except literal suffixes (``"x"^^<dt>``, ``"x"@en``),
+    which the grammar requires adjacent to their string."""
+    out: List[str] = []
+    for k, v in toks:
+        if out and (k in ("dtype", "langtag") or out[-1].endswith("^^")):
+            out[-1] += v
+        else:
+            out.append(v)
+    return " ".join(out)
 
 
 class _T:
@@ -429,6 +444,26 @@ class Parser:
                 else:
                     gterm = self._term(tk)
                 g.elements.append(("graph", (gterm, self._group(tk))))
+                continue
+            if k == "word" and v.upper() == "SERVICE":
+                tk.next()
+                silent = bool(tk.try_word("SILENT"))
+                ks, vs = tk.peek()
+                if ks == "var":
+                    tk.next()
+                    ep: PatTerm = Var(vs[1:])
+                else:
+                    ep = self._term(tk)
+                # capture the body's raw token span alongside the parse: the
+                # engine re-sends the body VERBATIM to the remote endpoint
+                # (SPARQL 1.1 Federated Query) instead of re-serializing the
+                # algebra tree
+                start = tk.pos
+                body = self._group(tk)
+                raw = _tokens_to_text(tk.toks[start : tk.pos])
+                g.elements.append(
+                    ("service", (ep, body, raw, dict(self.prefixes), silent))
+                )
                 continue
             if k == "word" and v.upper() == "BIND":
                 tk.next()

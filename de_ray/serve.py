@@ -433,6 +433,48 @@ def _negotiate(accept: str, table: Dict[str, str], default: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Query UI (reference bundles YASGUI at "/", src/serve.rs:163-194; no
+# third-party assets exist in this environment, so a self-contained minimal
+# editor stands in: textarea → POST /query → table of JSON bindings)
+# ---------------------------------------------------------------------------
+
+_UI_HTML = b"""<!doctype html>
+<html><head><meta charset="utf-8"><title>de_ray SPARQL endpoint</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;max-width:60rem}
+ textarea{width:100%;height:10rem;font-family:monospace;font-size:0.9rem}
+ table{border-collapse:collapse;margin-top:1rem}
+ td,th{border:1px solid #999;padding:0.25rem 0.5rem;font-family:monospace}
+ #err{color:#b00;white-space:pre-wrap}
+</style></head><body>
+<h1>de_ray SPARQL endpoint</h1>
+<textarea id="q">SELECT ?s ?p ?o WHERE { ?s ?p ?o } LIMIT 25</textarea><br>
+<button onclick="run()">Run</button> <span id="err"></span>
+<div id="out"></div>
+<script>
+async function run(){
+  const err=document.getElementById('err'), out=document.getElementById('out');
+  err.textContent=''; out.innerHTML='';
+  const r=await fetch('/query',{method:'POST',
+    headers:{'Content-Type':'application/sparql-query',
+             'Accept':'application/sparql-results+json'},
+    body:document.getElementById('q').value});
+  if(!r.ok){err.textContent=await r.text();return}
+  const d=await r.json();
+  if('boolean' in d){out.textContent='ASK: '+d.boolean;return}
+  const vars=d.head.vars, rows=d.results.bindings;
+  let h='<table><tr>'+vars.map(v=>'<th>?'+v+'</th>').join('')+'</tr>';
+  for(const b of rows){
+    h+='<tr>'+vars.map(v=>'<td>'+(v in b?b[v].value.replace(/&/g,'&amp;')
+      .replace(/</g,'&lt;'):'')+'</td>').join('')+'</tr>';
+  }
+  out.innerHTML=h+'</table>';
+}
+</script></body></html>
+"""
+
+
+# ---------------------------------------------------------------------------
 # Handler (pure function — mirrors reference handle_request)
 # ---------------------------------------------------------------------------
 
@@ -452,7 +494,7 @@ def handle_request(
 
     try:
         if route == "/" and method in ("GET", "HEAD"):
-            return 200, "text/html", b"<html><body>de_ray SPARQL endpoint</body></html>"
+            return 200, "text/html", _UI_HTML
         if route == "/query" and method in ("GET", "POST"):
             return _handle_query(method, params, headers, body, state)
         if route == "/update":

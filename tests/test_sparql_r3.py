@@ -354,3 +354,79 @@ def test_encode_with_fp_raises_on_missing_term():
     })
     with pytest.raises(ValueError, match="missing from the"):
         _encode_with_fp(fp_spaces, bad)
+
+
+# --- SERVICE federation (SPARQL 1.1 Federated Query) -------------------------
+
+
+def test_service_federation_join(tmp_path, people):
+    """SERVICE body ships to a live SPARQL-protocol endpoint; the returned
+    bindings join locally with the outer pattern."""
+    import threading
+
+    from de_ray.serve import make_server
+
+    server = make_server(str(tmp_path), bind="127.0.0.1:0")
+    server.de_ray_state.replace(
+        "file:///remote.nt",
+        [
+            ("http://example.org/alice", "http://example.org/city", '"Paris"'),
+            ("http://example.org/carol", "http://example.org/city", '"Oslo"'),
+        ],
+    )
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        host, port = server.server_address
+        q = (
+            EX + "SELECT ?who ?city WHERE { ?who ex:name ?n . "
+            f"SERVICE <http://{host}:{port}/query> {{ ?who ex:city ?city }} }}"
+        )
+        rows = _rows(evaluate(parse_query(q), people))
+        got = {(r["who"], r["city"]) for r in rows}
+        assert got == {
+            ("http://example.org/alice", '"Paris"'),
+            ("http://example.org/carol", '"Oslo"'),
+        }
+    finally:
+        server.shutdown()
+
+
+def test_service_silent_failure_is_unit(people):
+    """SERVICE SILENT against an unreachable endpoint yields one empty
+    solution — the outer pattern passes through unchanged."""
+    q = (
+        EX + "SELECT ?who WHERE { ?who ex:name ?n . "
+        "SERVICE SILENT <http://127.0.0.1:9/query> { ?who ex:city ?c } }"
+    )
+    rows = _rows(evaluate(parse_query(q), people))
+    assert {r["who"] for r in rows} == {
+        "http://example.org/alice",
+        "http://example.org/carol",
+    }
+
+
+def test_service_hard_failure_raises(people):
+    q = (
+        EX + "SELECT ?who WHERE { "
+        "SERVICE <http://127.0.0.1:9/query> { ?who ex:city ?c } }"
+    )
+    with pytest.raises(Exception):
+        _rows(evaluate(parse_query(q), people))
+
+
+def test_service_raw_body_roundtrip():
+    """The captured raw body re-tokenizes to the same token stream,
+    including adjacent literal suffixes."""
+    from de_ray.query.parser import _T, _tokens_to_text
+
+    q = (
+        'SELECT ?s WHERE { SERVICE <http://h/q> { ?s <http://p> '
+        '"5"^^<http://www.w3.org/2001/XMLSchema#integer> ; <http://q> "x"@en } }'
+    )
+    parsed = parse_query(q)
+    kind, payload = parsed.where.elements[0]
+    assert kind == "service"
+    raw = payload[2]
+    assert raw.startswith("{") and raw.endswith("}")
+    assert '"5"^^<http://www.w3.org/2001/XMLSchema#integer>' in raw
+    assert '"x"@en' in raw
