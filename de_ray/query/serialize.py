@@ -45,7 +45,7 @@ def solutions_to_csv(res: SolutionsResult) -> str:
     lines = [",".join(res.variables)]
     for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
         for r in batch.itertuples(index=False):
-            row = dict(zip(res.variables, r))
+            row = dict(zip(batch.columns, r))
             lines.append(
                 ",".join(_csv_field(_norm(row.get(v))) for v in res.variables)
             )
@@ -64,7 +64,7 @@ def solutions_to_tsv(res: SolutionsResult) -> str:
     lines = ["\t".join("?" + v for v in res.variables)]
     for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
         for r in batch.itertuples(index=False):
-            row = dict(zip(res.variables, r))
+            row = dict(zip(batch.columns, r))
             lines.append(
                 "\t".join(
                     canonical_to_nt(row[v]) if _norm(row.get(v)) is not None else ""
@@ -92,7 +92,7 @@ def solutions_to_json(res: SolutionsResult) -> str:
     bindings = []
     for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
         for r in batch.itertuples(index=False):
-            row = dict(zip(res.variables, r))
+            row = dict(zip(batch.columns, r))
             b = {}
             for v in res.variables:
                 val = _norm(row.get(v))
@@ -128,7 +128,7 @@ def solutions_to_xml(res: SolutionsResult) -> str:
     rows = []
     for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
         for r in batch.itertuples(index=False):
-            row = dict(zip(res.variables, r))
+            row = dict(zip(batch.columns, r))
             bindings = "".join(
                 f'<binding name="{v}">{_xml_term(row[v])}</binding>'
                 for v in res.variables

@@ -194,3 +194,52 @@ def test_construct_turtle_is_valid_nt_subset(pineapple_store):
     assert parse_turtle(ttl) == [
         ("http://example.org/Pineapple", "http://example.org/hasColor", '"yellow"')
     ]
+
+
+def test_serializers_respect_projection_order_when_columns_differ():
+    """The engine may emit result columns in join order, not projection
+    order (e.g. SELECT ?n ?reg ?nname over a two-pattern BGP returns
+    (n, nname, reg)). Every serializer must key values by the ACTUAL column
+    names, not zip projection-order variables onto positional tuples —
+    regression test for the swapped-bindings bug found via SERVICE
+    federation returning 0 joined rows."""
+    import json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from de_ray.query.serialize import (
+        solutions_to_csv,
+        solutions_to_json,
+        solutions_to_tsv,
+        solutions_to_xml,
+    )
+
+    class Res:
+        variables = ["n", "reg", "nname"]
+        # column order differs from projection order
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "n": ["http://x/nation/0"],
+                    "nname": ['"N0"'],
+                    "reg": ["http://x/region/0"],
+                }
+            )
+        )
+
+    doc = json.loads(solutions_to_json(Res()))
+    b = doc["results"]["bindings"][0]
+    assert b["reg"]["value"] == "http://x/region/0"
+    assert b["nname"] == {"type": "literal", "value": "N0"}
+    assert doc["head"]["vars"] == ["n", "reg", "nname"]
+
+    csv = solutions_to_csv(Res()).splitlines()
+    assert csv[0] == "n,reg,nname"
+    assert csv[1] == "http://x/nation/0,http://x/region/0,N0"
+
+    tsv = solutions_to_tsv(Res()).splitlines()
+    assert tsv[1].split("\t") == ["<http://x/nation/0>", "<http://x/region/0>", '"N0"']
+
+    xml = solutions_to_xml(Res())
+    assert '<binding name="reg"><uri>http://x/region/0</uri></binding>' in xml
