@@ -830,6 +830,74 @@ SQL_SPARQL_DATETIME = (
 )
 
 
+def q_sparql_service(sf_dir: str):
+    """Round-3 SPARQL surface: SERVICE federation (SPARQL 1.1 Federated
+    Query; reference via spareval, src/sparql.rs:511-521). The nation→region
+    arcs live in a REMOTE endpoint (a live local SPARQL-protocol server);
+    region names are local. The engine ships the SERVICE body verbatim and
+    joins the returned bindings with the local pattern."""
+    import threading
+
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+    from de_ray.serve import make_server
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    remote = [
+        (f"{DE}nation/{k}", f"{DE}inRegion", f"{DE}region/{r}")
+        for k, r in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+    ] + [
+        (f"{DE}nation/{k}", f"{DE}name", f'"{n}"')
+        for k, n in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    ]
+    server = make_server(f"{sf_dir}/__no_stores__", bind="127.0.0.1:0")
+    server.de_ray_state.replace("file:///nations.nt", remote)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address
+        local = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "subj": [
+                        f"{DE}region/{k}"
+                        for k in region.column("r_regionkey").to_pylist()
+                    ],
+                    "pred": f"{DE}name",
+                    "obj": [
+                        f'"{n}"' for n in region.column("r_name").to_pylist()
+                    ],
+                }
+            )
+        )
+        q = parse_query(
+            f"SELECT ?nname ?rname WHERE {{ "
+            f"SERVICE <http://{host}:{port}/query> {{ "
+            f"?n <{DE}inRegion> ?reg . ?n <{DE}name> ?nname }} "
+            f"?reg <{DE}name> ?rname }}"
+        )
+        # the SERVICE HTTP round-trip happens inside evaluate(); the local
+        # join is lazy but needs no further endpoint access
+        return evaluate(q, DatasetSource(local)).ds
+    finally:
+        server.shutdown()
+
+
+SQL_SPARQL_SERVICE = (
+    "SELECT '\"'||n_name||'\"' AS nname, '\"'||r_name||'\"' AS rname "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -847,6 +915,7 @@ REGISTRY = {
     "sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
     "sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),
     "sparql_datetime": (q_sparql_datetime, SQL_SPARQL_DATETIME),
+    "sparql_service": (q_sparql_service, SQL_SPARQL_SERVICE),
     # relational coverage
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
