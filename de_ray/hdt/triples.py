@@ -114,8 +114,25 @@ def _pack_table(tbl: pa.Table, pack: PackSpec) -> pa.Table:
 
 
 def fingerprint_strings(arr: pa.Array):
-    """Deterministic uint64 per string (pandas hash_pandas_object with the
-    fixed default key — identical across processes and nodes)."""
+    """Deterministic uint64 per string — identical across processes and
+    nodes within one environment (fixed seeds; the encode path verifies
+    every lookup against the stored fingerprint and fails loudly on any
+    drift, so a version skew can mis-route nothing silently).
+
+    Polars' multithreaded xxhash-family kernel when available: hashing the
+    term dictionary was a ~4 s SERIAL driver floor at every CPU level with
+    pandas' per-object siphash (measured 2M terms: polars 0.05 s vs pandas
+    4.0 s including the to_pandas object materialization)."""
+    try:
+        import polars as pl
+
+        if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+            s = pl.from_arrow(arr)
+        else:  # pandas Series
+            s = pl.from_pandas(arr)
+        return s.hash(seed=0).to_numpy()
+    except ImportError:
+        pass
     import pandas as pd
 
     s = arr.to_pandas() if not isinstance(arr, pd.Series) else arr
@@ -152,7 +169,10 @@ def fp_spaces_from_table(tbl: pa.Table):
             zero_copy_only=False
         )
         fps = fps_all[mask]
-        order = np.argsort(fps, kind="stable")
+        # default quicksort: with no duplicate fingerprints the permutation
+        # is unique regardless of sort stability, and the duplicate case
+        # returns None (collision fallback) — tie order never matters
+        order = np.argsort(fps)
         sfps = fps[order]
         if len(sfps) > 1 and (sfps[1:] == sfps[:-1]).any():
             return None
@@ -164,6 +184,8 @@ def collect_sections_table(dict_build: DictionaryBuild) -> pa.Table:
     """Concatenate the sections Dataset into one Arrow table (term, section,
     id) — the broadcast form. Arrow stays zero-copy in the object store;
     workers derive their lookup dicts from it once per process."""
+    if getattr(dict_build, "local_tbl", None) is not None:
+        return dict_build.local_tbl.select(["term", "section", "id"])
     batches = list(
         dict_build.sections.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
     )
