@@ -157,6 +157,14 @@ def run_scaling() -> dict:
             waited += 15
         return la
 
+    def cpu_stat() -> dict:
+        """Aggregate /proc/stat cpu line — used to attribute wall-clock noise
+        to the HYPERVISOR (steal) or IO rather than the engine. This sandbox
+        shows loadavg spikes with 96% idle CPUs: loadavg alone cannot gate."""
+        f = open("/proc/stat").readline().split()
+        keys = ("user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal")
+        return dict(zip(keys, map(int, f[1:9])))
+
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
@@ -177,6 +185,7 @@ def run_scaling() -> dict:
         for _attempt in range(2):  # one retry: leftover session state from the
             # previous level occasionally kills a fresh ray.init
             la = wait_quiet()
+            s0 = cpu_stat()
             proc = subprocess.run(
                 [sys.executable, "bench.py"],
                 env=env,
@@ -184,9 +193,16 @@ def run_scaling() -> dict:
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
+            s1 = cpu_stat()
             if proc.returncode == 0 and proc.stdout.strip():
                 out = json.loads(proc.stdout.strip().splitlines()[-1])
                 out["loadavg_before"] = la
+                total = max(1, sum(s1.values()) - sum(s0.values()))
+                # % of all-CPU time stolen by the hypervisor / lost to IO
+                # during this child — a high steal% marks the trial as
+                # externally contaminated, independent of loadavg
+                out["steal_pct"] = round(100 * (s1["steal"] - s0["steal"]) / total, 2)
+                out["iowait_pct"] = round(100 * (s1["iowait"] - s0["iowait"]) / total, 2)
                 return out
             last_err = proc.stderr[-2000:]
         raise RuntimeError(f"bench child (num_cpus={ncpu}) failed:\n{last_err}")
@@ -206,6 +222,8 @@ def run_scaling() -> dict:
         "sf": r_hi.get("sf"),
         "num_cpus": [lo, hi],
         "loadavg_before": [r_lo.get("loadavg_before"), r_hi.get("loadavg_before")],
+        "steal_pct": [r_lo.get("steal_pct"), r_hi.get("steal_pct")],
+        "iowait_pct": [r_lo.get("iowait_pct"), r_hi.get("iowait_pct")],
         "store_timings": [r_lo.get("store_timings"), r_hi.get("store_timings")],
     }
 
