@@ -207,7 +207,13 @@ def run_scaling() -> dict:
             last_err = proc.stderr[-2000:]
         raise RuntimeError(f"bench child (num_cpus={ncpu}) failed:\n{last_err}")
 
-    lo, hi = 8, 32
+    # N and 4N CPUs; default 8→32. GRAFT_SCALING_CPUS="6,24" measures the
+    # same 4× ratio while leaving vCPU headroom for hypervisor steal — this
+    # shared host shows 5-17% steal bursts (recorded per child below) that
+    # hit a 32-of-32-vCPU child far harder than an 8-CPU one, biasing the
+    # ratio downward without measuring the engine.
+    pair = os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    lo, hi = int(pair[0]), int(pair[1])
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)  # 1.0 == linear scaling
