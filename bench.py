@@ -99,6 +99,7 @@ def run_bench() -> dict:
         "token_counts",
         "ann_topk",
         "minhash_clusters",
+        "ngram_jaccard",
     ]
     q_trials = int(os.environ.get("GRAFT_QUERY_TRIALS", "2"))
     q_times = {}

@@ -679,3 +679,133 @@ def simhash_stage(ds, concurrency=(1, 8)):
 
 def hamming_distance(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup pairs (inverted-index join, no sketching)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    ds,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_buckets: int = 32,
+    max_df: "int | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """EXACT all-pairs n-gram Jaccard ≥ ``threshold`` via a distributed
+    inverted index — the ground-truth complement to ``minhash_dedup``'s
+    sketched pipeline (same word-``k``-shingle definition, see
+    ``_batch_shingles``).
+
+    Plan: one shingle pass (doc → distinct shingle-hash rows, each row
+    carrying the doc's full set size so NO sizes join is ever needed) →
+    bucket shingles by hash → per-bucket self-merge yields partial |A∩B|
+    counts → pair-keyed merge (``adaptive_grouped_apply`` — one vectorized
+    pandas kernel per hash bucket, NEVER ``Dataset.aggregate``, whose
+    sort-based reduce costs ~0.4 ms per distinct group and is pathological
+    at millions of pairs) sums partials and computes jac → filter. Two
+    shuffles total, both over small int rows; nothing touches the driver
+    above the adaptive limit.
+
+    Exactness caveat: a shingle shared by f docs contributes f·(f-1)/2 pair
+    rows; ``max_df`` (optional) drops hotter shingles WITH a logged count —
+    never silently. Leave it None for exact results (the default and what the
+    DuckDB oracle checks)."""
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = np.asarray(batch.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+        vals, offsets = _batch_shingles(texts, k)
+        out_ids: List[np.ndarray] = []
+        out_sh: List[np.ndarray] = []
+        out_n: List[np.ndarray] = []
+        for i in range(len(texts)):
+            u = np.unique(vals[offsets[i] : offsets[i + 1]])
+            out_ids.append(np.full(len(u), ids[i], dtype=np.int64))
+            out_n.append(np.full(len(u), len(u), dtype=np.int64))
+            out_sh.append(u)
+        sh = (
+            np.concatenate(out_sh).astype(np.uint64)
+            if out_sh
+            else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(out_ids) if out_ids else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                # mask to int63 so the column is a plain int64 arrow type
+                "sh": pa.array(
+                    (sh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64), pa.int64()
+                ),
+                "n_sh": pa.array(
+                    np.concatenate(out_n) if out_n else np.empty(0, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    sh_ds = ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df["_bucket"] = (df["sh"] % num_buckets).astype("int64")
+        return df
+
+    def bucket_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if max_df is not None:
+            df_per_sh = g.groupby("sh", sort=False)["sh"].transform("size")
+            dropped = int((df_per_sh > max_df).sum())
+            if dropped:
+                print(f"ngram_jaccard_pairs: dropping {dropped} postings with df>{max_df}")
+            g = g[df_per_sh <= max_df]
+        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        c = m.groupby(["doc_id_a", "doc_id_b"], sort=False).agg(
+            c=("sh", "size"), n_a=("n_sh_a", "first"), n_b=("n_sh_b", "first")
+        )
+        idx = c.index
+        return pd.DataFrame(
+            {
+                "doc_a": idx.get_level_values(0).astype("int64"),
+                "doc_b": idx.get_level_values(1).astype("int64"),
+                "c": c["c"].values.astype("int64"),
+                "n_a": c["n_a"].values.astype("int64"),
+                "n_b": c["n_b"].values.astype("int64"),
+            }
+        )
+
+    partial = (
+        sh_ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(bucket_pair_counts, batch_format="pandas")
+    )
+
+    def pair_final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "jac": pd.Series([], dtype="float64"),
+                }
+            )
+        # n_a/n_b are constant per pair (full-doc sizes stamped in explode)
+        g = df.groupby(["doc_a", "doc_b"], sort=False).agg(
+            c=("c", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
+        jac = g["c"].astype("float64") / (g["n_a"] + g["n_b"] - g["c"]).astype("float64")
+        idx = g.index
+        out = pd.DataFrame(
+            {
+                "doc_a": idx.get_level_values(0).astype("int64"),
+                "doc_b": idx.get_level_values(1).astype("int64"),
+                "jac": jac.to_numpy(),
+            }
+        )
+        return out[out["jac"] >= threshold]
+
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    return adaptive_grouped_apply(partial, ["doc_a", "doc_b"], pair_final)

@@ -302,3 +302,193 @@ def _dedup_pairs(cand):
     return adaptive_grouped_apply(
         cand, ["vec_a", "vec_b"], lambda df: df.drop_duplicates(["vec_a", "vec_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the similarity scale path with read pruning
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    ds,
+    nlist: int = 64,
+    sample_size: int = 65536,
+    iters: int = 10,
+    seed: int = 42,
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means: kmeans++ init from a fixed seed +
+    Lloyd iterations over a corpus-prefix sample. The sample is tiny relative
+    to the corpus (training reads ``sample_size`` rows ONCE); assignment of
+    the full corpus stays distributed. Returns a normalized (nlist, d)
+    centroid matrix — same planes-everywhere philosophy as HyperplaneLSH."""
+    rows: List[np.ndarray] = []
+    seen = 0
+    for batch in ds.limit(sample_size).iter_batches(
+        batch_size=16 * 1024, batch_format="pyarrow"
+    ):
+        rows.append(_normalize(_to_matrix(batch.column(emb_col))))
+        seen += len(rows[-1])
+        if seen >= sample_size:
+            break
+    m = np.concatenate(rows)[:sample_size]
+    n = m.shape[0]
+    k = min(nlist, n)
+    rng = np.random.RandomState(seed)
+
+    # kmeans++ seeding on cosine distance (1 - dot on normalized vectors)
+    centroids = np.empty((k, m.shape[1]), dtype=np.float64)
+    centroids[0] = m[rng.randint(n)]
+    closest = 1.0 - m @ centroids[0]
+    for c in range(1, k):
+        w = np.maximum(closest, 0)
+        probs = w / w.sum() if w.sum() > 0 else np.full(n, 1.0 / n)
+        centroids[c] = m[rng.choice(n, p=probs)]
+        closest = np.minimum(closest, 1.0 - m @ centroids[c])
+
+    for _ in range(iters):
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                centroids[c] = m[mask].mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def assign_ivf_lists(
+    ds,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+):
+    """Add an ``ivf_list`` int32 column (nearest-centroid id) — one broadcast
+    of the centroid matrix, one matmul per batch."""
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from de_ray.state.broadcast import get_broadcast
+
+        c = get_broadcast(c_ref)
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        lists = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists, pa.int32()))
+
+    return ds.map_batches(tag, batch_format="pyarrow", batch_size=16 * 1024)
+
+
+def ivf_partition(
+    ds,
+    out_dir: str,
+    nlist: int = 64,
+    sample_size: int = 65536,
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Build the on-disk IVF store: hive-partitioned parquet keyed by
+    ``ivf_list`` (one directory per inverted list — resumable, prunable at
+    the read) + ``_centroids.npy`` (underscore prefix: parquet readers skip it). Returns the centroid matrix."""
+    import os
+
+    centroids = train_ivf_centroids(
+        ds, nlist=nlist, sample_size=sample_size, emb_col=emb_col
+    )
+    tagged = assign_ivf_lists(ds, centroids, emb_col=emb_col)
+    tagged.write_parquet(out_dir, partition_cols=["ivf_list"])
+    np.save(os.path.join(out_dir, "_centroids.npy"), centroids)
+    return centroids
+
+
+def _probe_sets(q: np.ndarray, centroids: np.ndarray, nprobe: int) -> np.ndarray:
+    """(nq, nprobe) nearest-centroid ids per query."""
+    nprobe = min(nprobe, centroids.shape[0])
+    d = q @ centroids.T  # (nq, nlist)
+    return np.argsort(-d, kind="stable", axis=1)[:, :nprobe].astype(np.int32)
+
+
+def ivf_topk(
+    ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: Optional[np.ndarray] = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """IVF ANN over an in-memory/lazy Dataset: each batch row is scored for a
+    query only when its nearest-centroid list is in that query's ``nprobe``
+    probe set. ``nprobe == nlist`` degenerates to exhaustive search (equal to
+    :func:`brute_force_topk` — the DuckDB-checkable configuration); smaller
+    nprobe trades recall for a ~nlist/nprobe scan reduction. For the on-disk
+    variant that skips unprobed partitions at the READ, see
+    :func:`ivf_topk_from_store`."""
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, nlist=nlist, emb_col=emb_col)
+    probes = _probe_sets(q, centroids, nprobe)
+    ref = ray.put((q, probes, np.asarray(centroids, dtype=np.float64)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from de_ray.state.broadcast import get_broadcast
+
+        qm, pr, c = get_broadcast(ref)
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        lists = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        rows_q, rows_id, rows_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(lists, pr[qi])
+            if not mask.any():
+                continue
+            scores = m[mask] @ qm[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(scores))
+            sel = np.argpartition(-scores, kth=kk - 1)[:kk]
+            rows_q.extend([qi] * kk)
+            rows_id.extend(sub_ids[sel].tolist())
+            rows_s.extend(scores[sel].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(rows_q, pa.int64()),
+                "vec_id": pa.array(rows_id, pa.int64()),
+                "score": pa.array(rows_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=16 * 1024)
+    return _topk_final(partials, k)
+
+
+def ivf_topk_from_store(
+    store_dir: str,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Search an :func:`ivf_partition` store. Only partitions in some query's
+    probe set are READ — pruning happens at the PATH level with a
+    ``PathPartitionFilter`` over the hive ``ivf_list=`` directories, so
+    unprobed lists never leave storage (an expression ``filter=`` cannot do
+    this: Ray binds it against the fragment's physical schema, which excludes
+    hive columns). Each batch then masks rows to the queries probing that
+    row's list, re-deriving list ids from the stored centroids (one tiny
+    matmul — cheaper than round-tripping the partition column)."""
+    import os
+
+    import ray.data as rd
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    centroids = np.load(os.path.join(store_dir, "_centroids.npy"))
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probes = _probe_sets(q, centroids, nprobe)
+    wanted = {str(int(x)) for x in probes.reshape(-1)}
+
+    def keep(kv) -> bool:
+        return kv.get("ivf_list") in wanted
+
+    ds = rd.read_parquet(store_dir, partition_filter=PathPartitionFilter.of(keep))
+    return ivf_topk(
+        ds, query_vecs, k=k, nprobe=nprobe, centroids=centroids,
+        id_col=id_col, emb_col=emb_col,
+    )

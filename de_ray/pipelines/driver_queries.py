@@ -633,6 +633,112 @@ SQL_TOPK_PER_ORDER = (
 )
 
 
+def q_ivf_topk_exact(sf_dir: str):
+    """IVF ANN in its exhaustive configuration (nprobe == nlist): every
+    inverted list is probed, so the result must equal brute-force top-k —
+    which the ann_topk DuckDB oracle can check. The approximate (nprobe <
+    nlist) and partitioned-store paths are recall-tested in pytest."""
+    from de_ray.dataops.similarity import ivf_topk
+
+    emb_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q0 = np.asarray(emb_tbl.column("embedding").to_pylist()[:1], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(ds, q0, k=10, nlist=8, nprobe=8).select_columns(["vec_id", "score"])
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df["score_r"] = df["score"].round(4)
+        return df[["vec_id", "score_r"]]
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+SQL_IVF_TOPK_EXACT = SQL_ANN_TOPK
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT word-3-gram Jaccard near-dup pairs (threshold 0.5) — the
+    ground-truth dedup path the MinHash pipeline approximates; fully
+    SQL-checkable, unlike the sketch."""
+    from de_ray.dataops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5, k=3)
+
+
+SQL_NGRAM_JACCARD = (
+    "WITH toks AS (SELECT doc_id, [x for x in string_split(text,' ') if x <> ''] AS ws "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3 "
+    "THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) "
+    "WHEN len(ws) > 0 THEN [list_aggregate(ws, 'string_agg', ' ')] ELSE [] END) AS s "
+    "FROM toks), "
+    "dsh AS (SELECT DISTINCT doc_id, s FROM sh), "
+    "sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
+    "FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT da AS doc_a, db AS doc_b, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jac "
+    "FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db "
+    "WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5"
+)
+
+
+_CLONE_OFF = 1 << 30
+
+
+def q_minhash_dup_property(sf_dir: str):
+    """Property oracle for the MinHash sketch (VERDICT r2 #8): clone every
+    document under doc_id+2^30, run the full minhash_dedup pipeline on the
+    doubled corpus, and report per original doc whether its exact clone
+    landed in the same cluster. Identical text ⇒ identical shingles ⇒
+    identical signature ⇒ band collision ⇒ Jaccard 1.0 ⇒ same component —
+    deterministically 1 for every doc, which is what the SQL oracle asserts.
+    A broken hasher/bander/verifier/union step makes this 0 somewhere."""
+    from de_ray.dataops.dedup import minhash_dedup
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def clone(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(t.column("doc_id"), pa.scalar(_CLONE_OFF, pa.int64())),
+        )
+
+    aug = docs.union(docs.map_batches(clone, batch_format="pyarrow"))
+    cl = minhash_dedup(aug, threshold=0.8)
+
+    def orig(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "orig_id": (df["doc_id"] % _CLONE_OFF).astype("int64"),
+                "cluster_id": df["cluster_id"].astype("int64"),
+            }
+        )
+
+    def same_cluster_final(df: pd.DataFrame) -> pd.DataFrame:
+        # one group per doc → many tiny groups: vectorized bucket kernel,
+        # never Dataset.aggregate (sort-reduce pays ~0.4 ms per group)
+        g = df.groupby("orig_id", sort=False)["cluster_id"].agg(["min", "max"])
+        return pd.DataFrame(
+            {
+                "doc_id": g.index.astype("int64"),
+                "same_cluster": (g["min"] == g["max"]).astype("int64"),
+            }
+        )
+
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    return adaptive_grouped_apply(
+        cl.map_batches(orig, batch_format="pandas"), "orig_id", same_cluster_final
+    )
+
+
+SQL_MINHASH_DUP_PROPERTY = (
+    "SELECT doc_id, CAST(1 AS BIGINT) AS same_cluster FROM documents"
+)
+
+
 # --- rows-only checks (non-SQL-expressible) --------------------------------
 
 
@@ -937,6 +1043,9 @@ REGISTRY = {
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "cosine_near_dup": (q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
+    "ivf_topk_exact": (q_ivf_topk_exact, SQL_IVF_TOPK_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_dup_property": (q_minhash_dup_property, SQL_MINHASH_DUP_PROPERTY),
     # rows-only (non-SQL-expressible: model/sketch/stateful ops)
     "lang_id": (q_lang_id, None),
     "cosine_near_dup_lsh": (q_cosine_near_dup_lsh, None),

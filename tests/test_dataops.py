@@ -279,3 +279,149 @@ def test_lang_id_real_sentences():
     }
     for lang, text in tests.items():
         assert l.predict(text) == lang, (lang, l.predict(text))
+
+
+def test_ngram_jaccard_pairs_exact():
+    """ngram_jaccard_pairs must equal an independent pure-Python exhaustive
+    all-pairs Jaccard over word-3-shingle SETS, including short-doc (<k
+    tokens = one shingle) and empty-doc (no shingles, never a pair) edges."""
+    import itertools
+
+    from de_ray.dataops.dedup import ngram_jaccard_pairs
+
+    docs = {
+        1: "a b c d e f g h",
+        2: "a b c d e f g x",      # near-dup of 1
+        3: "totally different words appear here now",
+        4: "a b c d e f g h",      # exact dup of 1
+        5: "a b",                  # short doc: one 2-token shingle
+        6: "a b",                  # short dup of 5
+        7: "",                     # empty: no shingles
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), pa.int64()),
+                "text": pa.array([docs[d] for d in sorted(docs)], pa.string()),
+            }
+        )
+    )
+
+    def sh(text, k=3):
+        toks = text.split()
+        if not toks:
+            return frozenset()
+        if len(toks) < k:
+            return frozenset([tuple(toks)])
+        return frozenset(tuple(toks[i : i + k]) for i in range(len(toks) - k + 1))
+
+    S = {d: sh(t) for d, t in docs.items()}
+    want = {}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        inter = len(S[a] & S[b])
+        uni = len(S[a]) + len(S[b]) - inter
+        j = inter / uni if uni else 0.0
+        if j >= 0.5:
+            want[(a, b)] = j
+
+    out = ngram_jaccard_pairs(ds, threshold=0.5, k=3).to_pandas()
+    got = {(int(r.doc_a), int(r.doc_b)): float(r.jac) for r in out.itertuples()}
+    assert got == pytest.approx(want)
+    assert (1, 4) in got and got[(1, 4)] == 1.0  # exact dup
+    assert (5, 6) in got and got[(5, 6)] == 1.0  # short-doc dup
+    assert all(7 not in p for p in got)  # empty doc pairs with nothing
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles():
+    """max_df caps posting lists loudly: with every doc sharing one hot
+    shingle, max_df=2 removes the hot postings and the pair disappears."""
+    from de_ray.dataops.dedup import ngram_jaccard_pairs
+
+    hot = "x y z"
+    texts = [f"{hot} unique{i} filler{i} more{i}" for i in range(5)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(5)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    full = ngram_jaccard_pairs(ds, threshold=0.1, k=3).to_pandas()
+    capped = ngram_jaccard_pairs(ds, threshold=0.1, k=3, max_df=2).to_pandas()
+    assert len(full) == 10  # all pairs share the hot shingle
+    assert len(capped) == 0  # hot shingle dropped, nothing else shared
+
+
+def test_ivf_topk_exhaustive_equals_brute_force():
+    """nprobe == nlist probes every inverted list — must reproduce
+    brute-force top-k exactly (same ids, same scores)."""
+    from de_ray.dataops.similarity import brute_force_topk, ivf_topk
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    emb = pq.read_table(f"{sf}/embeddings.parquet")
+    q = np.asarray(emb.column("embedding").to_pylist()[:3], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+    want = (
+        brute_force_topk(ds, q, k=5)
+        .to_pandas()
+        .sort_values(["query_idx", "vec_id"])
+        .reset_index(drop=True)
+    )
+    got = (
+        ivf_topk(ds, q, k=5, nlist=8, nprobe=8)
+        .to_pandas()
+        .sort_values(["query_idx", "vec_id"])
+        .reset_index(drop=True)
+    )
+    assert got[["query_idx", "vec_id"]].equals(want[["query_idx", "vec_id"]])
+    assert np.allclose(got["score"], want["score"])
+
+
+def test_ivf_store_roundtrip_and_pruning(tmp_path):
+    """ivf_partition writes a hive-partitioned store; ivf_topk_from_store
+    with full probing equals brute force, and with nprobe=1 it only READS
+    the probed partition directories."""
+    import os
+
+    import pyarrow.parquet as pq
+    from de_ray.dataops.similarity import (
+        brute_force_topk,
+        ivf_partition,
+        ivf_topk_from_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = pq.read_table(f"{sf}/embeddings.parquet")
+    q = np.asarray(emb.column("embedding").to_pylist()[:2], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+    store = str(tmp_path / "ivf_store")
+    centroids = ivf_partition(ds, store, nlist=8)
+    assert centroids.shape[0] == 8
+    part_dirs = [d for d in os.listdir(store) if d.startswith("ivf_list=")]
+    assert len(part_dirs) >= 2  # corpus actually spread over lists
+
+    want = (
+        brute_force_topk(ds, q, k=5)
+        .to_pandas()
+        .sort_values(["query_idx", "vec_id"])
+        .reset_index(drop=True)
+    )
+    got = (
+        ivf_topk_from_store(store, q, k=5, nprobe=8)
+        .to_pandas()
+        .sort_values(["query_idx", "vec_id"])
+        .reset_index(drop=True)
+    )
+    assert got[["query_idx", "vec_id"]].equals(want[["query_idx", "vec_id"]])
+
+    # narrow probe: correct shape, and recall against brute force is sane
+    nar = ivf_topk_from_store(store, q, k=5, nprobe=2).to_pandas()
+    assert set(nar["query_idx"]) == {0, 1}
+    recall = len(
+        set(map(tuple, nar[["query_idx", "vec_id"]].values))
+        & set(map(tuple, want[["query_idx", "vec_id"]].values))
+    ) / len(want)
+    assert recall >= 0.2  # each query's own vector is in its probe-1 list
