@@ -107,3 +107,84 @@ def frame_sample_stage(ds, every_nth: int = 2):
         return batch.filter(pa.array(ids % every_nth == 0))
 
     return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def _bilinear_resize(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Vectorized bilinear resample of one (h, w) float array to (th, tw)
+    (align_corners=False / half-pixel-centers convention, the common default
+    in image libraries)."""
+    h, w = img.shape
+    ys = (np.arange(th, dtype=np.float64) + 0.5) * h / th - 0.5
+    xs = (np.arange(tw, dtype=np.float64) + 0.5) * w / tw - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+class PixelResize:
+    """Actor-pool resize stage over DECODED pixel rows (``pixels``
+    list<float> + ``height``/``width`` columns — the layout a real decoder
+    emits upstream). Real numpy bilinear math, no codec dependency; output
+    rows carry the fixed target shape so downstream batched model stages can
+    stack them."""
+
+    def __init__(self, target_h: int = 32, target_w: int = 32):
+        self.th = int(target_h)
+        self.tw = int(target_w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = batch.column("height").to_pylist()
+        ws = batch.column("width").to_pylist()
+        px = batch.column("pixels").to_pylist()
+        out = [
+            _bilinear_resize(
+                np.asarray(p, dtype=np.float64).reshape(h, w), self.th, self.tw
+            ).reshape(-1).astype(np.float32)
+            for p, h, w in zip(px, hs, ws)
+        ]
+        t = batch.drop_columns(["pixels", "height", "width"])
+        t = t.append_column("pixels", pa.array([o.tolist() for o in out], pa.list_(pa.float32())))
+        t = t.append_column("height", pa.array([self.th] * len(out), pa.int32()))
+        return t.append_column("width", pa.array([self.tw] * len(out), pa.int32()))
+
+
+def resize_stage(ds, target_h: int = 32, target_w: int = 32, batch_size: int = 32,
+                 concurrency=(1, 4)):
+    """Pixel Dataset → fixed-shape pixel Dataset (small batches: pixel rows
+    are wide; actor pool so per-worker state stays warm for real decoders)."""
+    return ds.map_batches(
+        PixelResize,
+        fn_constructor_kwargs={"target_h": target_h, "target_w": target_w},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def synth_pixel_table(n: int = 16, seed: int = 42) -> pa.Table:
+    """Deterministic variable-shape pixel rows for resize/model plumbing
+    tests (mirrors synth_media_table for the decoded layout)."""
+    rng = np.random.RandomState(seed)
+    ids, px, hs, ws = [], [], [], []
+    for i in range(n):
+        h = int(rng.randint(4, 17))
+        w = int(rng.randint(4, 17))
+        ids.append(i)
+        hs.append(h)
+        ws.append(w)
+        px.append(rng.rand(h * w).astype(np.float32).tolist())
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "pixels": pa.array(px, pa.list_(pa.float32())),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+        }
+    )

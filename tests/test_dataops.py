@@ -425,3 +425,36 @@ def test_ivf_store_roundtrip_and_pruning(tmp_path):
         & set(map(tuple, want[["query_idx", "vec_id"]].values))
     ) / len(want)
     assert recall >= 0.2  # each query's own vector is in its probe-1 list
+
+
+def test_pixel_resize_bilinear():
+    """Resize stage: known 2x2 -> 4x4 bilinear values (half-pixel centers),
+    constant-image invariance, and fixed output shape across a batch of
+    variable-shape inputs."""
+    from de_ray.dataops.multimodal import (
+        _bilinear_resize,
+        resize_stage,
+        synth_pixel_table,
+    )
+
+    img = np.array([[0.0, 1.0], [2.0, 3.0]])
+    out = _bilinear_resize(img, 4, 4)
+    # corners clamp to source corners; interior interpolates at half-pixel
+    # centers: hand-computed expectation for the 2x2 -> 4x4 case
+    want = np.array(
+        [
+            [0.0, 0.25, 0.75, 1.0],
+            [0.5, 0.75, 1.25, 1.5],
+            [1.5, 1.75, 2.25, 2.5],
+            [2.0, 2.25, 2.75, 3.0],
+        ]
+    )
+    assert np.allclose(out, want)
+    const = _bilinear_resize(np.full((5, 7), 2.5), 3, 11)
+    assert np.allclose(const, 2.5)
+
+    ds = rd.from_arrow(synth_pixel_table(12))
+    res = resize_stage(ds, target_h=8, target_w=6).to_pandas()
+    assert len(res) == 12
+    assert (res["height"] == 8).all() and (res["width"] == 6).all()
+    assert res["pixels"].map(len).eq(48).all()
