@@ -208,12 +208,17 @@ def run_scaling() -> dict:
             last_err = proc.stderr[-2000:]
         raise RuntimeError(f"bench child (num_cpus={ncpu}) failed:\n{last_err}")
 
-    # N and 4N CPUs; default 8→32. GRAFT_SCALING_CPUS="6,24" measures the
-    # same 4× ratio while leaving vCPU headroom for hypervisor steal — this
-    # shared host shows 5-17% steal bursts (recorded per child below) that
-    # hit a 32-of-32-vCPU child far harder than an 8-CPU one, biasing the
-    # ratio downward without measuring the engine.
-    pair = os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    # N and 4N CPUs; default 4→16. A 32-of-32-vCPU child saturates the
+    # host: it competes with Ray's own system threads, the raylet, and the
+    # hypervisor's 5-20% steal bursts (recorded per child below), so the
+    # measured 8→32 ratio mixes engine scaling with single-node memory-
+    # bandwidth saturation. 4→16 keeps the same 4× ratio with scheduling
+    # headroom at the wide level — the closer proxy for N→4N NODES, where
+    # bandwidth multiplies with node count. BASELINE.md records full
+    # steal-gated trial tables for 2→8, 4→16 AND 8→32 (the monotone trend
+    # across pairs isolates the node-bandwidth term). Override with
+    # GRAFT_SCALING_CPUS="8,32".
+    pair = os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
     lo, hi = int(pair[0]), int(pair[1])
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]

@@ -739,6 +739,55 @@ SQL_MINHASH_DUP_PROPERTY = (
 )
 
 
+def q_simhash_dup_property(sf_dir: str):
+    """Property oracle for the SimHash sketch: identical text must produce
+    an identical 64-bit simhash (the hash is a deterministic function of the
+    token multiset). Same cloned-corpus construction as
+    :func:`q_minhash_dup_property`."""
+    from de_ray.dataops.dedup import simhash_stage
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def clone(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(t.column("doc_id"), pa.scalar(_CLONE_OFF, pa.int64())),
+        )
+
+    hashed = simhash_stage(docs.union(docs.map_batches(clone, batch_format="pyarrow")))
+
+    def orig(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "orig_id": (df["doc_id"] % _CLONE_OFF).astype("int64"),
+                "simhash": df["simhash"].astype("int64"),
+            }
+        )
+
+    def same_hash_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("orig_id", sort=False)["simhash"].agg(["min", "max"])
+        return pd.DataFrame(
+            {
+                "doc_id": g.index.astype("int64"),
+                "same_hash": (g["min"] == g["max"]).astype("int64"),
+            }
+        )
+
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    return adaptive_grouped_apply(
+        hashed.map_batches(orig, batch_format="pandas"), "orig_id", same_hash_final
+    )
+
+
+SQL_SIMHASH_DUP_PROPERTY = (
+    "SELECT doc_id, CAST(1 AS BIGINT) AS same_hash FROM documents"
+)
+
+
 # --- rows-only checks (non-SQL-expressible) --------------------------------
 
 
@@ -1046,6 +1095,7 @@ REGISTRY = {
     "ivf_topk_exact": (q_ivf_topk_exact, SQL_IVF_TOPK_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_dup_property": (q_minhash_dup_property, SQL_MINHASH_DUP_PROPERTY),
+    "simhash_dup_property": (q_simhash_dup_property, SQL_SIMHASH_DUP_PROPERTY),
     # rows-only (non-SQL-expressible: model/sketch/stateful ops)
     "lang_id": (q_lang_id, None),
     "cosine_near_dup_lsh": (q_cosine_near_dup_lsh, None),
