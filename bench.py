@@ -100,6 +100,8 @@ def run_bench() -> dict:
         "ann_topk",
         "minhash_clusters",
         "ngram_jaccard",
+        "asof_join",
+        "token_quantiles",
     ]
     q_trials = int(os.environ.get("GRAFT_QUERY_TRIALS", "2"))
     q_times = {}

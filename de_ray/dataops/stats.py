@@ -1,0 +1,147 @@
+"""Distributed order statistics without a global sort.
+
+``quantile_disc(ds, col, qs)`` returns the EXACT discrete quantiles
+(DuckDB ``quantile_disc`` convention: the sorted[ceil(q·n) − 1] element,
+nulls ignored) using histogram refinement instead of ``ds.sort``:
+
+1. one pass for (count, min, max) — per-batch partials, tiny merge;
+2. one histogram pass per refinement round: every batch bins its values
+   into B buckets per still-unresolved quantile (vectorized
+   ``np.searchsorted``), partials summed driver-side (B·|qs| ints per
+   batch cross the wire, never the data);
+3. when a quantile's bracket holds ≤ ``collect_limit`` values, one final
+   filtered-collect pass pulls just those values and picks the k-th.
+
+For n rows the expected rounds are ⌈log_B(n / collect_limit)⌉ — with the
+defaults (B = 4096, limit = 4 M) a single histogram round resolves up to
+~16 G rows, so the whole thing is 3 passes over the data and O(B·|qs|)
+driver state, versus a full all-to-all shuffle for ``Dataset.sort``.
+
+Brackets are half-open ``[lo, hi)`` intervals (bucket j of a round's
+edges is exactly ``[edges[j], edges[j+1})``), with one explicit
+``hi_inc`` flag for the bracket that still ends at the global maximum —
+so a value equal to a bucket edge is routed identically in every round
+and in the final collect (consistency is what exactness needs; float
+edges only move WHERE the cuts fall, never double-count a value).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _clean(df: pd.DataFrame, col: str) -> np.ndarray:
+    v = df[col].to_numpy()
+    if v.dtype == object:
+        v = pd.to_numeric(df[col], errors="coerce").to_numpy()
+    v = v.astype(np.float64, copy=False)
+    return v[~np.isnan(v)]
+
+
+def _mask(v: np.ndarray, b: dict) -> np.ndarray:
+    m = (v >= b["lo"]) & (v < b["hi"])
+    if b["hi_inc"]:
+        m |= v == b["hi"]
+    return m
+
+
+def quantile_disc(
+    ds: rd.Dataset,
+    col: str,
+    qs: Sequence[float],
+    bins: int = 4096,
+    collect_limit: int = 4_000_000,
+    max_rounds: int = 8,
+) -> List[float]:
+    """Exact discrete quantiles of ``ds[col]`` (DuckDB quantile_disc
+    semantics). Returns one value per q, in input order."""
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"q must be in (0, 1], got {q}")
+    ds = ds.select_columns([col]).materialize()
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = _clean(df, col)
+        if len(v) == 0:
+            return pd.DataFrame({"n": [0], "lo": [np.inf], "hi": [-np.inf]})
+        return pd.DataFrame({"n": [len(v)], "lo": [v.min()], "hi": [v.max()]})
+
+    st = ds.map_batches(stats, batch_format="pandas", batch_size=256 * 1024).to_pandas()
+    n = int(st["n"].sum())
+    if n == 0:
+        return [math.nan] * len(qs)
+    glo, ghi = float(st["lo"].min()), float(st["hi"].max())
+
+    # bracket: values in [lo, hi) (+hi if hi_inc); k = 1-based rank of the
+    # target within the bracket; cnt = values in the bracket
+    brackets = [
+        {
+            "lo": glo,
+            "hi": ghi,
+            "hi_inc": True,
+            "k": int(math.ceil(q * n)),
+            "cnt": n,
+        }
+        for q in qs
+    ]
+
+    for _ in range(max_rounds):
+        open_idx = [
+            i
+            for i, b in enumerate(brackets)
+            if b["cnt"] > collect_limit and b["lo"] < b["hi"]
+        ]
+        if not open_idx:
+            break
+        edge_sets = [
+            (i, np.linspace(brackets[i]["lo"], brackets[i]["hi"], bins + 1))
+            for i in open_idx
+        ]
+        snap = [dict(brackets[i]) for i in open_idx]
+
+        def hist(df: pd.DataFrame, _edges=edge_sets, _snap=snap) -> pd.DataFrame:
+            v = _clean(df, col)
+            row = {}
+            for (i, edges), b in zip(_edges, _snap):
+                sel = v[_mask(v, b)]
+                # bucket j ⇔ exactly j inner edges ≤ x ⇔ x ∈ [edges[j], edges[j+1})
+                buck = np.searchsorted(edges[1:-1], sel, side="right")
+                row[f"h{i}"] = [np.bincount(buck, minlength=bins).astype(np.int64)]
+            return pd.DataFrame(row)
+
+        parts = ds.map_batches(hist, batch_format="pandas", batch_size=256 * 1024).to_pandas()
+        for (i, edges), prev in zip(edge_sets, snap):
+            total = np.sum(np.stack([np.asarray(a) for a in parts[f"h{i}"]]), axis=0)
+            cum = np.cumsum(total)
+            b = brackets[i]
+            j = int(np.searchsorted(cum, b["k"], side="left"))
+            below = int(cum[j - 1]) if j > 0 else 0
+            b["k"] -= below
+            new_cnt = int(total[j])
+            b["lo"], b["hi"] = float(edges[j]), float(edges[j + 1])
+            b["hi_inc"] = prev["hi_inc"] and j == bins - 1
+            if new_cnt >= b["cnt"] or new_cnt <= 0:
+                # float-degenerate bracket (all mass on one edge): stop
+                # refining, the collect pass resolves it exactly
+                b["cnt"] = 0
+            else:
+                b["cnt"] = new_cnt
+
+    # final pass: collect each bracket's (few) values once, pick the k-th
+    def collect(df: pd.DataFrame, _brackets=[dict(b) for b in brackets]) -> pd.DataFrame:
+        v = _clean(df, col)
+        return pd.DataFrame(
+            {f"v{i}": [v[_mask(v, b)]] for i, b in enumerate(_brackets)}
+        )
+
+    got = ds.map_batches(collect, batch_format="pandas", batch_size=256 * 1024).to_pandas()
+    results = []
+    for i, b in enumerate(brackets):
+        vals = np.sort(np.concatenate([np.asarray(a) for a in got[f"v{i}"]]))
+        results.append(float(vals[b["k"] - 1]))
+    return results

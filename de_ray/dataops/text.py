@@ -50,6 +50,29 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fp, pa.string()))
 
 
+def term_frequencies(ds, text_col: str = "text", top_k: int | None = None):
+    """Corpus term frequencies (vocabulary building): explode tokens and
+    count, combiner-style — each batch emits its own (term, count)
+    partials via one vectorized split+flatten+value_counts, so only the
+    per-batch vocabulary crosses the shuffle, never the token stream.
+    ``top_k`` adds a deterministic head (count desc, term asc)."""
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t.column(text_col), pattern=" "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"w": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    part = ds.map_batches(explode_count, batch_format="pyarrow", batch_size=64 * 1024)
+    out = adaptive_grouped_sum(part, "w", "n")
+    if top_k is not None:
+        out = out.sort(key=["n", "w"], descending=[True, False]).limit(top_k)
+    return out
+
+
 def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.Table:
     """Rolling (Rabin-Karp-style) 64-bit hash over byte windows, min-sampled:
     a shift-resistant fingerprint (winnowing lite). Deterministic."""

@@ -1057,6 +1057,265 @@ SQL_SPARQL_SERVICE = (
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# temporal joins (dataops/joins.py) — as-of / range / keyless interval
+# ---------------------------------------------------------------------------
+
+_PUR_CTE = (
+    "p AS (SELECT user_id AS p_user, ts AS p_ts, max(event_id) AS p_event_id "
+    "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)"
+)
+
+
+def _purchases(sf_dir: str) -> rd.Dataset:
+    """Right side for the temporal joins: purchase events, unique per
+    (user, ts) keeping max event_id (asof_join determinism contract)."""
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"]
+        out = df.groupby(["user_id", "ts"], as_index=False)["event_id"].max()
+        return out.rename(
+            columns={"user_id": "p_user", "ts": "p_ts", "event_id": "p_event_id"}
+        )
+
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=128 * 1024)
+    return adaptive_grouped_apply(
+        part,
+        ["p_user", "p_ts"],
+        lambda df: df.groupby(["p_user", "p_ts"], as_index=False)["p_event_id"].max(),
+    )
+
+
+def q_asof_join(sf_dir: str):
+    """Distributed as-of join: each event → the latest prior-or-equal
+    purchase of the same user (DuckDB ASOF JOIN semantics)."""
+    from de_ray.dataops.joins import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    out = asof_join(
+        ev,
+        _purchases(sf_dir),
+        on_left="ts",
+        on_right="p_ts",
+        by_left="user_id",
+        by_right="p_user",
+        how="inner",
+    )
+    return out.select_columns(["event_id", "p_event_id"]).map_batches(
+        lambda df: df.astype("int64"), batch_format="pandas"
+    )
+
+
+SQL_ASOF_JOIN = (
+    f"WITH {_PUR_CTE} SELECT e.event_id, p.p_event_id FROM events e "
+    "ASOF JOIN p ON e.user_id = p.p_user AND e.ts >= p.p_ts"
+)
+
+
+def q_range_join(sf_dir: str):
+    """Keyed range join: events within the hour AFTER each purchase of the
+    same user — (purchase, event) pairs, half-open (p_ts, p_ts+1h]."""
+    from de_ray.dataops.joins import range_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    pur = _purchases(sf_dir).map_batches(
+        lambda df: df.assign(p_hi=df["p_ts"] + pd.Timedelta(hours=1)),
+        batch_format="pandas",
+    )
+    out = range_join(
+        ev,
+        pur,
+        by_left="user_id",
+        by_right="p_user",
+        on="ts",
+        lo="p_ts",
+        hi="p_hi",
+        closed="right",
+    )
+    return out.select_columns(["event_id", "p_event_id"]).map_batches(
+        lambda df: df.astype("int64"), batch_format="pandas"
+    )
+
+
+SQL_RANGE_JOIN = (
+    f"WITH {_PUR_CTE} SELECT e.event_id, p.p_event_id FROM p JOIN events e "
+    "ON e.user_id = p.p_user AND e.ts > p.p_ts "
+    "AND e.ts <= p.p_ts + INTERVAL 1 HOUR"
+)
+
+
+def q_interval_join(sf_dir: str):
+    """KEYLESS interval join (time-bin replication): all events inside a
+    30-minute window opening at every 97th event, regardless of user."""
+    from de_ray.dataops.joins import interval_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df["event_id"] % 97 == 0]
+        return pd.DataFrame(
+            {"w_id": w["event_id"], "lo": w["ts"], "hi": w["ts"] + pd.Timedelta(minutes=30)}
+        )
+
+    win = ev.map_batches(windows, batch_format="pandas")
+    out = interval_join(
+        ev, win, on="ts", lo="lo", hi="hi", bin_width=pd.Timedelta(minutes=30)
+    )
+    return out.select_columns(["event_id", "w_id"]).map_batches(
+        lambda df: df.astype("int64"), batch_format="pandas"
+    )
+
+
+SQL_INTERVAL_JOIN = (
+    "WITH w AS (SELECT event_id AS w_id, ts AS lo, ts + INTERVAL 30 MINUTE AS hi "
+    "FROM events WHERE event_id % 97 = 0) "
+    "SELECT e.event_id, w.w_id FROM events e JOIN w "
+    "ON e.ts >= w.lo AND e.ts <= w.hi"
+)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling + distributed order statistics
+# ---------------------------------------------------------------------------
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic 10% hash sample (pure-arithmetic predicate — the SQL
+    oracle runs the very same integer expression)."""
+    from de_ray.dataops.sample import hash_sample
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    return hash_sample(ds, "doc_id", 0.10).select_columns(["doc_id", "lang"])
+
+
+def _sql_sample_docs() -> str:
+    from de_ray.dataops.sample import sql_predicate
+
+    return f"SELECT doc_id, lang FROM documents WHERE {sql_predicate('doc_id', 0.10)}"
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language rates: downsample dominant 'en', oversample the rest."""
+    from de_ray.dataops.sample import stratified_sample
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    rates = {"en": 0.02, "de": 0.5, "fr": 0.25}
+    out = stratified_sample(ds, "doc_id", "lang", rates, default_rate=0.05, salt=7)
+    return out.select_columns(["doc_id", "lang"])
+
+
+def _sql_stratified_sample() -> str:
+    from de_ray.dataops.sample import KNUTH, _threshold
+
+    case = (
+        f"CASE lang WHEN 'en' THEN {_threshold(0.02)} "
+        f"WHEN 'de' THEN {_threshold(0.5)} WHEN 'fr' THEN {_threshold(0.25)} "
+        f"ELSE {_threshold(0.05)} END"
+    )
+    return (
+        f"SELECT doc_id, lang FROM documents "
+        f"WHERE ((doc_id + 7) * {KNUTH}) % 4294967296 < {case}"
+    )
+
+
+SQL_SAMPLE_DOCS = _sql_sample_docs()
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
+def q_top_terms(sf_dir: str):
+    """Corpus vocabulary head: top-25 terms by frequency (deterministic
+    tie-break on the term)."""
+    from de_ray.dataops.text import term_frequencies
+
+    ds = _docs(sf_dir, columns=["text"])
+    return term_frequencies(ds, top_k=25)
+
+
+SQL_TOP_TERMS = (
+    f"WITH {_TOKS_CTE}, t AS (SELECT w FROM toks, unnest(ws) AS u(w)) "
+    "SELECT w, count(*) AS n FROM t GROUP BY w ORDER BY n DESC, w LIMIT 25"
+)
+
+
+def q_token_quantiles(sf_dir: str):
+    """Distributed EXACT discrete quantiles of per-doc token counts —
+    histogram refinement (3 passes), no global sort."""
+    from de_ray.dataops.stats import quantile_disc
+    from de_ray.dataops.text import token_count_batch
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+    qs = [0.25, 0.5, 0.9, 0.99]
+    vals = quantile_disc(ds, "n_tokens", qs)
+    return pd.DataFrame(
+        [{f"q{int(q * 100)}": int(v) for q, v in zip(qs, vals)}]
+    ).astype("int64")
+
+
+SQL_TOKEN_QUANTILES = (
+    "SELECT "
+    + ", ".join(
+        f"quantile_disc(len(string_split(text,' ')), {q}) AS q{int(q * 100)}"
+        for q in (0.25, 0.5, 0.9, 0.99)
+    )
+    + " FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# round-3 SPARQL function-library surface (hash fns, GROUP_CONCAT SEPARATOR)
+# ---------------------------------------------------------------------------
+
+
+def q_sparql_hash(sf_dir: str):
+    """SPARQL hash functions (spareval parity, reference src/sparql.rs
+    function library): MD5 / SHA256 over mention-entity IRIs."""
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    triples = _doc_triples(sf_dir, linked=False)
+    q = parse_query(
+        f"SELECT DISTINCT ?ent ?md5 ?sha WHERE {{ ?doc <{DE}mentions> ?ent "
+        f"BIND(MD5(STR(?ent)) AS ?md5) BIND(SHA256(STR(?ent)) AS ?sha) }}"
+    )
+    return evaluate(q, DatasetSource(triples)).ds
+
+
+SQL_SPARQL_HASH = (
+    f"WITH {_TOKS_CTE}, m AS (SELECT DISTINCT '{ENT}'||w AS ent FROM toks, "
+    f"unnest(ws) AS t(w) WHERE w NOT IN ({_STOP_SQL})) "
+    "SELECT ent, '\"'||md5(ent)||'\"' AS md5, '\"'||sha256(ent)||'\"' AS sha FROM m"
+)
+
+
+def q_sparql_groupconcat(sf_dir: str):
+    """GROUP_CONCAT with SEPARATOR= (engine sorts values lexically so the
+    concat is deterministic under distributed repartitioning)."""
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    triples = _doc_triples(sf_dir, linked=False)
+    q = parse_query(
+        f'SELECT ?doc (GROUP_CONCAT(DISTINCT STR(?ent); SEPARATOR="|") AS ?ents) '
+        f"WHERE {{ ?doc <{DE}mentions> ?ent }} GROUP BY ?doc"
+    )
+    return evaluate(q, DatasetSource(triples)).ds
+
+
+SQL_SPARQL_GROUPCONCAT = (
+    f"WITH {_TOKS_CTE}, m AS (SELECT DISTINCT '{DOC}'||doc_id AS doc, '{ENT}'||w AS ent "
+    f"FROM toks, unnest(ws) AS t(w) WHERE w NOT IN ({_STOP_SQL})) "
+    "SELECT doc, '\"'||array_to_string(list_sort(list(DISTINCT ent)), '|')||'\"' AS ents "
+    "FROM m GROUP BY doc"
+)
+
+
 REGISTRY = {
     # KG construction (north rule)
     "kg_extract_text": (q_kg_extract_text, SQL_KG_EXTRACT_TEXT),
@@ -1071,6 +1330,8 @@ REGISTRY = {
     "sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),
     "sparql_datetime": (q_sparql_datetime, SQL_SPARQL_DATETIME),
     "sparql_service": (q_sparql_service, SQL_SPARQL_SERVICE),
+    "sparql_hash": (q_sparql_hash, SQL_SPARQL_HASH),
+    "sparql_groupconcat": (q_sparql_groupconcat, SQL_SPARQL_GROUPCONCAT),
     # relational coverage
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
@@ -1085,6 +1346,10 @@ REGISTRY = {
     "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
     "tumbling_value": (q_tumbling_value, SQL_TUMBLING_VALUE),
     "topk_per_order": (q_topk_per_order, SQL_TOPK_PER_ORDER),
+    # temporal joins
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     # training-data ops
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
@@ -1095,6 +1360,10 @@ REGISTRY = {
     "ivf_topk_exact": (q_ivf_topk_exact, SQL_IVF_TOPK_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_dup_property": (q_minhash_dup_property, SQL_MINHASH_DUP_PROPERTY),
+    "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
+    "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "simhash_dup_property": (q_simhash_dup_property, SQL_SIMHASH_DUP_PROPERTY),
     # rows-only (non-SQL-expressible: model/sketch/stateful ops)
     "lang_id": (q_lang_id, None),

@@ -1,0 +1,120 @@
+"""Deterministic sampling (dataops/sample.py) + distributed quantiles
+(dataops/stats.py) against DuckDB on sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    c = duckdb.connect()
+    c.execute("PRAGMA threads=2")
+    c.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    return c
+
+
+def test_hash_sample_matches_sql_predicate():
+    from de_ray.dataops.sample import hash_sample, sql_predicate
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    got = sorted(hash_sample(ds, "doc_id", 0.2).to_pandas()["doc_id"])
+    want = sorted(
+        r[0]
+        for r in _con()
+        .execute(f"SELECT doc_id FROM documents WHERE {sql_predicate('doc_id', 0.2)}")
+        .fetchall()
+    )
+    assert got == want
+    assert 0 < len(got) < 1000  # neither empty nor everything
+
+
+def test_hash_sample_is_stable_and_salted():
+    from de_ray.dataops.sample import hash_sample
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    a = sorted(hash_sample(ds, "doc_id", 0.3).to_pandas()["doc_id"])
+    b = sorted(hash_sample(ds, "doc_id", 0.3).to_pandas()["doc_id"])
+    c = sorted(hash_sample(ds, "doc_id", 0.3, salt=99).to_pandas()["doc_id"])
+    assert a == b
+    assert a != c
+
+
+def test_hash_sample_nested_rates():
+    """A 10% sample is a strict subset of a 30% sample (same salt) —
+    the property that makes rate ramps reproducible."""
+    from de_ray.dataops.sample import hash_sample
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    small = set(hash_sample(ds, "doc_id", 0.1).to_pandas()["doc_id"])
+    big = set(hash_sample(ds, "doc_id", 0.3).to_pandas()["doc_id"])
+    assert small < big
+
+
+def test_stratified_sample_rates():
+    from de_ray.dataops.sample import stratified_sample
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    out = stratified_sample(
+        ds, "doc_id", "lang", {"en": 0.0, "de": 1.0}, default_rate=0.5
+    ).to_pandas()
+    assert (out["lang"] != "en").all()
+    n_de = (
+        rd.read_parquet(f"{SF}/documents.parquet", columns=["lang"])
+        .to_pandas()["lang"]
+        .eq("de")
+        .sum()
+    )
+    assert (out["lang"] == "de").sum() == n_de  # rate 1.0 keeps every row
+
+
+def test_quantile_disc_matches_duckdb_int():
+    from de_ray.dataops.stats import quantile_disc
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["n_chars"])
+    qs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    got = quantile_disc(ds, "n_chars", qs)
+    want = (
+        _con()
+        .execute(
+            "SELECT "
+            + ", ".join(f"quantile_disc(n_chars, {q})" for q in qs)
+            + " FROM documents"
+        )
+        .fetchone()
+    )
+    assert [int(g) for g in got] == list(want)
+
+
+def test_quantile_disc_forced_refinement_rounds():
+    """Tiny collect_limit + few bins forces multiple histogram rounds —
+    must stay exact (same DuckDB convention) on float data."""
+    from de_ray.dataops.stats import quantile_disc
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(size=5000) * 1e6
+    ds = rd.from_pandas(pd.DataFrame({"x": vals}))
+    got = quantile_disc(ds, "x", [0.25, 0.75], bins=8, collect_limit=20)
+    s = np.sort(vals)
+    want = [s[int(np.ceil(q * len(s))) - 1] for q in (0.25, 0.75)]
+    assert got == pytest.approx(want, abs=0)
+
+
+def test_quantile_disc_heavy_duplicates():
+    """>collect_limit copies of one value (degenerate bracket guard)."""
+    from de_ray.dataops.stats import quantile_disc
+
+    vals = np.concatenate([np.full(1000, 7.0), np.arange(10.0, 20.0)])
+    ds = rd.from_pandas(pd.DataFrame({"x": vals}))
+    got = quantile_disc(ds, "x", [0.5, 1.0], bins=4, collect_limit=10)
+    assert got == [7.0, 19.0]
+
+
+def test_quantile_disc_nulls_ignored():
+    from de_ray.dataops.stats import quantile_disc
+
+    ds = rd.from_pandas(pd.DataFrame({"x": [None, 1.0, None, 3.0, 2.0]}))
+    assert quantile_disc(ds, "x", [0.5]) == [2.0]
