@@ -227,6 +227,71 @@ def range_join(
     return _bucketed_apply(union, _KEY, kernel, limit, num_buckets)
 
 
+def semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on_left: str,
+    on_right: str,
+    anti: bool = False,
+    broadcast_limit: int = 5_000_000,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Keep left rows whose key appears (semi) / does not appear (anti)
+    in the right side. The small-side set of distinct keys is broadcast
+    ONCE via ``ray.put`` (plasma: one copy per node, zero-copy reads in
+    every task) and each batch filters with a vectorized ``pc.is_in`` —
+    no shuffle of the left side at all. Above ``broadcast_limit``
+    distinct keys the sides hash-bucket through the union path and each
+    bucket filters locally (one shuffle, still vectorized)."""
+    import pyarrow.compute as pc
+    import ray
+
+    # per-batch unique first so only the batch vocabularies cross the wire,
+    # then gate on the (upper-bound) row count BEFORE any driver collect
+    keys_ds = (
+        _ensure_arrow(right.select_columns([on_right]))
+        .map_batches(
+            lambda t: pa.table({on_right: t.column(on_right).unique()}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    if keys_ds.count() <= broadcast_limit:
+        distinct = keys_ds.unique(on_right)
+        ref = ray.put(pa.array(distinct))
+
+        def flt(t: pa.Table) -> pa.Table:
+            vs = ray.get(ref)
+            m = pc.is_in(t.column(on_left), value_set=vs)
+            if anti:
+                m = pc.fill_null(pc.invert(m), True)
+            else:
+                m = pc.fill_null(m, False)
+            return t.filter(m)
+
+        return _ensure_arrow(left).map_batches(flt, batch_format="pyarrow")
+
+    # big right side: co-partition by key and filter per bucket
+    union, lcols, rcols, dtypes = _tagged_union(
+        _with_key(left, on_left), _with_key(keys_ds, on_right), shared_ok=(_KEY,)
+    )
+    lcols = [c for c in lcols if c != _KEY]
+    rcols = [c for c in rcols if c != _KEY]
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        l, r = _split_sides(g, lcols, rcols, dtypes)
+        present = l[on_left].isin(r[on_right].unique())
+        return (l[~present] if anti else l[present]).reset_index(drop=True)
+
+    return _bucketed_apply(union, _KEY, kernel, limit=0, num_buckets=num_buckets)
+
+
+def anti_join(left: rd.Dataset, right: rd.Dataset, *, on_left: str, on_right: str, **kw) -> rd.Dataset:
+    """Left rows with NO key match on the right (see ``semi_join``)."""
+    return semi_join(left, right, on_left=on_left, on_right=on_right, anti=True, **kw)
+
+
 def interval_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -145,3 +145,42 @@ def quantile_disc(
         vals = np.sort(np.concatenate([np.asarray(a) for a in got[f"v{i}"]]))
         results.append(float(vals[b["k"] - 1]))
     return results
+
+
+def grouped_quantile_disc(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    qs: Sequence[float],
+    limit: int = 500_000,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-group exact discrete quantiles (same sorted[ceil(q·n) − 1]
+    convention as ``quantile_disc``), one output row per key with a
+    ``q<pct>`` column per q. Hash-partitions complete key groups
+    (``adaptive_grouped_apply``) and resolves EVERY group in one
+    vectorized sort + positional gather — no per-key Python loop, no
+    global sort. Use when the number of groups is large and each group
+    fits its bucket; for one giant group use ``quantile_disc``."""
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"q must be in (0, 1], got {q}")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key, col]].dropna(subset=[col]).sort_values(
+            [key, col], kind="mergesort"
+        )
+        sizes = df.groupby(key, sort=True)[col].size()
+        starts = sizes.cumsum() - sizes
+        vals = df[col].to_numpy()
+        out = {key: sizes.index.to_numpy()}
+        for q in qs:
+            pos = (starts + np.ceil(q * sizes).astype("int64") - 1).to_numpy()
+            out[f"q{int(q * 100)}"] = vals[pos]
+        return pd.DataFrame(out)
+
+    return adaptive_grouped_apply(
+        ds.select_columns([key, col]), key, kernel, limit=limit, num_buckets=num_buckets
+    )

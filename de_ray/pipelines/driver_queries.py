@@ -1179,6 +1179,48 @@ SQL_INTERVAL_JOIN = (
 )
 
 
+def _high_value_custkeys(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("o_totalprice"), 450000.0)),
+        batch_format="pyarrow",
+    ).select_columns(["o_custkey"])
+
+
+def q_semi_join(sf_dir: str):
+    """Broadcast semi join: events of users holding a high-value order —
+    small side ray.put once, vectorized is_in per batch, zero shuffle."""
+    from de_ray.dataops.joins import semi_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    return semi_join(
+        ev, _high_value_custkeys(sf_dir), on_left="user_id", on_right="o_custkey"
+    )
+
+
+SQL_SEMI_JOIN = (
+    "SELECT event_id, user_id FROM events e WHERE EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_custkey = e.user_id AND o.o_totalprice > 450000)"
+)
+
+
+def q_anti_join(sf_dir: str):
+    """Broadcast anti join (NOT EXISTS complement of semi_join)."""
+    from de_ray.dataops.joins import anti_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    return anti_join(
+        ev, _high_value_custkeys(sf_dir), on_left="user_id", on_right="o_custkey"
+    )
+
+
+SQL_ANTI_JOIN = (
+    "SELECT event_id, user_id FROM events e WHERE NOT EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_custkey = e.user_id AND o.o_totalprice > 450000)"
+)
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling + distributed order statistics
 # ---------------------------------------------------------------------------
@@ -1268,6 +1310,29 @@ SQL_TOKEN_QUANTILES = (
 )
 
 
+def q_lang_token_quantiles(sf_dir: str):
+    """Per-group exact quantiles (one vectorized sort+gather per bucket,
+    every language resolved at once — no per-key loop)."""
+    from de_ray.dataops.stats import grouped_quantile_disc
+    from de_ray.dataops.text import token_count_batch
+
+    ds = _docs(sf_dir, columns=["text", "lang"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+    out = grouped_quantile_disc(ds, "lang", "n_tokens", [0.5, 0.9])
+    return out.map_batches(
+        lambda df: df.astype({"q50": "int64", "q90": "int64"}), batch_format="pandas"
+    )
+
+
+SQL_LANG_TOKEN_QUANTILES = (
+    "SELECT lang, "
+    "quantile_disc(len(string_split(text,' ')), 0.5) AS q50, "
+    "quantile_disc(len(string_split(text,' ')), 0.9) AS q90 "
+    "FROM documents GROUP BY lang"
+)
+
+
 # ---------------------------------------------------------------------------
 # round-3 SPARQL function-library surface (hash fns, GROUP_CONCAT SEPARATOR)
 # ---------------------------------------------------------------------------
@@ -1350,6 +1415,8 @@ REGISTRY = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     # training-data ops
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
@@ -1363,6 +1430,7 @@ REGISTRY = {
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
+    "lang_token_quantiles": (q_lang_token_quantiles, SQL_LANG_TOKEN_QUANTILES),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "simhash_dup_property": (q_simhash_dup_property, SQL_SIMHASH_DUP_PROPERTY),
     # rows-only (non-SQL-expressible: model/sketch/stateful ops)

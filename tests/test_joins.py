@@ -242,3 +242,44 @@ def test_shared_column_names_rejected():
         range_join(
             ev, ev, by_left="user_id", by_right="user_id", on="ts", lo="ts", hi="ts"
         )
+
+
+def test_semi_and_anti_join_partition_events(con):
+    from de_ray.dataops.joins import anti_join, semi_join
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id"])
+    hv = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    hv = hv.filter(lambda r: r["o_totalprice"] > 450000).select_columns(["o_custkey"])
+    semi = semi_join(ev, hv, on_left="user_id", on_right="o_custkey").to_pandas()
+    anti = anti_join(ev, hv, on_left="user_id", on_right="o_custkey").to_pandas()
+    n_events = len(pq.read_table(f"{SF}/events.parquet"))
+    assert len(semi) + len(anti) == n_events
+    assert len(semi) > 0 and len(anti) > 0
+    assert set(semi.event_id).isdisjoint(set(anti.event_id))
+    import duckdb
+
+    c = duckdb.connect()
+    c.execute("PRAGMA threads=2")
+    want = c.execute(
+        f"SELECT count(*) FROM '{SF}/events.parquet' e WHERE EXISTS ("
+        f"SELECT 1 FROM '{SF}/orders.parquet' o WHERE o.o_custkey = e.user_id "
+        "AND o.o_totalprice > 450000)"
+    ).fetchone()[0]
+    assert len(semi) == want
+
+
+def test_semi_join_bucketed_path_matches_broadcast():
+    from de_ray.dataops.joins import semi_join
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id"])
+    hv = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    hv = hv.filter(lambda r: r["o_totalprice"] > 450000).select_columns(["o_custkey"])
+    a = sorted(
+        semi_join(ev, hv, on_left="user_id", on_right="o_custkey").to_pandas()["event_id"]
+    )
+    b = sorted(
+        semi_join(
+            ev, hv, on_left="user_id", on_right="o_custkey", broadcast_limit=0
+        ).to_pandas()["event_id"]
+    )
+    assert a == b

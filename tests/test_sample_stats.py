@@ -118,3 +118,40 @@ def test_quantile_disc_nulls_ignored():
 
     ds = rd.from_pandas(pd.DataFrame({"x": [None, 1.0, None, 3.0, 2.0]}))
     assert quantile_disc(ds, "x", [0.5]) == [2.0]
+
+
+def test_grouped_quantile_disc_matches_duckdb():
+    from de_ray.dataops.stats import grouped_quantile_disc
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "n_chars"])
+    got = (
+        grouped_quantile_disc(ds, "lang", "n_chars", [0.5, 0.99])
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    want = (
+        _con()
+        .execute(
+            "SELECT lang, quantile_disc(n_chars, 0.5) AS q50, "
+            "quantile_disc(n_chars, 0.99) AS q99 FROM documents "
+            "GROUP BY lang ORDER BY lang"
+        )
+        .df()
+    )
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["q50"].astype("int64").tolist() == want["q50"].tolist()
+    assert got["q99"].astype("int64").tolist() == want["q99"].tolist()
+
+
+def test_grouped_quantile_disc_forced_buckets():
+    from de_ray.dataops.stats import grouped_quantile_disc
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "n_chars"])
+    a = grouped_quantile_disc(ds, "lang", "n_chars", [0.5]).to_pandas()
+    b = grouped_quantile_disc(
+        ds, "lang", "n_chars", [0.5], limit=0, num_buckets=3
+    ).to_pandas()
+    a = a.sort_values("lang").reset_index(drop=True)
+    b = b.sort_values("lang").reset_index(drop=True)
+    assert a.equals(b)
