@@ -225,33 +225,39 @@ SQL_KG_HEADER_STATS = (
 
 
 def q_lineitem_agg(sf_dir: str):
+    """Combiner shape: each batch pre-aggregates to one row per (flag,
+    status) — only ~6-row partials cross the wire, the final merge is
+    size-adaptive (functions/agg.py), no raw groupby shuffle floor."""
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    keys = ["l_returnflag", "l_linestatus"]
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+        columns=keys + ["l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def rev(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        return df.groupby(keys, as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_revenue=("revenue", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_discount", "size"),
+        )
 
-        r = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        return t.append_column("revenue", r)
-
-    ds = ds.map_batches(rev, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("revenue", alias_name="sum_revenue"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="count_order"),
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=256 * 1024)
+    tot = adaptive_grouped_sum(
+        part, keys, ["sum_qty", "sum_revenue", "sum_disc", "count_order"]
     )
 
-    def round_cols(df: pd.DataFrame) -> pd.DataFrame:
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_disc"] = (df["sum_disc"] / df["count_order"]).round(6)
         df["sum_qty"] = df["sum_qty"].round(2)
         df["sum_revenue"] = df["sum_revenue"].round(2)
-        df["avg_disc"] = df["avg_disc"].round(6)
         df["count_order"] = df["count_order"].astype("int64")
-        return df
+        return df[keys + ["sum_qty", "sum_revenue", "avg_disc", "count_order"]]
 
-    return out.map_batches(round_cols, batch_format="pandas")
+    return tot.map_batches(finish, batch_format="pandas")
 
 
 SQL_LINEITEM_AGG = (
@@ -335,21 +341,35 @@ SQL_SUPPLIER_NATION_BALANCE = (
 
 
 def q_events_by_type(sf_dir: str):
+    """Combiner partials (count/sum/min/max per batch per type) + one
+    vectorized driver-or-bucket final — no raw groupby shuffle."""
+    from de_ray.functions.agg import adaptive_grouped_apply
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
-    out = ds.groupby("event_type").aggregate(
-        Count(alias_name="n_events"),
-        Sum("value", alias_name="sum_value"),
-        Min("value", alias_name="min_value"),
-        Max("value", alias_name="max_value"),
-    )
 
-    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_events=("value", "size"),
+            sum_value=("value", "sum"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+        )
+
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=256 * 1024)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            sum_value=("sum_value", "sum"),
+            min_value=("min_value", "min"),
+            max_value=("max_value", "max"),
+        )
         for c in ("sum_value", "min_value", "max_value"):
-            df[c] = df[c].round(4)
-        df["n_events"] = df["n_events"].astype("int64")
-        return df
+            out[c] = out[c].round(4)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
 
-    return out.map_batches(rnd, batch_format="pandas")
+    return adaptive_grouped_apply(part, "event_type", final)
 
 
 SQL_EVENTS_BY_TYPE = (
