@@ -51,7 +51,9 @@ def _with_key(ds: rd.Dataset, col: str) -> rd.Dataset:
     def add(t: pa.Table) -> pa.Table:
         return t.append_column(_KEY, pc.cast(t.column(col), pa.large_string()))
 
-    return _ensure_arrow(ds).map_batches(add, batch_format="pyarrow")
+    # map_batches(pyarrow) itself coerces pandas blocks — no _ensure_arrow
+    # (each _ensure_arrow schema check costs a partial execution)
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 def _ensure_arrow(ds: rd.Dataset) -> rd.Dataset:
@@ -250,7 +252,7 @@ def semi_join(
     # per-batch unique first so only the batch vocabularies cross the wire,
     # then gate on the (upper-bound) row count BEFORE any driver collect
     keys_ds = (
-        _ensure_arrow(right.select_columns([on_right]))
+        right.select_columns([on_right])
         .map_batches(
             lambda t: pa.table({on_right: t.column(on_right).unique()}),
             batch_format="pyarrow",
@@ -270,7 +272,7 @@ def semi_join(
                 m = pc.fill_null(m, False)
             return t.filter(m)
 
-        return _ensure_arrow(left).map_batches(flt, batch_format="pyarrow")
+        return left.map_batches(flt, batch_format="pyarrow")
 
     # big right side: co-partition by key and filter per bucket
     union, lcols, rcols, dtypes = _tagged_union(
