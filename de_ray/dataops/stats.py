@@ -147,6 +147,48 @@ def quantile_disc(
     return results
 
 
+def approx_distinct(ds: rd.Dataset, col: str, precision: int = 14) -> int:
+    """HyperLogLog distinct-count estimate (Flajolet et al. 2007, public
+    algorithm): each batch folds its values into m = 2^p registers
+    (vectorized hash → bucket → leading-zero rank → np.maximum.at), only
+    the m-byte register array crosses the wire per batch, and merge is an
+    elementwise max — associative, so any batch/block split gives the
+    same sketch. Standard error ≈ 1.04/√m (p=14 → ~0.8%); small
+    cardinalities fall back to exact linear counting. p must be ≥ 12 so
+    the (64−p)-bit suffix stays float64-exact for the log2 rank trick."""
+    if not 12 <= precision <= 18:
+        raise ValueError("precision must be in [12, 18]")
+    m = 1 << precision
+    suffix_bits = 64 - precision
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[col].dropna(), index=False).to_numpy()
+        regs = np.zeros(m, dtype=np.int8)
+        if len(h):
+            idx = (h >> np.uint64(suffix_bits)).astype(np.int64)
+            w = h & np.uint64((1 << suffix_bits) - 1)
+            # rank = leading zeros in the suffix + 1; suffix < 2^52 is
+            # float64-exact so floor(log2) is safe
+            bl = np.zeros(len(w), dtype=np.int8)
+            nz = w > 0
+            bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int8) + 1
+            rank = (suffix_bits - bl + 1).astype(np.int8)
+            np.maximum.at(regs, idx, rank)
+        return pd.DataFrame({"regs": [regs]})
+
+    parts = ds.select_columns([col]).map_batches(
+        sketch, batch_format="pandas", batch_size=256 * 1024
+    ).to_pandas()
+    regs = np.max(np.stack([np.asarray(r, dtype=np.int8) for r in parts["regs"]]), axis=0)
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)  # linear counting for the small range
+    return int(round(est))
+
+
 def grouped_quantile_disc(
     ds: rd.Dataset,
     key: str,

@@ -811,6 +811,15 @@ SQL_SIMHASH_DUP_PROPERTY = (
 # --- rows-only checks (non-SQL-expressible) --------------------------------
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog sketch (rows-only: approximate by design; the pytest
+    gate asserts <5% error vs exact — tests/test_sample_stats.py)."""
+    from de_ray.dataops.stats import approx_distinct
+
+    est = approx_distinct(_docs(sf_dir, columns=["text"]), "text")
+    return pd.DataFrame([{"approx_distinct_text": est}])
+
+
 def q_lang_id(sf_dir: str):
     from de_ray.dataops.text import LangId
 
@@ -1454,6 +1463,7 @@ REGISTRY = {
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "simhash_dup_property": (q_simhash_dup_property, SQL_SIMHASH_DUP_PROPERTY),
     # rows-only (non-SQL-expressible: model/sketch/stateful ops)
+    "approx_distinct": (q_approx_distinct, None),
     "lang_id": (q_lang_id, None),
     "cosine_near_dup_lsh": (q_cosine_near_dup_lsh, None),
     "minhash_clusters": (q_minhash_clusters, None),

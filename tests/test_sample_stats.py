@@ -155,3 +155,24 @@ def test_grouped_quantile_disc_forced_buckets():
     a = a.sort_values("lang").reset_index(drop=True)
     b = b.sort_values("lang").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_approx_distinct_accuracy():
+    from de_ray.dataops.stats import approx_distinct
+
+    import pyarrow.parquet as _pq
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    est = approx_distinct(ds, "doc_id")
+    exact = len(
+        np.unique(
+            _pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+            .column("doc_id")
+            .to_numpy()
+        )
+    )
+    assert abs(est - exact) / exact < 0.05
+
+    big = rd.from_pandas(pd.DataFrame({"x": np.arange(200_000) % 50_000}))
+    est2 = approx_distinct(big, "x")
+    assert abs(est2 - 50_000) / 50_000 < 0.05
