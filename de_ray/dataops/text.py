@@ -73,6 +73,84 @@ def term_frequencies(ds, text_col: str = "text", top_k: int | None = None):
     return out
 
 
+def doc_frequencies(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(term, df) — number of DOCS containing each term. Combiner shape:
+    each batch counts its per-doc-unique terms vectorized, partials merge
+    size-adaptively."""
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    def explode_unique(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column(text_col), pattern=" ")
+        offs = np.concatenate([[0], np.cumsum(pc.list_value_length(toks).to_numpy())])
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(np.arange(len(t)), np.diff(offs))
+        keep = flat != ""
+        # unique (doc, term) pairs without a Python loop
+        dfp = pd.DataFrame({"i": ids[keep], "w": flat[keep]}).drop_duplicates()
+        vc = dfp.groupby("w", sort=False).size()
+        return pa.table(
+            {"w": pa.array(vc.index, pa.large_string()), "df": pa.array(vc.to_numpy(), pa.int64())}
+        )
+
+    part = ds.map_batches(explode_unique, batch_format="pyarrow", batch_size=64 * 1024)
+    return adaptive_grouped_sum(part, "w", "df")
+
+
+def tfidf_top_terms(
+    ds,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int = 5_000_000,
+):
+    """Top-``top_n`` TF-IDF terms per document (tf · ln(N/df), ties by
+    term). Two passes: (A) global (term, df) vocabulary — combiner +
+    size-adaptive merge — broadcast ONCE via the object store; (B) each
+    batch scores and ranks its own documents with a local hash join
+    against the broadcast vocabulary — zero shuffle. Raises above
+    ``broadcast_limit`` vocabulary terms (the fallback would be a
+    distributed tf⋈df join on the term; not needed at current scales and
+    kept loud rather than silent)."""
+    import ray
+
+    from de_ray.state.broadcast import get_broadcast
+
+    n_docs = ds.count()
+    vocab = doc_frequencies(ds, id_col=id_col, text_col=text_col).materialize()
+    if vocab.count() > broadcast_limit:
+        raise ValueError(
+            f"vocabulary exceeds broadcast_limit={broadcast_limit}; "
+            "shard the corpus or raise the limit"
+        )
+    vocab_ref = ray.put(pa.Table.from_pandas(vocab.to_pandas()))
+
+    def _to_df(tbl: pa.Table) -> pd.DataFrame:
+        return tbl.to_pandas()
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        vdf = get_broadcast(vocab_ref, _to_df)
+        toks = pc.split_pattern(t.column(text_col), pattern=" ")
+        offs = np.diff(
+            np.concatenate([[0], np.cumsum(pc.list_value_length(toks).to_numpy())])
+        )
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False), offs)
+        keep = flat != ""
+        tf = (
+            pd.DataFrame({id_col: doc_ids[keep], "w": flat[keep]})
+            .groupby([id_col, "w"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        s = tf.merge(vdf, on="w")
+        s["tfidf"] = (s["tf"] * np.log(n_docs / s["df"])).round(6)
+        s = s.sort_values([id_col, "tfidf", "w"], ascending=[True, False, True])
+        out = s.groupby(id_col, sort=False).head(top_n)
+        return out[[id_col, "w", "tfidf"]].reset_index(drop=True)
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=16 * 1024)
+
+
 def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.Table:
     """Rolling (Rabin-Karp-style) 64-bit hash over byte windows, min-sampled:
     a shift-resistant fingerprint (winnowing lite). Deterministic."""

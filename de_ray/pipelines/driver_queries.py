@@ -1313,6 +1313,27 @@ SQL_TOP_TERMS = (
 )
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per doc: global df vocabulary broadcast once,
+    per-batch local scoring (zero shuffle in the scoring pass)."""
+    from de_ray.dataops.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, columns=["doc_id", "text"]), top_n=3)
+
+
+SQL_TFIDF_TOP_TERMS = (
+    f"WITH {_TOKS_CTE}, "
+    "t AS (SELECT doc_id, w FROM toks, unnest(ws) AS u(w)), "
+    "tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2), "
+    "dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM t GROUP BY w), "
+    "n AS (SELECT count(*) AS n FROM documents), "
+    "s AS (SELECT tf.doc_id, tf.w, round(tf.tf * ln(n.n / dfreq.df), 6) AS tfidf "
+    "FROM tf, dfreq, n WHERE tf.w = dfreq.w), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn FROM s) "
+    "SELECT doc_id, w, tfidf FROM r WHERE rn <= 3"
+)
+
+
 def q_token_quantiles(sf_dir: str):
     """Distributed EXACT discrete quantiles of per-doc token counts —
     histogram refinement (3 passes), no global sort."""
@@ -1461,6 +1482,7 @@ REGISTRY = {
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "lang_token_quantiles": (q_lang_token_quantiles, SQL_LANG_TOKEN_QUANTILES),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "simhash_dup_property": (q_simhash_dup_property, SQL_SIMHASH_DUP_PROPERTY),
     # rows-only (non-SQL-expressible: model/sketch/stateful ops)
     "approx_distinct": (q_approx_distinct, None),
