@@ -229,6 +229,54 @@ def range_join(
     return _bucketed_apply(union, _KEY, kernel, limit, num_buckets)
 
 
+def equi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on_left: str,
+    on_right: str,
+    how: str = "inner",
+    broadcast_limit: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """General equality join, size-adaptive: a right side at or below
+    ``broadcast_limit`` rows is shipped ONCE through the object store and
+    each left batch hash-joins locally (pandas merge — no shuffle of the
+    large side at all); a bigger right side goes through Ray Data's
+    native distributed hash join (both sides shuffle on the key).
+
+    ``num_partitions`` for the shuffle path defaults to the cluster CPU
+    count — Ray's hash-join aggregator pool scales with it, and asking
+    for many more aggregators than CPUs can stall a small cluster."""
+    import ray
+
+    from de_ray.state.broadcast import get_broadcast
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    right_m = right.materialize()
+    if right_m.count() <= broadcast_limit:
+        ref = ray.put(pa.Table.from_pandas(right_m.to_pandas()))
+
+        def _to_df(tbl: pa.Table) -> pd.DataFrame:
+            return tbl.to_pandas()
+
+        def j(df: pd.DataFrame) -> pd.DataFrame:
+            rdf = get_broadcast(ref, _to_df)
+            return df.merge(rdf, left_on=on_left, right_on=on_right, how=how)
+
+        return left.map_batches(j, batch_format="pandas")
+    return left.join(
+        right_m,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(on_left,),
+        right_on=(on_right,),
+    )
+
+
 def semi_join(
     left: rd.Dataset,
     right: rd.Dataset,

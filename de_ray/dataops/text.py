@@ -117,18 +117,8 @@ def tfidf_top_terms(
 
     n_docs = ds.count()
     vocab = doc_frequencies(ds, id_col=id_col, text_col=text_col).materialize()
-    if vocab.count() > broadcast_limit:
-        raise ValueError(
-            f"vocabulary exceeds broadcast_limit={broadcast_limit}; "
-            "shard the corpus or raise the limit"
-        )
-    vocab_ref = ray.put(pa.Table.from_pandas(vocab.to_pandas()))
 
-    def _to_df(tbl: pa.Table) -> pd.DataFrame:
-        return tbl.to_pandas()
-
-    def score(t: pa.Table) -> pd.DataFrame:
-        vdf = get_broadcast(vocab_ref, _to_df)
+    def _tf_frame(t: pa.Table) -> pd.DataFrame:
         toks = pc.split_pattern(t.column(text_col), pattern=" ")
         offs = np.diff(
             np.concatenate([[0], np.cumsum(pc.list_value_length(toks).to_numpy())])
@@ -136,19 +126,41 @@ def tfidf_top_terms(
         flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
         doc_ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False), offs)
         keep = flat != ""
-        tf = (
+        return (
             pd.DataFrame({id_col: doc_ids[keep], "w": flat[keep]})
             .groupby([id_col, "w"], sort=False, as_index=False)
             .size()
             .rename(columns={"size": "tf"})
         )
-        s = tf.merge(vdf, on="w")
-        s["tfidf"] = (s["tf"] * np.log(n_docs / s["df"])).round(6)
+
+    def _rank(s: pd.DataFrame) -> pd.DataFrame:
+        s = s.assign(tfidf=(s["tf"] * np.log(n_docs / s["df"])).round(6))
         s = s.sort_values([id_col, "tfidf", "w"], ascending=[True, False, True])
         out = s.groupby(id_col, sort=False).head(top_n)
         return out[[id_col, "w", "tfidf"]].reset_index(drop=True)
 
-    return ds.map_batches(score, batch_format="pyarrow", batch_size=16 * 1024)
+    if vocab.count() <= broadcast_limit:
+        vocab_ref = ray.put(pa.Table.from_pandas(vocab.to_pandas()))
+
+        def _to_df(tbl: pa.Table) -> pd.DataFrame:
+            return tbl.to_pandas()
+
+        def score(t: pa.Table) -> pd.DataFrame:
+            vdf = get_broadcast(vocab_ref, _to_df)
+            return _rank(_tf_frame(t).merge(vdf, on="w"))
+
+        return ds.map_batches(score, batch_format="pyarrow", batch_size=16 * 1024)
+
+    # huge vocabulary: distributed tf⋈df hash join on the term, then a
+    # second shuffle re-collects each doc's rows for the top-k
+    from de_ray.dataops.joins import equi_join
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    tf_ds = ds.map_batches(_tf_frame, batch_format="pyarrow", batch_size=16 * 1024)
+    joined = equi_join(
+        tf_ds, vocab, on_left="w", on_right="w", broadcast_limit=broadcast_limit
+    )
+    return adaptive_grouped_apply(joined, id_col, _rank)
 
 
 def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.Table:

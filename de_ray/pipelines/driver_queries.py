@@ -1217,6 +1217,23 @@ def _high_value_custkeys(sf_dir: str) -> rd.Dataset:
     ).select_columns(["o_custkey"])
 
 
+def q_equi_join(sf_dir: str):
+    """Size-adaptive equality join: events ⋈ customer (broadcast path at
+    this scale; the native Ray hash-join path is pytest-equivalence-gated)."""
+    from de_ray.dataops.joins import equi_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    out = equi_join(ev, cust, on_left="user_id", on_right="c_custkey")
+    return out.select_columns(["event_id", "c_name"])
+
+
+SQL_EQUI_JOIN = (
+    "SELECT e.event_id, c.c_name FROM events e JOIN customer c "
+    "ON e.user_id = c.c_custkey"
+)
+
+
 def q_semi_join(sf_dir: str):
     """Broadcast semi join: events of users holding a high-value order —
     small side ray.put once, vectorized is_in per batch, zero shuffle."""
@@ -1465,6 +1482,7 @@ REGISTRY = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "equi_join": (q_equi_join, SQL_EQUI_JOIN),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     # training-data ops

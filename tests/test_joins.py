@@ -283,3 +283,40 @@ def test_semi_join_bucketed_path_matches_broadcast():
         ).to_pandas()["event_id"]
     )
     assert a == b
+
+
+def test_equi_join_broadcast_matches_native_shuffle_join():
+    from de_ray.dataops.joins import equi_join
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id"])
+    cust = rd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_name"])
+    a = (
+        equi_join(ev, cust, on_left="user_id", on_right="c_custkey")
+        .select_columns(["event_id", "c_name"])
+        .to_pandas()
+    )
+    b = (
+        equi_join(
+            ev, cust, on_left="user_id", on_right="c_custkey", broadcast_limit=0,
+            num_partitions=4,
+        )
+        .select_columns(["event_id", "c_name"])
+        .to_pandas()
+    )
+    a = a.sort_values(["event_id", "c_name"], ignore_index=True)
+    b = b.sort_values(["event_id", "c_name"], ignore_index=True)
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_tfidf_distributed_vocab_path_matches_broadcast():
+    from de_ray.dataops.text import tfidf_top_terms
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    a = tfidf_top_terms(docs, top_n=2).to_pandas()
+    b = tfidf_top_terms(docs, top_n=2, broadcast_limit=0).to_pandas()
+    key = ["doc_id", "w", "tfidf"]
+    a = a[key].sort_values(key, ignore_index=True)
+    b = b[key].sort_values(key, ignore_index=True)
+    assert len(a) > 0
+    assert a.equals(b)
