@@ -1,0 +1,88 @@
+"""Sequence packing for LLM pretraining: concatenate documents and cut
+fixed-size token windows (the standard GPT-style chunk-and-pack — docs may
+straddle a boundary; nothing is padded or dropped except block tails).
+
+Packing is per Ray block: each ``map_batches`` task packs the documents it
+holds and emits its own chunk rows, so the op streams at any scale with no
+shuffle. Chunk ids are content-derived (first doc id + offset) — stable
+across reruns and resumable writes. The cross-block tail waste is bounded
+by (max_tokens - 1) tokens per block, negligible at production block
+sizes; exact global packing would serialize the corpus for no training
+benefit.
+
+The reference engine has no packing operator; this belongs to the
+training-data extension surface (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def pack_token_chunks(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    drop_tail: bool = False,
+) -> rd.Dataset:
+    """Pack whitespace-token documents into ``max_tokens``-sized training
+    chunks. Output rows: ``chunk_id`` (str, "<first_doc>:<k>"),
+    ``first_doc``/``last_doc`` (ids spanning the chunk), ``n_docs``,
+    ``n_tokens`` (== max_tokens except a block's final chunk).
+
+    Fully vectorized: one split+length pass, cumsum boundaries,
+    searchsorted doc↔chunk mapping — no per-doc Python loop."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "chunk_id": pd.Series([], dtype="string"),
+                "first_doc": pd.Series([], dtype="int64"),
+                "last_doc": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+
+    def chunk(t: pa.Table) -> pd.DataFrame:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(
+            pc.split_pattern(t.column(text_col), pattern=" ")
+        ).to_numpy()
+        keep = lens > 0
+        ids, lens = ids[keep], lens[keep].astype(np.int64)
+        if len(ids) == 0:
+            return _empty()
+        ends = np.cumsum(lens)  # doc i occupies tokens [ends[i]-lens[i], ends[i])
+        total = int(ends[-1])
+        n_chunks = total // max_tokens if drop_tail else -(-total // max_tokens)
+        if n_chunks == 0:
+            return _empty()
+        starts = np.arange(n_chunks, dtype=np.int64) * max_tokens
+        stops = np.minimum(starts + max_tokens, total)
+        # first doc overlapping a chunk: first doc whose end > chunk start;
+        # last doc: first doc whose end >= chunk stop
+        first_i = np.searchsorted(ends, starts, side="right")
+        last_i = np.searchsorted(ends, stops, side="left")
+        last_i = np.minimum(last_i, len(ids) - 1)
+        return pd.DataFrame(
+            {
+                "chunk_id": pd.Series(
+                    [f"{ids[0]}:{k}" for k in range(n_chunks)], dtype="string"
+                ),
+                "first_doc": ids[first_i].astype(np.int64),
+                "last_doc": ids[last_i].astype(np.int64),
+                "n_docs": (last_i - first_i + 1).astype(np.int64),
+                "n_tokens": (stops - starts).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

@@ -50,6 +50,44 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fp, pa.string()))
 
 
+def repetition_signals_batch(
+    batch: pa.Table, text_col: str = "text", n: int = 2
+) -> pa.Table:
+    """Gopher-style repetition quality signals per document: fraction of
+    duplicate word n-grams (1 - distinct/total) and the most-frequent
+    n-gram's share of all n-grams. Fully vectorized: one hashed-n-gram pass
+    (shared with decontamination) + a lexsort run-length scan per batch —
+    no per-doc Python. Docs with fewer than ``n`` tokens report 0.0."""
+    from de_ray.dataops.decontam import _batch_ngrams
+
+    vals, offs = _batch_ngrams(batch.column(text_col).to_pylist(), n)
+    counts = np.diff(offs)
+    ndocs = len(counts)
+    uniq = np.zeros(ndocs, dtype=np.int64)
+    top = np.zeros(ndocs, dtype=np.int64)
+    if len(vals):
+        doc_rep = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+        order = np.lexsort((vals, doc_rep))
+        sv, sd = vals[order], doc_rep[order]
+        newrun = np.concatenate(
+            [[True], (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])]
+        )
+        run_starts = np.flatnonzero(newrun)
+        run_len = np.diff(np.append(run_starts, len(sv)))
+        run_doc = sd[run_starts]
+        uniq = np.bincount(run_doc, minlength=ndocs)
+        # first run index per doc; equal/clipped indices only occur for
+        # gram-less docs, which the has-mask zeroes out below
+        first = np.searchsorted(run_doc, np.arange(ndocs), side="left")
+        top = np.maximum.reduceat(run_len, np.minimum(first, len(run_len) - 1))
+    has = counts > 0
+    denom = np.maximum(counts, 1)
+    dup_frac = np.where(has, np.round(1.0 - uniq / denom, 6), 0.0)
+    top_frac = np.where(has, np.round(top / denom, 6), 0.0)
+    out = batch.append_column("dup_frac", pa.array(dup_frac, pa.float64()))
+    return out.append_column("top_frac", pa.array(top_frac, pa.float64()))
+
+
 def term_frequencies(ds, text_col: str = "text", top_k: int | None = None):
     """Corpus term frequencies (vocabulary building): explode tokens and
     count, combiner-style — each batch emits its own (term, count)

@@ -1234,6 +1234,146 @@ SQL_EQUI_JOIN = (
 )
 
 
+def q_top_revenue(sf_dir: str):
+    """TPC-H Q3-shaped 3-way join: customer(BUILDING) ⋈ orders ⋈ lineitem,
+    per-order revenue, top 10. Both joins go through equi_join (small side
+    broadcast at this scale, native hash join above the limit); the
+    aggregate is combiner-partial and the top-k is per-batch partial →
+    single tiny final — no full-result sort shuffle."""
+    from de_ray.dataops.joins import equi_join
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(t.column("c_mktsegment"), "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    bld_orders = equi_join(
+        orders, cust, on_left="o_custkey", on_right="c_custkey"
+    ).select_columns(["o_orderkey", "o_orderdate"])
+    joined = equi_join(li, bld_orders, on_left="l_orderkey", on_right="o_orderkey")
+
+    keys = ["l_orderkey", "o_orderdate"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        return df.groupby(keys, as_index=False).agg(revenue=("revenue", "sum"))
+
+    tot = adaptive_grouped_sum(
+        joined.map_batches(partial, batch_format="pandas", batch_size=256 * 1024),
+        keys,
+        ["revenue"],
+    )
+
+    def top10(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["revenue"].round(2))
+        return df.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True]
+        ).head(10)[["l_orderkey", "o_orderdate", "revenue"]]
+
+    return (
+        tot.map_batches(top10, batch_format="pandas")
+        .repartition(1)
+        .map_batches(top10, batch_format="pandas")
+    )
+
+
+SQL_TOP_REVENUE = (
+    "SELECT l_orderkey, o_orderdate, "
+    "round(sum(l_extendedprice*(1-l_discount)),2) AS revenue "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "GROUP BY l_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+)
+
+
+def q_decontaminate(sf_dir: str):
+    """Test-set decontamination: docs 0-49 act as the held-out eval set;
+    return every other document sharing a word 5-gram with it. Test-side
+    n-gram hashes broadcast once; the training side streams with a
+    vectorized searchsorted probe, no shuffle."""
+    from de_ray.dataops.decontam import decontaminate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    test = docs.map_batches(
+        lambda t: t.filter(pa.compute.less(t.column("doc_id"), 50)),
+        batch_format="pyarrow",
+    )
+    train = docs.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t.column("doc_id"), 50)),
+        batch_format="pyarrow",
+    )
+    out = decontaminate(train, test, n=5, mode="flag")
+    return out.map_batches(
+        lambda t: t.filter(t.column("contaminated")).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DECONTAMINATE = (
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "grams AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g "
+    "FROM toks, unnest(generate_series(1, len(t)-4)) AS s(i)), "
+    "test AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50) "
+    "SELECT DISTINCT doc_id FROM grams "
+    "WHERE doc_id >= 50 AND g IN (SELECT g FROM test)"
+)
+
+
+def q_pack_chunks(sf_dir: str):
+    """GPT-style sequence packing: concat-and-chunk docs into 256-token
+    training windows, per block, no shuffle. Rows-only (packing layout is
+    block-dependent by design); invariants pytest-gated in test_decontam."""
+    from de_ray.dataops.pack import pack_token_chunks
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_token_chunks(docs, max_tokens=256)
+
+
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality signals: per-doc duplicate-bigram
+    fraction and top-bigram share — one vectorized streaming pass."""
+    from de_ray.dataops.text import repetition_signals_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: repetition_signals_batch(t, n=2).select(
+            ["doc_id", "dup_frac", "top_frac"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REPETITION = (
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "grams AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g "
+    "FROM toks, unnest(generate_series(1, len(t)-1)) AS s(i)), "
+    "gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g), "
+    "per AS (SELECT doc_id, sum(c) AS total, count(*) AS uniq, max(c) AS top "
+    "FROM gc GROUP BY doc_id) "
+    "SELECT d.doc_id, "
+    "coalesce(round(1.0 - per.uniq / per.total, 6), 0.0) AS dup_frac, "
+    "coalesce(round(per.top / per.total, 6), 0.0) AS top_frac "
+    "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"
+)
+
+
 def q_semi_join(sf_dir: str):
     """Broadcast semi join: events of users holding a high-value order —
     small side ray.put once, vectorized is_in per batch, zero shuffle."""
@@ -1483,6 +1623,10 @@ REGISTRY = {
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "equi_join": (q_equi_join, SQL_EQUI_JOIN),
+    "top_revenue": (q_top_revenue, SQL_TOP_REVENUE),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "repetition_signals": (q_repetition_signals, SQL_REPETITION),
+    "pack_chunks": (q_pack_chunks, None),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     # training-data ops
