@@ -224,8 +224,13 @@ def _driver_final_dictionary(roles: rd.Dataset) -> DictionaryBuild:
     Identical output to the distributed path."""
     import numpy as np
 
+    # fetch the materialized role blocks directly: plasma objects are
+    # shared-memory on a node, so ray.get of Arrow refs is near-zero-copy
+    # and parallel — measurably cheaper than the iter_batches stream (which
+    # re-batches and deserializes through the iterator machinery)
     tbl = pa.concat_tables(
-        list(roles.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+         for t in ray.get(roles.to_arrow_refs())]
     )
     try:
         return _polars_final(tbl)
