@@ -270,7 +270,8 @@ def equi_join(
         return left.map_batches(j, batch_format="pandas")
     return left.join(
         right_m,
-        join_type=how,
+        # Ray's hash join names the outer variant explicitly
+        join_type={"inner": "inner", "left": "left_outer"}[how],
         num_partitions=num_partitions,
         on=(on_left,),
         right_on=(on_right,),

@@ -6,6 +6,7 @@ pandas/DuckDB computation of the same semantics on sf0.001 events.
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 import ray.data as rd
@@ -320,3 +321,22 @@ def test_tfidf_distributed_vocab_path_matches_broadcast():
     b = b[key].sort_values(key, ignore_index=True)
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_equi_join_left_both_paths():
+    from de_ray.dataops.joins import equi_join
+
+    left = rd.from_arrow(
+        pa.table({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    )
+    right = rd.from_arrow(pa.table({"rk": [2, 4], "w": ["x", "y"]}))
+    want = {(1, None), (2, "x"), (3, None), (4, "y")}
+    b = equi_join(left, right, on_left="k", on_right="rk", how="left").to_pandas()
+    got_b = {(r.k, None if pd.isna(r.w) else r.w) for r in b.itertuples()}
+    s = equi_join(
+        left, right, on_left="k", on_right="rk", how="left",
+        broadcast_limit=0, num_partitions=2,
+    ).to_pandas()
+    got_s = {(r.k, None if pd.isna(r.w) else r.w) for r in s.itertuples()}
+    assert got_b == want
+    assert got_s == want
