@@ -82,8 +82,11 @@ def repetition_signals_batch(
         top = np.maximum.reduceat(run_len, np.minimum(first, len(run_len) - 1))
     has = counts > 0
     denom = np.maximum(counts, 1)
-    dup_frac = np.where(has, np.round(1.0 - uniq / denom, 6), 0.0)
-    top_frac = np.where(has, np.round(top / denom, 6), 0.0)
+    # floor-quantize instead of round: both engines compute bit-identical
+    # IEEE doubles from the same integers, and floor has no half-tie case
+    # (numpy rounds half-to-even, DuckDB half-away — round() can diverge)
+    dup_frac = np.where(has, np.floor((1.0 - uniq / denom) * 1e6) / 1e6, 0.0)
+    top_frac = np.where(has, np.floor((top / denom) * 1e6) / 1e6, 0.0)
     out = batch.append_column("dup_frac", pa.array(dup_frac, pa.float64()))
     return out.append_column("top_frac", pa.array(top_frac, pa.float64()))
 

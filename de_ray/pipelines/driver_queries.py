@@ -1368,8 +1368,8 @@ SQL_REPETITION = (
     "per AS (SELECT doc_id, sum(c) AS total, count(*) AS uniq, max(c) AS top "
     "FROM gc GROUP BY doc_id) "
     "SELECT d.doc_id, "
-    "coalesce(round(1.0 - per.uniq / per.total, 6), 0.0) AS dup_frac, "
-    "coalesce(round(per.top / per.total, 6), 0.0) AS top_frac "
+    "coalesce(floor((1.0 - per.uniq / per.total) * 1e6) / 1e6, 0.0) AS dup_frac, "
+    "coalesce(floor((per.top / per.total) * 1e6) / 1e6, 0.0) AS top_frac "
     "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"
 )
 
