@@ -102,6 +102,8 @@ def run_bench() -> dict:
         "ngram_jaccard",
         "asof_join",
         "token_quantiles",
+        "decontaminate",
+        "repetition_signals",
     ]
     q_trials = int(os.environ.get("GRAFT_QUERY_TRIALS", "2"))
     q_times = {}

@@ -325,9 +325,11 @@ def _jaccard_ok(sa: np.ndarray, sb: np.ndarray, threshold: float) -> bool:
 def _verify_pairs(ds, pairs, threshold: float, k: int, driver_limit: int):
     """Jaccard-verify candidate pairs WITHOUT pulling texts to the driver.
 
-    Below ``driver_limit`` candidate docs: per-doc shingle sets for the
-    candidates are computed in map_batches and broadcast once via ray.put —
-    each pairs batch verifies where it lives (VERDICT r1 #2). Above the
+    While 2·|pairs| (≥ distinct candidate docs) fits ``driver_limit``:
+    per-doc shingle sets for the candidates are computed in map_batches and
+    broadcast once via ray.put — each pairs batch verifies where it lives
+    (VERDICT r1 #2), and the endpoint set comes from one tiny driver pull
+    instead of a dedup shuffle. Above the
     limit the shingle table itself is distributed: pairs ⋈ shingles joins on
     doc_a then doc_b (hash-partitioned; shingle sets travel as packed uint64
     bytes), so no node ever holds the whole candidate set (VERDICT r2 #2).
@@ -335,19 +337,15 @@ def _verify_pairs(ds, pairs, threshold: float, k: int, driver_limit: int):
     import ray
     import ray.data as rd
 
-    from de_ray.stages.canonicalize import canonicalize_stage
-
-    cand = canonicalize_stage(
-        pairs.map_batches(
-            lambda df: pd.DataFrame(
-                {"doc_id": pd.unique(pd.concat([df["doc_a"], df["doc_b"]]))}
-            ),
-            batch_format="pandas",
-        ),
-        cols=["doc_id"],
-    ).materialize()
-    if cand.count() <= driver_limit:
-        cand_ids = frozenset(cand.to_pandas()["doc_id"].tolist())
+    # pairs is already materialized upstream, so count() is free; a small
+    # pair set yields its distinct endpoints with one tiny driver pull —
+    # the dedup shuffle below is only worth it above the driver guard
+    n_pairs = pairs.count()
+    if 2 * n_pairs <= driver_limit:
+        pdf = pairs.to_pandas()
+        cand_ids = frozenset(
+            pd.unique(pd.concat([pdf["doc_a"], pdf["doc_b"]])).tolist()
+        )
         ids_ref = ray.put(cand_ids)
 
         def shingles_of_candidates(df: pd.DataFrame) -> pd.DataFrame:
@@ -383,6 +381,17 @@ def _verify_pairs(ds, pairs, threshold: float, k: int, driver_limit: int):
         return pairs.map_batches(verify, batch_format="pandas", batch_size=64 * 1024)
 
     # -- distributed path: pairs ⋈ shingles ---------------------------------
+    from de_ray.stages.canonicalize import canonicalize_stage
+
+    cand = canonicalize_stage(
+        pairs.map_batches(
+            lambda df: pd.DataFrame(
+                {"doc_id": pd.unique(pd.concat([df["doc_a"], df["doc_b"]]))}
+            ),
+            batch_format="pandas",
+        ),
+        cols=["doc_id"],
+    ).materialize()
     nparts = max(2, min(32, int(ray.cluster_resources().get("CPU", 4)) - 1))
 
     def mk_shingles(t: pa.Table) -> pa.Table:
