@@ -121,15 +121,16 @@ def decontaminate(
             hit = test_hashes[pos] == vals
         else:
             hit = np.zeros(len(vals), dtype=bool)
-        # any-hit per doc: sum hits over each doc's gram span. reduceat
-        # needs indices < len(vals); empty spans (incl. trailing ones) are
-        # clipped then masked out by the span-length test below.
-        if len(vals):
-            idx = np.minimum(offsets[:-1], len(vals) - 1)
-            doc_hits = np.add.reduceat(hit, idx)
-        else:
-            doc_hits = np.zeros(len(offsets) - 1, dtype=np.int64)
-        doc_hits = np.where(np.diff(offsets) > 0, doc_hits, 0) > 0
+        # any-hit per doc: sum hits over each NON-EMPTY doc span, scattered
+        # back (reduceat over clipped indices would instead truncate the
+        # segment preceding an empty/trailing doc — a false negative)
+        spans = np.diff(offsets)
+        doc_hits = np.zeros(len(spans), dtype=bool)
+        nonempty = spans > 0
+        if len(vals) and nonempty.any():
+            doc_hits[nonempty] = (
+                np.add.reduceat(hit, offsets[:-1][nonempty]) > 0
+            )
         if mode == "drop":
             return t.filter(pa.array(~doc_hits))
         return t.append_column("contaminated", pa.array(doc_hits))

@@ -53,10 +53,16 @@ def pack_token_chunks(
         )
 
     def chunk(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return _empty()
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        lens = pc.list_value_length(
-            pc.split_pattern(t.column(text_col), pattern=" ")
-        ).to_numpy()
+        # count NON-EMPTY tokens: split("") yields [""] (length 1, not 0),
+        # so a raw list_value_length would give every empty doc one token
+        toks = pc.split_pattern(t.column(text_col), pattern=" ")
+        ll = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(ll)[:-1]])
+        lens = np.add.reduceat(flat != "", starts)  # split rows are never empty
         keep = lens > 0
         ids, lens = ids[keep], lens[keep].astype(np.int64)
         if len(ids) == 0:

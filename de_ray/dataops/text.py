@@ -76,10 +76,11 @@ def repetition_signals_batch(
         run_len = np.diff(np.append(run_starts, len(sv)))
         run_doc = sd[run_starts]
         uniq = np.bincount(run_doc, minlength=ndocs)
-        # first run index per doc; equal/clipped indices only occur for
-        # gram-less docs, which the has-mask zeroes out below
-        first = np.searchsorted(run_doc, np.arange(ndocs), side="left")
-        top = np.maximum.reduceat(run_len, np.minimum(first, len(run_len) - 1))
+        # per-doc max run length: reduceat over the first run index of each
+        # doc that HAS runs (clipping absent docs' indices instead would
+        # truncate the preceding doc's segment), scattered back
+        present, first_idx = np.unique(run_doc, return_index=True)
+        top[present] = np.maximum.reduceat(run_len, first_idx)
     has = counts > 0
     denom = np.maximum(counts, 1)
     # floor-quantize instead of round: both engines compute bit-identical
