@@ -114,3 +114,35 @@ def test_decontaminate_flags_match_reference(train_texts, test_texts, n):
     for i, t in enumerate(train_texts):
         want = bool(test_grams & set(_ref_ngrams(t, n)))
         assert bool(out["contaminated"][i]) == want, (i, t)
+
+
+@given(DOCS, st.integers(min_value=1, max_value=4))
+@settings(max_examples=200, deadline=None)
+def test_batch_shingles_match_reference(texts, k):
+    """_batch_shingles (MinHash/Jaccard substrate): strict windows for docs
+    with >= k tokens, ONE whole-doc shingle for shorter non-empty docs."""
+    from de_ray.dataops.dedup import _batch_shingles
+
+    vals, offs = _batch_shingles(texts, k)
+    assert len(offs) == len(texts) + 1
+    # build the reference gram STRINGS with the same fallback semantics
+    refs = []
+    for t in texts:
+        toks = t.split()
+        if len(toks) >= k:
+            refs.append([" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)])
+        elif toks:
+            refs.append([" ".join(toks)])
+        else:
+            refs.append([])
+    flat_ref = [g for r in refs for g in r]
+    flat_got = vals.tolist()
+    assert len(flat_got) == len(flat_ref)
+    assert [offs[i + 1] - offs[i] for i in range(len(texts))] == [len(r) for r in refs]
+    # hash must be a pure function of the gram string: equality structure matches
+    by_hash = {}
+    for h, g in zip(flat_got, flat_ref):
+        assert by_hash.setdefault(h, g) == g
+    by_str = {}
+    for h, g in zip(flat_got, flat_ref):
+        assert by_str.setdefault(g, h) == h
