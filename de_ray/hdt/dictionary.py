@@ -71,16 +71,33 @@ def _role_partials(batch: pa.Table) -> pa.Table:
 
 @ray.remote
 def _block_section_counts(tbl: pa.Table):
+    # groupby/map_groups can emit SCHEMA-LESS empty blocks (see the NOTE in
+    # dataops/dedup._connected_components); treat them as zero contribution
+    if tbl.num_rows == 0 or "section" not in tbl.schema.names:
+        return {}, 0
     vc = pc.value_counts(tbl.column("section"))
     strlen = pc.sum(pc.utf8_length(tbl.column("term"))).as_py() or 0
     return {v["values"]: v["counts"] for v in vc.to_pylist()}, int(strlen)
 
 
+_SECTIONS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("section", pa.int32()),
+        ("sec_rank", pa.int64()),
+        ("id", pa.int64()),
+    ]
+)
+
+
 @ray.remote
 def _attach_ids(tbl: pa.Table, start_offsets: Dict[int, int], shared_count: int) -> pa.Table:
-    """Attach per-section rank and final ID-space id to one sorted block."""
+    """Attach per-section rank and final ID-space id to one sorted block.
+    Schema-less empty blocks pass through as a typed empty table."""
     import numpy as np
 
+    if tbl.num_rows == 0 or "section" not in tbl.schema.names:
+        return _SECTIONS_SCHEMA.empty_table()
     sections = tbl.column("section").to_numpy(zero_copy_only=False)
     ranks = np.empty(len(sections), dtype="int64")
     offs = dict(start_offsets)
@@ -139,8 +156,11 @@ class DictionaryBuild:
 # partial (term, roles) rows up to which the merge+sort+rank final runs in
 # one polars pass on the driver (multi-threaded C sort: ~1 s at 5M rows,
 # where the distributed groupby+sort pays several seconds of shuffle floors);
-# beyond it the distributed path runs (the 10^12-doc regime)
-DRIVER_FINAL_LIMIT = 8_000_000
+# beyond it the distributed path runs (the 10^12-doc regime). Measured at
+# 8.2M role rows: driver final ≈ 1.3-4 s vs distributed final 13.6 s on one
+# node — the crossover is far above this; 32M rows ≈ 4 GiB on the driver,
+# still comfortable on the 128 GiB node class this targets.
+DRIVER_FINAL_LIMIT = 32_000_000
 
 
 def build_dictionary(

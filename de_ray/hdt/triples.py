@@ -31,8 +31,13 @@ from de_ray.hdt.dictionary import (
     DictionaryBuild,
 )
 
-# above this many dictionary entries, encode via shuffle join instead of broadcast
-BROADCAST_LIMIT = 5_000_000
+# above this many dictionary entries, encode via shuffle join instead of
+# broadcast. The broadcast state is two uint64 numpy arrays per ID space
+# (~16 B/term) served zero-copy from plasma — every worker on a node SHARES
+# one mapped copy, so 64M terms ≈ 1 GiB per node, comfortably inside the
+# 128 GiB/32-vCPU node class this targets. Keep the join path for the true
+# beyond-RAM dictionary regime.
+BROADCAST_LIMIT = 64_000_000
 
 # at or below this many dictionary entries, encode with stateless tasks
 # (per-worker index build is cheap); above it, an actor pool
@@ -396,14 +401,21 @@ def _join_encode(triples_ds: rd.Dataset, dict_build: DictionaryBuild,
     subj_map = _space_map((SECTION_SHARED, SECTION_SUBJECT))
     obj_map = _space_map((SECTION_SHARED, SECTION_OBJECT))
     pred_map = _space_map((SECTION_PREDICATE,))
+    # one join at a time: each materialize() is a barrier so only ONE
+    # hash-join aggregator pool exists at any moment. Running the three
+    # joins as a single streamed chain deadlocks Ray 2.49's streaming
+    # executor at scale (observed at 188M rows: every JoinOperator holds
+    # its aggregator CPUs with zero tasks while the driver spins at 100%).
+    # The intermediates are int-id + remaining-string columns; they spill
+    # to plasma rather than pinning the heap.
     ds = triples_ds.join(
         subj_map, join_type="inner", num_partitions=num_partitions,
         on=("subj",), right_on=("term",),
-    ).rename_columns({"id": "s_id"})
+    ).rename_columns({"id": "s_id"}).materialize()
     ds = ds.join(
         pred_map, join_type="inner", num_partitions=num_partitions,
         on=("pred",), right_on=("term",),
-    ).rename_columns({"id": "p_id"})
+    ).rename_columns({"id": "p_id"}).materialize()
     ds = ds.join(
         obj_map, join_type="inner", num_partitions=num_partitions,
         on=("obj",), right_on=("term",),

@@ -126,21 +126,31 @@ class CheckpointedRun:
         checkpoint unit (``<name>/group=K/`` + marker + lineage row), so a
         killed run resumes at the first unfinished GROUP, not the stage
         start. ``build(files)`` returns the group's output Dataset.
-        Returns the union of all group outputs (lazy reads for finished
-        groups).
+        Returns ONE lazy read over every group's checkpoint parquet —
+        NOT a union of per-group datasets: a chained UnionOperator tree
+        over many ReadParquet inputs starves under Ray's per-operator
+        memory budgets at scale (observed at 8 M docs: unions queue
+        thousands of blocks, emit none, and the downstream encode idles),
+        while a single multi-directory ReadParquet streams uniformly.
         """
         import ray.data as rd
 
         files = sorted(files)
         groups = [files[i : i + group_size] for i in range(0, len(files), group_size)]
-        parts = []
         for gi, group in enumerate(groups):
             sub = os.path.join(name, f"group={gi:04d}")
-            parts.append(self.stage(sub, lambda g=group: build(g), inputs=group))
-        out = parts[0]
-        for d in parts[1:]:
-            out = out.union(d)
-        return out
+            # runs the group (or skips it on resume); output lands in
+            # <root>/<name>/group=K/ as parquet either way
+            self.stage(sub, lambda g=group: build(g), inputs=group)
+        out_files = []
+        for gi in range(len(groups)):
+            d = os.path.join(self.root, name, f"group={gi:04d}")
+            out_files.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+        return rd.read_parquet(out_files)
 
     def lineage(self) -> List[dict]:
         if not os.path.exists(self.lineage_path):

@@ -225,3 +225,20 @@ def test_pack_spec_roundtrip():
     # numeric order of the key == lexicographic (s,p,o,g) order
     order = np.lexsort((g, o, p, s))
     assert (np.argsort(k, kind="stable") == order).all()
+
+
+def test_dictionary_distributed_final_tolerates_schemaless_empty_blocks():
+    """The Aggregate/map_groups machinery can emit SCHEMA-LESS empty blocks
+    (observed at 8M+ role rows); the per-block remote fns must pass them
+    through instead of KeyErroring on the missing columns."""
+    import pyarrow as pa
+    import ray
+
+    from de_ray.hdt.dictionary import _attach_ids, _block_section_counts
+
+    empty = pa.table({})
+    counts, strlen = ray.get(_block_section_counts.remote(empty))
+    assert counts == {} and strlen == 0
+    out = ray.get(_attach_ids.remote(empty, {}, 0))
+    assert out.num_rows == 0
+    assert set(out.schema.names) == {"term", "section", "sec_rank", "id"}
