@@ -513,6 +513,7 @@ def _connected_components(verified, driver_limit: int = 2_000_000):
         .min("label")
         .repartition(nparts)
     ).map_batches(_force("node", "label"), batch_format="pandas").materialize()
+    prev_sum = labels.sum("label")
     for _round in range(64):
         # candidate labels for each node = its peers' current labels
         cand = edges.join(
@@ -526,30 +527,14 @@ def _connected_components(verified, driver_limit: int = 2_000_000):
         new_labels = _norm(
             labels.union(cand).groupby("node").min("label").repartition(nparts)
         ).map_batches(_force("node", "label"), batch_format="pandas").materialize()
-        changed = (
-            new_labels.map_batches(
-                lambda df: df.rename(columns={"label": "new"}), batch_format="pandas"
-            )
-            .join(
-                labels.map_batches(
-                    lambda df: df.rename(columns={"label": "old"}), batch_format="pandas"
-                ),
-                join_type="inner",
-                num_partitions=nparts,
-                on=("node",),
-            )
-            .map_batches(
-                lambda df: pd.DataFrame(
-                    {"c": [int((df["new"] != df["old"]).sum())
-                           if len(df) and "new" in df.columns else 0]}
-                ),
-                batch_format="pandas",
-            )
-            .sum("c")
-        )
+        # min-propagation labels only ever DECREASE, so the label sum is a
+        # strictly decreasing potential: equal sums ⟺ converged. One cheap
+        # aggregate replaces the old per-round new⋈old comparison join.
+        new_sum = new_labels.sum("label")
         labels = new_labels
-        if not changed:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
