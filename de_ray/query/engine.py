@@ -1811,6 +1811,14 @@ def _eval_aggregates(q: Query, vars_out: List[str], ds: rd.Dataset):
         out = adaptive_grouped_apply(ds, group_vars, many_groups)
     else:
         out = _global_aggregate(ds, work, agg_rows, out_cols)
+    return _finish_aggregates(q, out, out_cols)
+
+
+def _finish_aggregates(q: Query, out: rd.Dataset, out_cols: List[str]):
+    """Shared aggregate tail: HAVING, (expr AS ?v) projections, projection
+    order, ORDER BY/LIMIT/OFFSET. Used by the generic grouped path and the
+    int-domain pushdown so both produce identical results."""
+    aggs = q.aggregates
     if q.having:
         out = _apply_filters(out, q.having)
     avail = list(out_cols)
@@ -1903,9 +1911,110 @@ def _global_aggregate(ds: rd.Dataset, work, agg_rows, out_cols) -> rd.Dataset:
     return rd.from_pandas(pd.DataFrame([row], columns=out_cols))
 
 
+def _try_id_groupby_fastpath(q: Query, source):
+    """Aggregate pushdown into the integer-ID domain (store-backed only).
+
+    For ``SELECT <group vars + COUNTs> WHERE { one triple pattern } GROUP
+    BY <pattern vars>`` the generic path decodes EVERY matched triple to
+    canonical strings before grouping — measured 13 min for ``GROUP BY
+    ?p`` over a 187 M-triple store. This path groups on the store's id
+    columns (ints never leave the scan) and decodes only the distinct
+    group keys via the broadcast term LUTs. Returns None when the query
+    shape doesn't match; the generic path then runs unchanged and both
+    produce identical results (shared ``_finish_aggregates`` tail).
+    """
+    if q.form != "SELECT" or not q.group_by or not q.aggregates:
+        return None
+    if not isinstance(source, StoreSource):
+        return None
+    w = q.where
+    if w.filters or w.exists or w.not_exists or len(w.elements) != 1:
+        return None
+    kind, payload = w.elements[0]
+    if kind != "bgp" or len(payload) != 1:
+        return None
+    pat = payload[0]
+    var_col: dict = {}
+    bound: dict = {}
+    for col, t in (("s_id", pat.s), ("p_id", pat.p), ("o_id", pat.o)):
+        if isinstance(t, Var):
+            if t.name in var_col:
+                return None  # repeated var needs an equality filter
+            var_col[t.name] = col
+        elif isinstance(t, str):
+            bound[col] = t
+        else:
+            return None  # property paths etc.
+    if any(not isinstance(v, Var) or v.name not in var_col for v in q.group_by):
+        return None
+    for a in q.aggregates:
+        if a.fn != "COUNT" or a.distinct or a.expr is not None:
+            return None
+        if a.var is not None and a.var.name not in var_col:
+            return None
+    legal = {v.name for v in q.group_by} | {a.alias.name for a in q.aggregates}
+    for expr, _v in q.projections:
+        if any(n not in legal for n in _expr_vars(expr)):
+            return None
+    from de_ray.hdt.store import TERM_MAP_LIMIT
+
+    store = source.store
+    if store._total_terms() > TERM_MAP_LIMIT:
+        return None
+    group_vars = [v.name for v in q.group_by]
+    out_cols = group_vars + [a.alias.name for a in q.aggregates]
+    ids = store.pattern_scan_ids(
+        s=bound.get("s_id"), p=bound.get("p_id"), o=bound.get("o_id"),
+        graphs=source.graphs,
+    )
+    if ids is None:  # unresolvable bound term: zero matches, zero groups
+        empty = pd.DataFrame({c: pd.Series([], dtype="object") for c in out_cols})
+        return _finish_aggregates(q, rd.from_pandas(empty), out_cols)
+    group_cols = [var_col[v] for v in group_vars]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_cols, sort=False, as_index=False).size()
+        return g.rename(columns={"size": "__n"})
+
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    tot = adaptive_grouped_sum(
+        ids.map_batches(partial, batch_format="pandas", batch_size=1 << 20),
+        group_cols,
+        ["__n"],
+    )
+    tbl_ref = store.term_luts_ref()
+    space_of = {"s_id": "subj", "p_id": "pred", "o_id": "obj"}
+    from de_ray.model import XSD_INTEGER
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        from de_ray.hdt.store import terms_by_id_luts
+        from de_ray.state.broadcast import get_broadcast
+
+        lut = get_broadcast(tbl_ref, transform=terms_by_id_luts)
+        cols = {}
+        for v in group_vars:
+            c = var_col[v]
+            idx = df[c].to_numpy(dtype="int64") - 1
+            cols[v] = pc.take(lut[space_of[c]], pa.array(idx)).to_pandas().to_numpy()
+        # COUNT over a BGP-bound var is never null → every COUNT == group size
+        n_lit = ('"' + df["__n"].astype("int64").astype(str) + f'"^^<{XSD_INTEGER}>').to_numpy()
+        for a in q.aggregates:
+            cols[a.alias.name] = n_lit
+        return pd.DataFrame(cols)[out_cols]
+
+    out = tot.map_batches(finish, batch_format="pandas")
+    return _finish_aggregates(q, out, out_cols)
+
+
 def evaluate(q: Query, source):
     """Evaluate a parsed query against a TripleSource."""
     _rewrite_agg_refs(q)
+    fast = _try_id_groupby_fastpath(q, source)
+    if fast is not None:
+        return fast
     vars_out, ds = _eval_group(q.where, source)
     if q.form == "ASK":
         try:

@@ -243,3 +243,60 @@ def test_serializers_respect_projection_order_when_columns_differ():
 
     xml = solutions_to_xml(Res())
     assert '<binding name="reg"><uri>http://x/region/0</uri></binding>' in xml
+
+
+def _solutions_df(res):
+    import pandas as pd
+
+    ds = res.ds if hasattr(res, "ds") else res
+    df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "sparql",
+    [
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p ORDER BY DESC(?n) ?p",
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s",
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { <http://example.org/Pineapple> ?p ?o } GROUP BY ?p",
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p HAVING (?n > 1)",
+        "SELECT ?p (COUNT(*) AS ?n) (COUNT(?s) AS ?m) WHERE { ?s ?p ?o } GROUP BY ?p "
+        "ORDER BY ?p LIMIT 2",
+    ],
+)
+def test_id_groupby_fastpath_matches_generic(pineapple_store, sparql, monkeypatch):
+    """The int-domain aggregate pushdown must return exactly what the
+    generic decode-then-group path returns, column for column."""
+    import pandas as pd
+
+    import de_ray.query.engine as E
+
+    q1 = parse_query(sparql)
+    src = StoreSource(pineapple_store)
+    fast = E._try_id_groupby_fastpath(q1, src)
+    assert fast is not None, "expected the fastpath to take this shape"
+    # generic path: disable the fastpath and evaluate from scratch
+    monkeypatch.setattr(E, "_try_id_groupby_fastpath", lambda *_a: None)
+    slow = evaluate(parse_query(sparql), src)
+    a, b = _solutions_df(fast), _solutions_df(slow)
+    assert fast.variables == slow.variables
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_id_groupby_fastpath_declines_unsupported_shapes(pineapple_store):
+    import de_ray.query.engine as E
+
+    src = StoreSource(pineapple_store)
+    for sparql in [
+        # two patterns
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o . ?o ?p2 ?x } GROUP BY ?p",
+        # non-COUNT aggregate
+        "SELECT ?p (MIN(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p",
+        # COUNT DISTINCT
+        "SELECT ?p (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p",
+        # FILTER in the group
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o FILTER(?p != ?s) } GROUP BY ?p",
+        # repeated var
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { ?x ?p ?x } GROUP BY ?p",
+    ]:
+        assert E._try_id_groupby_fastpath(parse_query(sparql), src) is None, sparql
