@@ -37,6 +37,9 @@ def adaptive_grouped_sum(
     partials = partials.materialize()
     if partials.count() <= limit:
         df = partials.to_pandas()
+        if df.empty and any(c not in df.columns for c in key_list):
+            # zero-row inputs yield schema-less empty blocks
+            df = pd.DataFrame(columns=key_list + val_list)
         out = df.groupby(key_list, as_index=False)[val_list].sum()
         return rd.from_pandas(out)
     aggs = [Sum(v, alias_name=v) for v in val_list]

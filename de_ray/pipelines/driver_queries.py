@@ -1588,6 +1588,40 @@ SQL_SPARQL_GROUPCONCAT = (
 )
 
 
+def q_sparql_degree(sf_dir: str):
+    """Store-backed entity degree: GROUP BY + COUNT(DISTINCT) over one
+    triple pattern. Exercises the integer-ID aggregate pushdown
+    (engine._try_id_groupby_fastpath): the counts are computed on the
+    store's int id columns and only the distinct group keys are decoded."""
+    import os
+    import shutil
+    import tempfile
+
+    from de_ray.hdt.store import Store, write_store
+    from de_ray.query.engine import StoreSource, evaluate
+    from de_ray.query.parser import parse_query
+    from de_ray.stages.triples import extract_triples_stage
+
+    triples = extract_triples_stage(
+        _docs(sf_dir), subject_col="doc_id", graph="g", source_col="source"
+    )
+    out = os.path.join(tempfile.gettempdir(), "de_ray_driver_degreestore")
+    shutil.rmtree(out, ignore_errors=True)
+    write_store(triples, out)
+    q = parse_query(
+        f"SELECT ?ent (COUNT(DISTINCT ?doc) AS ?n) "
+        f"WHERE {{ ?doc <{DE}mentions> ?ent }} GROUP BY ?ent"
+    )
+    return evaluate(q, StoreSource(Store(out))).ds
+
+
+SQL_SPARQL_DEGREE = (
+    f"WITH {_TOKS_CTE} SELECT '{ENT}'||w AS ent, "
+    f"'\"'||CAST(count(DISTINCT doc_id) AS VARCHAR)||'\"^^<{XSD_INT}>' AS n "
+    f"FROM toks, unnest(ws) AS t(w) WHERE w NOT IN ({_STOP_SQL}) GROUP BY w"
+)
+
+
 REGISTRY = {
     # KG construction (north rule)
     "kg_extract_text": (q_kg_extract_text, SQL_KG_EXTRACT_TEXT),
@@ -1604,6 +1638,7 @@ REGISTRY = {
     "sparql_service": (q_sparql_service, SQL_SPARQL_SERVICE),
     "sparql_hash": (q_sparql_hash, SQL_SPARQL_HASH),
     "sparql_groupconcat": (q_sparql_groupconcat, SQL_SPARQL_GROUPCONCAT),
+    "sparql_degree": (q_sparql_degree, SQL_SPARQL_DEGREE),
     # relational coverage
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),

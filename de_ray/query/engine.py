@@ -1805,6 +1805,9 @@ def _eval_aggregates(q: Query, vars_out: List[str], ds: rd.Dataset):
         from de_ray.functions.agg import adaptive_grouped_apply
 
         def many_groups(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty and any(v not in df.columns for v in group_vars):
+                # zero-match BGPs yield schema-less empty blocks
+                return pd.DataFrame(columns=out_cols)
             rows = [agg_rows(g) for _, g in df.groupby(group_vars, sort=False)]
             return pd.DataFrame(rows, columns=out_cols)
 
@@ -1947,11 +1950,16 @@ def _try_id_groupby_fastpath(q: Query, source):
             return None  # property paths etc.
     if any(not isinstance(v, Var) or v.name not in var_col for v in q.group_by):
         return None
+    dist = [a for a in q.aggregates if a.distinct]
     for a in q.aggregates:
-        if a.fn != "COUNT" or a.distinct or a.expr is not None:
+        if a.fn != "COUNT" or a.expr is not None:
             return None
         if a.var is not None and a.var.name not in var_col:
             return None
+        if a.distinct and a.var is None:
+            return None  # COUNT(DISTINCT *): distinct-solution semantics
+    if dist and len(q.aggregates) > 1:
+        return None  # mixed plain/distinct needs a result join: generic path
     legal = {v.name for v in q.group_by} | {a.alias.name for a in q.aggregates}
     for expr, _v in q.projections:
         if any(n not in legal for n in _expr_vars(expr)):
@@ -1976,8 +1984,15 @@ def _try_id_groupby_fastpath(q: Query, source):
         g = df.groupby(group_cols, sort=False, as_index=False).size()
         return g.rename(columns={"size": "__n"})
 
-    from de_ray.functions.agg import adaptive_grouped_sum
+    from de_ray.functions.agg import adaptive_distinct, adaptive_grouped_sum
 
+    if dist:
+        # COUNT(DISTINCT ?v): global distinct over (group keys, v) id
+        # tuples (hash-bucketed, same machinery as the flagship dedup),
+        # then count pairs per group. BGP-bound vars are never null.
+        dcol = var_col[dist[0].var.name]
+        cols_d = group_cols + ([dcol] if dcol not in group_cols else [])
+        ids = adaptive_distinct(ids.select_columns(cols_d), cols_d)
     tot = adaptive_grouped_sum(
         ids.map_batches(partial, batch_format="pandas", batch_size=1 << 20),
         group_cols,

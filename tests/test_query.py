@@ -262,6 +262,14 @@ def _solutions_df(res):
         "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p HAVING (?n > 1)",
         "SELECT ?p (COUNT(*) AS ?n) (COUNT(?s) AS ?m) WHERE { ?s ?p ?o } GROUP BY ?p "
         "ORDER BY ?p LIMIT 2",
+        "SELECT ?p (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p",
+        "SELECT ?s (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s",
+        # resolvable bound terms, zero matching triples → zero groups
+        "SELECT ?o (COUNT(*) AS ?n) WHERE { <http://example.org/Fruit> "
+        "<http://example.org/hasColor> ?o } GROUP BY ?o",
+        # unresolvable bound term → dictionary short-circuit, zero groups
+        "SELECT ?p (COUNT(DISTINCT ?o) AS ?n) WHERE { <http://example.org/Nope> "
+        "?p ?o } GROUP BY ?p",
     ],
 )
 def test_id_groupby_fastpath_matches_generic(pineapple_store, sparql, monkeypatch):
@@ -292,8 +300,11 @@ def test_id_groupby_fastpath_declines_unsupported_shapes(pineapple_store):
         "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o . ?o ?p2 ?x } GROUP BY ?p",
         # non-COUNT aggregate
         "SELECT ?p (MIN(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p",
-        # COUNT DISTINCT
-        "SELECT ?p (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p",
+        # mixed plain + DISTINCT needs a result join
+        "SELECT ?p (COUNT(*) AS ?n) (COUNT(DISTINCT ?s) AS ?m) "
+        "WHERE { ?s ?p ?o } GROUP BY ?p",
+        # COUNT(DISTINCT *) has distinct-solution semantics
+        "SELECT ?p (COUNT(DISTINCT *) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p",
         # FILTER in the group
         "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o FILTER(?p != ?s) } GROUP BY ?p",
         # repeated var
