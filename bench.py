@@ -104,6 +104,8 @@ def run_bench() -> dict:
         "token_quantiles",
         "decontaminate",
         "repetition_signals",
+        "pii_scrub",
+        "quality_filter",
     ]
     q_trials = int(os.environ.get("GRAFT_QUERY_TRIALS", "2"))
     q_times = {}

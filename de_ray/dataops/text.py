@@ -15,6 +15,35 @@ import pyarrow.compute as pc
 
 STOPWORDS = ("the", "a")
 
+# PII scrub patterns, applied in order. RE2 syntax only (pyarrow and
+# DuckDB both run RE2, so the oracle mirrors these byte-for-byte).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+)
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails / IPv4s / phone numbers from ``text_col`` in place and
+    append ``n_redactions`` (match count over the ORIGINAL text, so category
+    counts are order-independent). Fully vectorized: one RE2 pass per
+    pattern via pyarrow.compute — no Python loop over rows."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    total = np.zeros(len(col), dtype=np.int64)
+    scrubbed = col
+    for _name, pat, repl in PII_PATTERNS:
+        total += pc.count_substring_regex(col, pattern=pat).to_numpy(
+            zero_copy_only=False
+        )
+        scrubbed = pc.replace_substring_regex(scrubbed, pattern=pat, replacement=repl)
+    out = batch.set_column(
+        batch.schema.get_field_index(text_col), text_col, scrubbed
+    )
+    return out.append_column("n_redactions", pa.array(total, pa.int64()))
+
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count, fully vectorized (split + list_value_length)."""
@@ -41,6 +70,40 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = out.append_column("stopword_ratio", pa.array(ratio, pa.float64()))
     out = out.append_column("mean_token_len", pa.array(mean_len, pa.float64()))
     return out
+
+
+def quality_filter(
+    ds,
+    text_col: str = "text",
+    min_tokens: int = 25,
+    max_tokens: int = 100_000,
+    max_stopword_ratio: float = 0.10,
+    mean_len_range: tuple = (3.0, 7.0),
+):
+    """Gopher-style document quality filter: keep docs whose token count,
+    stopword ratio and mean token length sit inside the configured bands.
+    One vectorized map_batches pass computes signals AND applies the mask —
+    dropped rows never leave the batch (no separate filter stage, no extra
+    pass over text). All predicates are exact in float64 on both sides
+    (integer character/token sums), so a SQL oracle matches bit-for-bit."""
+    lo, hi = mean_len_range
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        scored = quality_score_batch(batch, text_col=text_col)
+        n = scored.column("n_tokens")
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(n, min_tokens), pc.less_equal(n, max_tokens)),
+            pc.and_(
+                pc.less_equal(scored.column("stopword_ratio"), max_stopword_ratio),
+                pc.and_(
+                    pc.greater_equal(scored.column("mean_token_len"), lo),
+                    pc.less_equal(scored.column("mean_token_len"), hi),
+                ),
+            ),
+        )
+        return scored.filter(mask)
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

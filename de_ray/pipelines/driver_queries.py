@@ -492,6 +492,31 @@ SQL_QUALITY_SCORES = (
 )
 
 
+def q_quality_filter(sf_dir: str):
+    """Gopher-style quality filter: signals + keep-mask fused into one
+    vectorized batch pass (dropped docs never leave the batch)."""
+    from de_ray.dataops.text import quality_filter
+
+    out = quality_filter(
+        _docs(sf_dir, ["doc_id", "text"]),
+        min_tokens=25,
+        max_tokens=90,
+        max_stopword_ratio=0.10,
+        mean_len_range=(3.0, 4.4),
+    ).select_columns(["doc_id", "n_tokens"])
+    return out
+
+
+SQL_QUALITY_FILTER = (
+    "SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents "
+    "WHERE len(string_split(text,' ')) BETWEEN 25 AND 90 "
+    "AND len([x for x in string_split(text,' ') if x IN (" + _STOP_SQL + ")]) * 1.0 "
+    "/ greatest(len(string_split(text,' ')), 1) <= 0.10 "
+    "AND list_aggregate([length(x) for x in string_split(text,' ')], 'avg') "
+    "BETWEEN 3.0 AND 4.4"
+)
+
+
 def q_ann_topk(sf_dir: str):
     from de_ray.dataops.similarity import brute_force_topk
 
@@ -1622,6 +1647,57 @@ SQL_SPARQL_DEGREE = (
 )
 
 
+# Synthetic PII suffix so the scrub has deterministic matter to redact at
+# every scale (the word-soup corpus itself contains none). Derived
+# identically on both sides from doc_id.
+_PII_SUFFIX_SQL = (
+    "text || ' contact-'||doc_id||'@example.com from 10.'||(doc_id%200)"
+    "||'.0.1 call 555-867-5309'"
+)
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (email/IPv4/phone) — one vectorized RE2 pass per
+    pattern via pyarrow.compute, no Python row loop. A core training-data
+    scrub stage; DuckDB runs the same RE2 patterns as the oracle."""
+    from de_ray.dataops.text import pii_scrub_batch
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"]
+        df["text"] = (
+            df["text"] + " contact-" + did.astype(str) + "@example.com from 10."
+            + (did % 200).astype(str) + ".0.1 call 555-867-5309"
+        )
+        return df
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(synth, batch_format="pandas")
+        .map_batches(pii_scrub_batch, batch_format="pyarrow")
+    )
+
+
+def _sql_pii_scrub() -> str:
+    from de_ray.dataops.text import PII_PATTERNS
+
+    (_, e, er), (_, i, ir), (_, p, pr) = PII_PATTERNS
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(t2, '{e}', '{er}', 'g'), "
+        f"'{i}', '{ir}', 'g'), '{p}', '{pr}', 'g')"
+    )
+    cnt = (
+        f"len(regexp_extract_all(t2, '{e}')) + len(regexp_extract_all(t2, '{i}')) "
+        f"+ len(regexp_extract_all(t2, '{p}'))"
+    )
+    return (
+        f"SELECT doc_id, {red} AS text, {cnt} AS n_redactions FROM "
+        f"(SELECT doc_id, {_PII_SUFFIX_SQL} AS t2 FROM documents)"
+    )
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+
 REGISTRY = {
     # KG construction (north rule)
     "kg_extract_text": (q_kg_extract_text, SQL_KG_EXTRACT_TEXT),
@@ -1669,6 +1745,8 @@ REGISTRY = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "cosine_near_dup": (q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
     "ivf_topk_exact": (q_ivf_topk_exact, SQL_IVF_TOPK_EXACT),

@@ -36,6 +36,31 @@ def test_token_count_and_quality():
     assert q.column("stopword_ratio").to_pylist()[0] == pytest.approx(1 / 3)
 
 
+def test_pii_scrub_batch():
+    from de_ray.dataops.text import pii_scrub_batch
+
+    rows = [
+        "write to bob.smith+x@corp.example.org today",
+        "server at 192.168.1.254 port 80",
+        "call 555-867-5309 or 555.123.4567",
+        "mixed 1.2.3.4 a@b.io 999-999-9999",
+        "no pii here 1234 5.6 word",
+        # phone-shaped local part: email wins the replacement, but counts
+        # are over the original text so both categories tally
+        "edge 123-456-7890@x.com overlap",
+    ]
+    out = pii_scrub_batch(pa.table({"text": pa.array(rows, pa.string())}))
+    assert out.column("text").to_pylist() == [
+        "write to [EMAIL] today",
+        "server at [IP] port 80",
+        "call [PHONE] or [PHONE]",
+        "mixed [IP] [EMAIL] [PHONE]",
+        "no pii here 1234 5.6 word",
+        "edge [EMAIL] overlap",
+    ]
+    assert out.column("n_redactions").to_pylist() == [1, 1, 2, 3, 0, 2]
+
+
 def test_fingerprint_matches_duckdb_md5():
     import duckdb
 
