@@ -16,6 +16,7 @@ from typing import List, Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -29,6 +30,42 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+def quantize_embeddings_batch(
+    batch: pa.Table, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> pa.Table:
+    """Symmetric int8 quantization with a per-vector scale (the standard
+    embedding-store compression: q = floor(x·127/max|x| + 0.5), half-up so
+    DuckDB's floor-based oracle matches bit-for-bit — all arithmetic in
+    float64 on both sides). Emits EXPLODED rows (id, i, q): integer-exact
+    output, no list-stringification ambiguity in comparisons. Vectorized
+    flatten + reduceat; per-vector max uses the mask-then-scatter pattern
+    (reduceat with clipped starts corrupts the preceding segment on empty
+    lists)."""
+    col = batch.column(emb_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) else np.array([], dtype=np.int64)
+    maxabs = np.zeros(len(lens), dtype=np.float64)
+    present = lens > 0
+    if present.any():
+        maxabs[present] = np.maximum.reduceat(np.abs(flat), starts[present])
+    scale = np.where(maxabs > 0, 127.0 / np.where(maxabs > 0, maxabs, 1.0), 1.0)
+    q = np.floor(flat * np.repeat(scale, lens) + 0.5).astype(np.int8)
+    ids = np.repeat(
+        batch.column(id_col).to_numpy(zero_copy_only=False), lens
+    )
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+    return pa.table(
+        {
+            id_col: pa.array(ids, pa.int64()),
+            "i": pa.array(pos, pa.int64()),
+            "q": pa.array(q, pa.int8()),
+        }
+    )
 
 
 def brute_force_topk(

@@ -268,6 +268,73 @@ def tfidf_top_terms(
     return adaptive_grouped_apply(joined, id_col, _rank)
 
 
+def unigram_logprob_score(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int = 5_000_000,
+):
+    """CCNet-style LM quality score: per-doc mean token log-probability
+    under a unigram model fitted on the corpus itself (two passes, like
+    ``tfidf_top_terms``): (A) global (term, count) frequencies — combiner
+    + size-adaptive merge — broadcast ONCE via the object store; (B) each
+    batch scores its own documents with a local hash join against the
+    broadcast table — zero shuffle. score = Σ tf·ln(n_w/T) / Σ tf,
+    rounded to 6 dp (ln on bit-identical IEEE doubles both sides, same
+    convention as TF-IDF). Above ``broadcast_limit`` vocabulary terms the
+    scorer switches to a distributed tf⋈freq join on the term."""
+    import ray
+
+    from de_ray.state.broadcast import get_broadcast
+
+    vocab = term_frequencies(ds, text_col=text_col).materialize()
+    total = int(vocab.sum("n"))
+
+    def _tf_frame(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t.column(text_col), pattern=" ")
+        offs = np.diff(
+            np.concatenate([[0], np.cumsum(pc.list_value_length(toks).to_numpy())])
+        )
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False), offs)
+        keep = flat != ""
+        return (
+            pd.DataFrame({id_col: doc_ids[keep], "w": flat[keep]})
+            .groupby([id_col, "w"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+
+    def _score(s: pd.DataFrame) -> pd.DataFrame:
+        s = s.assign(lp=s["tf"] * np.log(s["n"] / total))
+        g = s.groupby(id_col, sort=False, as_index=False).agg(
+            lp=("lp", "sum"), tf=("tf", "sum")
+        )
+        g["lm_score"] = (g["lp"] / g["tf"]).round(6)
+        return g[[id_col, "lm_score"]]
+
+    if vocab.count() <= broadcast_limit:
+        vocab_ref = ray.put(pa.Table.from_pandas(vocab.to_pandas()))
+
+        def _to_df(tbl: pa.Table) -> pd.DataFrame:
+            return tbl.to_pandas()
+
+        def score(t: pa.Table) -> pd.DataFrame:
+            vdf = get_broadcast(vocab_ref, _to_df)
+            return _score(_tf_frame(t).merge(vdf, on="w"))
+
+        return ds.map_batches(score, batch_format="pyarrow", batch_size=16 * 1024)
+
+    from de_ray.dataops.joins import equi_join
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    tf_ds = ds.map_batches(_tf_frame, batch_format="pyarrow", batch_size=16 * 1024)
+    joined = equi_join(
+        tf_ds, vocab, on_left="w", on_right="w", broadcast_limit=broadcast_limit
+    )
+    return adaptive_grouped_apply(joined, id_col, _score)
+
+
 def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.Table:
     """Rolling (Rabin-Karp-style) 64-bit hash over byte windows, min-sampled:
     a shift-resistant fingerprint (winnowing lite). Deterministic."""

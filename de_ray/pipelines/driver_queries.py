@@ -1516,6 +1516,52 @@ SQL_TFIDF_TOP_TERMS = (
 )
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """Symmetric int8 embedding quantization (exploded (vec_id, i, q):
+    integer-exact oracle compare; float64 on both sides)."""
+    from de_ray.dataops.similarity import quantize_embeddings_batch
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(quantize_embeddings_batch, batch_format="pyarrow")
+
+
+SQL_QUANTIZE_EMBEDDINGS = (
+    # CAST elements to DOUBLE before any arithmetic so the scale and the
+    # products are bit-identical to the numpy float64 path
+    "WITH s AS (SELECT vec_id, embedding, "
+    "list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS m "
+    "FROM embeddings) "
+    "SELECT vec_id, unnest(range(len(embedding))) AS i, "
+    "unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+    "(CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END) + 0.5) AS TINYINT))) AS q "
+    "FROM s"
+)
+
+
+def q_unigram_lm_score(sf_dir: str):
+    """CCNet-style LM quality score: mean token log-probability under a
+    unigram model fitted on the corpus itself (frequencies broadcast once,
+    zero-shuffle per-batch scoring)."""
+    from de_ray.dataops.text import unigram_logprob_score
+
+    return unigram_logprob_score(_docs(sf_dir, ["doc_id", "text"]))
+
+
+# SQL mirrors the Ray formula exactly: per-(doc, term) tf first, then
+# sum(tf·ln(n/T))/sum(tf) — same float64 products, round(6) absorbs
+# summation-order ulps (same convention as SQL_TFIDF_TOP_TERMS).
+SQL_UNIGRAM_LM_SCORE = (
+    f"WITH {_TOKS_CTE}, "
+    "t AS (SELECT doc_id, w FROM toks, unnest(ws) AS u(w)), "
+    "tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2), "
+    "f AS (SELECT w, count(*) AS n FROM t GROUP BY w), "
+    "tot AS (SELECT count(*) AS T FROM t) "
+    "SELECT tf.doc_id, round(sum(tf.tf * ln(f.n * 1.0 / tot.T)) / sum(tf.tf), 6) "
+    "AS lm_score FROM tf JOIN f USING (w), tot GROUP BY tf.doc_id"
+)
+
+
 def q_token_quantiles(sf_dir: str):
     """Distributed EXACT discrete quantiles of per-doc token counts —
     histogram refinement (3 passes), no global sort."""
@@ -1747,6 +1793,8 @@ REGISTRY = {
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "unigram_lm_score": (q_unigram_lm_score, SQL_UNIGRAM_LM_SCORE),
+    "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "cosine_near_dup": (q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
     "ivf_topk_exact": (q_ivf_topk_exact, SQL_IVF_TOPK_EXACT),

@@ -61,6 +61,38 @@ def test_pii_scrub_batch():
     assert out.column("n_redactions").to_pylist() == [1, 1, 2, 3, 0, 2]
 
 
+def test_quantize_embeddings_batch_edges():
+    from de_ray.dataops.similarity import quantize_embeddings_batch
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, -0.5, 0.25], [], [0.0, -0.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = quantize_embeddings_batch(t).to_pandas()
+    # vec 1: scale 127/1 → q = floor(x*127+0.5) = [127, -63, 32]
+    v1 = out[out["vec_id"] == 1].sort_values("i")
+    assert v1["q"].tolist() == [127, -63, 32]
+    # empty list contributes no rows; zero vector quantizes to zeros
+    assert (out["vec_id"] == 2).sum() == 0
+    assert out[out["vec_id"] == 3]["q"].tolist() == [0, 0]
+    # the preceding-segment reduceat trap: empty list between non-empties
+    t2 = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [[2.0, 4.0], [], [-8.0, 8.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out2 = quantize_embeddings_batch(t2).to_pandas()
+    assert out2[out2["vec_id"] == 1]["q"].tolist() == [64, 127]
+    assert out2[out2["vec_id"] == 3]["q"].tolist() == [-127, 127]
+
+
 def test_fingerprint_matches_duckdb_md5():
     import duckdb
 
