@@ -106,6 +106,7 @@ def run_bench() -> dict:
         "repetition_signals",
         "pii_scrub",
         "quality_filter",
+        "curate_corpus",
     ]
     q_trials = int(os.environ.get("GRAFT_QUERY_TRIALS", "2"))
     q_times = {}

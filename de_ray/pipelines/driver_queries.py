@@ -1359,6 +1359,63 @@ SQL_DECONTAMINATE = (
 )
 
 
+def q_curate_corpus(sf_dir: str):
+    """End-to-end curation composition: quality filter → decontaminate
+    (docs 0-49 are the held-out set) → exact dedup → LM score fitted on
+    the survivors. One all-to-all (the dedup groupby); everything else is
+    fused batch passes or broadcast probes."""
+    from de_ray.pipelines.curate import curate_corpus
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    test = docs.map_batches(
+        lambda t: t.filter(pa.compute.less(t.column("doc_id"), 50)),
+        batch_format="pyarrow",
+    )
+    pool = docs.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t.column("doc_id"), 50)),
+        batch_format="pyarrow",
+    )
+    return curate_corpus(
+        pool,
+        test,
+        min_tokens=25,
+        max_tokens=90,
+        max_stopword_ratio=0.10,
+        mean_len_range=(3.0, 4.4),
+        ngram_n=5,
+    )
+
+
+SQL_CURATE_CORPUS = (
+    # same band predicates as SQL_QUALITY_FILTER, same gram window as
+    # SQL_DECONTAMINATE, same dedup as SQL_DEDUP_EXACT, same LM formula as
+    # SQL_UNIGRAM_LM_SCORE — composed over the surviving pool
+    "WITH kept AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50 "
+    "AND len(string_split(text,' ')) BETWEEN 25 AND 90 "
+    "AND len([x for x in string_split(text,' ') if x IN (" + _STOP_SQL + ")]) * 1.0 "
+    "/ greatest(len(string_split(text,' ')), 1) <= 0.10 "
+    "AND list_aggregate([length(x) for x in string_split(text,' ')], 'avg') "
+    "BETWEEN 3.0 AND 4.4), "
+    "tokst AS (SELECT doc_id, "
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM documents), "
+    "grams AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g "
+    "FROM tokst, unnest(generate_series(1, len(t)-4)) AS s(i)), "
+    "testg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50), "
+    "contam AS (SELECT DISTINCT doc_id FROM grams WHERE doc_id >= 50 "
+    "AND g IN (SELECT g FROM testg)), "
+    "clean AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contam)), "
+    "uniq AS (SELECT min(doc_id) AS doc_id, text FROM clean GROUP BY text), "
+    "toksu AS (SELECT doc_id, [x for x in string_split(text,' ') if x <> ''] AS ws "
+    "FROM uniq), "
+    "t AS (SELECT doc_id, w FROM toksu, unnest(ws) AS u(w)), "
+    "tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2), "
+    "f AS (SELECT w, count(*) AS n FROM t GROUP BY w), "
+    "tot AS (SELECT count(*) AS T FROM t) "
+    "SELECT tf.doc_id, round(sum(tf.tf * ln(f.n * 1.0 / tot.T)) / sum(tf.tf), 6) "
+    "AS lm_score FROM tf JOIN f USING (w), tot GROUP BY tf.doc_id"
+)
+
+
 def q_pack_chunks(sf_dir: str):
     """GPT-style sequence packing: concat-and-chunk docs into 256-token
     training windows, per block, no shuffle. Rows-only (packing layout is
@@ -1795,6 +1852,7 @@ REGISTRY = {
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "unigram_lm_score": (q_unigram_lm_score, SQL_UNIGRAM_LM_SCORE),
     "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
+    "curate_corpus": (q_curate_corpus, SQL_CURATE_CORPUS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "cosine_near_dup": (q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
     "ivf_topk_exact": (q_ivf_topk_exact, SQL_IVF_TOPK_EXACT),
