@@ -1914,20 +1914,10 @@ def _global_aggregate(ds: rd.Dataset, work, agg_rows, out_cols) -> rd.Dataset:
     return rd.from_pandas(pd.DataFrame([row], columns=out_cols))
 
 
-def _try_id_groupby_fastpath(q: Query, source):
-    """Aggregate pushdown into the integer-ID domain (store-backed only).
-
-    For ``SELECT <group vars + COUNTs> WHERE { one triple pattern } GROUP
-    BY <pattern vars>`` the generic path decodes EVERY matched triple to
-    canonical strings before grouping — measured 13 min for ``GROUP BY
-    ?p`` over a 187 M-triple store. This path groups on the store's id
-    columns (ints never leave the scan) and decodes only the distinct
-    group keys via the broadcast term LUTs. Returns None when the query
-    shape doesn't match; the generic path then runs unchanged and both
-    produce identical results (shared ``_finish_aggregates`` tail).
-    """
-    if q.form != "SELECT" or not q.group_by or not q.aggregates:
-        return None
+def _match_single_bgp(q: Query, source):
+    """Shared shape test for the integer-ID pushdowns: store-backed query
+    whose WHERE is exactly one plain triple pattern. Returns
+    (var→id-column map, bound-term map) or None."""
     if not isinstance(source, StoreSource):
         return None
     w = q.where
@@ -1948,6 +1938,102 @@ def _try_id_groupby_fastpath(q: Query, source):
             bound[col] = t
         else:
             return None  # property paths etc.
+    return var_col, bound
+
+
+def _try_id_distinct_fastpath(q: Query, source):
+    """DISTINCT pushdown into the integer-ID domain (store-backed only).
+
+    ``SELECT DISTINCT <pattern vars> WHERE { one triple pattern }`` — the
+    predicate/class-inventory shape — generically decodes EVERY matched
+    triple to strings before deduplicating. Here the dedup runs over the
+    int id columns (hash-bucketed, same machinery as the flagship dedup)
+    and only the surviving distinct tuples are decoded. Distinct id
+    tuples ↔ distinct term tuples (id→term is injective per space), so
+    the result is identical to the generic path."""
+    if (
+        q.form != "SELECT"
+        or not q.distinct
+        or q.group_by
+        or q.aggregates
+        or q.projections
+    ):
+        return None
+    m = _match_single_bgp(q, source)
+    if m is None:
+        return None
+    var_col, bound = m
+    if q.select_order:
+        sel = list(q.select_order)
+    elif q.variables:
+        sel = [v.name for v in q.variables]
+    else:
+        sel = list(var_col)
+    if any(n not in var_col for n in sel):
+        return None
+    from de_ray.hdt.store import TERM_MAP_LIMIT
+
+    store = source.store
+    if store._total_terms() > TERM_MAP_LIMIT:
+        return None
+    extra = _order_extra_cols(q, sel, list(var_col))
+    cols_needed = sel + extra
+    ids = store.pattern_scan_ids(
+        s=bound.get("s_id"), p=bound.get("p_id"), o=bound.get("o_id"),
+        graphs=source.graphs,
+    )
+    if ids is None:  # unresolvable bound term: zero matches
+        empty = pd.DataFrame({c: pd.Series([], dtype="object") for c in sel})
+        return SolutionsResult(sel, rd.from_pandas(empty))
+    id_cols = [var_col[v] for v in cols_needed]
+
+    from de_ray.functions.agg import adaptive_distinct
+
+    dl = adaptive_distinct(ids.select_columns(id_cols), id_cols)
+    tbl_ref = store.term_luts_ref()
+    space_of = {"s_id": "subj", "p_id": "pred", "o_id": "obj"}
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        from de_ray.hdt.store import terms_by_id_luts
+        from de_ray.state.broadcast import get_broadcast
+
+        lut = get_broadcast(tbl_ref, transform=terms_by_id_luts)
+        cols = {}
+        for v in cols_needed:
+            c = var_col[v]
+            idx = df[c].to_numpy(dtype="int64") - 1
+            cols[v] = pc.take(lut[space_of[c]], pa.array(idx)).to_pandas().to_numpy()
+        return pd.DataFrame(cols, columns=cols_needed) if cols else pd.DataFrame(
+            columns=cols_needed
+        )
+
+    out = dl.map_batches(finish, batch_format="pandas")
+    out = _order_and_slice(q, cols_needed, out)
+    if extra:
+        out = out.drop_columns(extra)
+    return SolutionsResult(sel, out)
+
+
+def _try_id_groupby_fastpath(q: Query, source):
+    """Aggregate pushdown into the integer-ID domain (store-backed only).
+
+    For ``SELECT <group vars + COUNTs> WHERE { one triple pattern } GROUP
+    BY <pattern vars>`` the generic path decodes EVERY matched triple to
+    canonical strings before grouping — measured 13 min for ``GROUP BY
+    ?p`` over a 187 M-triple store. This path groups on the store's id
+    columns (ints never leave the scan) and decodes only the distinct
+    group keys via the broadcast term LUTs. Returns None when the query
+    shape doesn't match; the generic path then runs unchanged and both
+    produce identical results (shared ``_finish_aggregates`` tail).
+    """
+    if q.form != "SELECT" or not q.group_by or not q.aggregates:
+        return None
+    m = _match_single_bgp(q, source)
+    if m is None:
+        return None
+    var_col, bound = m
     if any(not isinstance(v, Var) or v.name not in var_col for v in q.group_by):
         return None
     dist = [a for a in q.aggregates if a.distinct]
@@ -2028,6 +2114,8 @@ def evaluate(q: Query, source):
     """Evaluate a parsed query against a TripleSource."""
     _rewrite_agg_refs(q)
     fast = _try_id_groupby_fastpath(q, source)
+    if fast is None:
+        fast = _try_id_distinct_fastpath(q, source)
     if fast is not None:
         return fast
     vars_out, ds = _eval_group(q.where, source)

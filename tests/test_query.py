@@ -291,6 +291,53 @@ def test_id_groupby_fastpath_matches_generic(pineapple_store, sparql, monkeypatc
     pd.testing.assert_frame_equal(a, b)
 
 
+@pytest.mark.parametrize(
+    "sparql",
+    [
+        "SELECT DISTINCT ?p WHERE { ?s ?p ?o }",
+        "SELECT DISTINCT ?s ?o WHERE { ?s <http://example.org/hasColor> ?o }",
+        "SELECT DISTINCT ?o ?p WHERE { ?s ?p ?o } ORDER BY ?p ?o LIMIT 5",
+        # ORDER BY a non-projected var: distinct runs over sel+extra on the
+        # generic path — the pushdown must replicate that semantics exactly
+        "SELECT DISTINCT ?p WHERE { ?s ?p ?o } ORDER BY ?p ?s",
+        "SELECT DISTINCT ?p ?o WHERE { <http://example.org/Nope> ?p ?o }",
+    ],
+)
+def test_id_distinct_fastpath_matches_generic(pineapple_store, sparql, monkeypatch):
+    import pandas as pd
+
+    import de_ray.query.engine as E
+
+    q1 = parse_query(sparql)
+    src = StoreSource(pineapple_store)
+    fast = E._try_id_distinct_fastpath(q1, src)
+    assert fast is not None, "expected the distinct fastpath to take this shape"
+    monkeypatch.setattr(E, "_try_id_distinct_fastpath", lambda *_a: None)
+    slow = evaluate(parse_query(sparql), src)
+    a, b = _solutions_df(fast), _solutions_df(slow)
+    assert fast.variables == slow.variables
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_id_distinct_fastpath_declines_unsupported_shapes(pineapple_store):
+    import de_ray.query.engine as E
+
+    src = StoreSource(pineapple_store)
+    for sparql in [
+        # not DISTINCT
+        "SELECT ?p WHERE { ?s ?p ?o }",
+        # expression projection
+        "SELECT DISTINCT (STR(?p) AS ?x) WHERE { ?s ?p ?o }",
+        # two patterns
+        "SELECT DISTINCT ?p WHERE { ?s ?p ?o . ?o ?p2 ?x } GROUP BY ?p",
+        # FILTER
+        "SELECT DISTINCT ?p WHERE { ?s ?p ?o FILTER(?p != ?s) }",
+        # repeated var
+        "SELECT DISTINCT ?p WHERE { ?x ?p ?x }",
+    ]:
+        assert E._try_id_distinct_fastpath(parse_query(sparql), src) is None, sparql
+
+
 def test_id_groupby_fastpath_declines_unsupported_shapes(pineapple_store):
     import de_ray.query.engine as E
 
