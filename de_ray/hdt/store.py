@@ -24,6 +24,7 @@ import os
 import urllib.parse
 from typing import Dict, Iterable, List, Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -737,6 +738,141 @@ class Store:
             out = out.materialize()
         return out.map_batches(
             lambda t: t.select(["subj", "pred", "obj", "graph"]), batch_format="pyarrow"
+        )
+
+    def decode_id_columns(
+        self, ds: rd.Dataset, colmap: dict, schema: "dict | None" = None
+    ) -> rd.Dataset:
+        """Decode arbitrary id columns of ``ds`` to term strings, preserving
+        every other column (the engine's integer-ID pushdowns decode only
+        their grouped/distinct survivors through this). ``colmap``:
+        ``{id_col: (space, out_col)}`` with space in subj|pred|obj.
+
+        Below TERM_MAP_LIMIT: vectorized ``pc.take`` against the broadcast
+        per-space LUTs. Above: one hash join per column against the
+        on-disk dictionary (same regime switch as :meth:`decode`), with a
+        materialize between chained joins (Ray 2.49 executor deadlock) and
+        schema-less empty-partition drops."""
+        space_secs = {
+            "subj": [SECTION_SHARED, SECTION_SUBJECT],
+            "pred": [SECTION_PREDICATE],
+            "obj": [SECTION_SHARED, SECTION_OBJECT],
+        }
+        sch = ds.schema()
+        if sch is not None:
+            names, types = list(sch.names), list(sch.types)
+        elif schema is not None:  # empty, schema-less input: caller's hint
+            names, types = list(schema.keys()), list(schema.values())
+        else:
+            raise ValueError(
+                "decode_id_columns: input has no schema (empty dataset); "
+                "pass schema={name: pa.DataType} for the empty case"
+            )
+
+        def _as_pa(ty):
+            # pandas-backed datasets report numpy dtypes / python classes
+            if isinstance(ty, pa.DataType):
+                return ty
+            try:
+                return pa.from_numpy_dtype(np.dtype(ty))
+            except (TypeError, ValueError, pa.lib.ArrowNotImplementedError):
+                return pa.large_string()
+
+        types = [_as_pa(t) for t in types]
+        out_names = [colmap[n][1] if n in colmap else n for n in names]
+        if self._total_terms() <= TERM_MAP_LIMIT:
+            tbl_ref = self.term_luts_ref()
+
+            def dec(t: pa.Table) -> pa.Table:
+                from de_ray.state.broadcast import get_broadcast
+
+                if t.num_rows == 0 and set(names) - set(t.column_names):
+                    return pa.table(
+                        {
+                            out: pa.array(
+                                [], pa.large_string() if n in colmap else ty
+                            )
+                            for n, ty, out in zip(names, types, out_names)
+                        }
+                    )
+                lut = get_broadcast(tbl_ref, transform=terms_by_id_luts)
+                cols = {}
+                for name in t.column_names:
+                    if name in colmap:
+                        space, out_name = colmap[name]
+                        arr = t.column(name)
+                        if isinstance(arr, pa.ChunkedArray):
+                            arr = arr.combine_chunks()
+                        cols[out_name] = pc.take(
+                            lut[space], pc.subtract(arr.cast(pa.int64()), 1)
+                        )
+                    else:
+                        cols[name] = t.column(name)
+                return pa.table(cols)
+
+            return ds.map_batches(dec, batch_format="pyarrow")
+
+        from de_ray.functions.joins import drop_schemaless_empties, empty_table_factory
+
+        nparts = max(2, min(32, int(ray.cluster_resources().get("CPU", 4)) - 1))
+        cur = dict(zip(names, types))
+        for c in colmap:
+            cur[c] = pa.int64()
+        base = dict(cur)  # snapshot: widen executes lazily, cur mutates below
+
+        def widen(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 and set(base) - set(t.column_names):
+                return pa.table({c: pa.array([], ty) for c, ty in base.items()})
+            return pa.table(
+                {c: t.column(c).cast(ty) for c, ty in base.items()}
+            )
+
+        # materialize before the join chain (consistent with the per-join
+        # materializes below); a globally-empty left side would surface as
+        # schema-less partitions inside Ray's hash-join finalize
+        out = ds.map_batches(widen, batch_format="pyarrow").materialize()
+        if out.count() == 0:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        o: pa.array([], pa.large_string() if n in colmap else ty)
+                        for n, ty, o in zip(names, types, out_names)
+                    }
+                )
+            )
+        for id_col, (space, out_name) in colmap.items():
+            dict_ds = rd.read_parquet(
+                os.path.join(self.path, "dictionary"),
+                columns=["term", "id"],
+                filter=pc.field("section").isin(space_secs[space]),
+            ).map_batches(
+                lambda t, _n=out_name: pa.table(
+                    {
+                        _n: pa.array(t.column("term").to_pylist(), pa.large_string()),
+                        f"__id_{_n}": t.column("id"),
+                    }
+                )
+                if t.num_rows
+                else pa.table(
+                    {
+                        _n: pa.array([], pa.large_string()),
+                        f"__id_{_n}": pa.array([], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            out = out.join(
+                dict_ds,
+                join_type="inner",
+                num_partitions=nparts,
+                on=(id_col,),
+                right_on=(f"__id_{out_name}",),
+            )
+            cur[out_name] = pa.large_string()
+            out = drop_schemaless_empties(out, empty_table_factory(dict(cur)))
+            out = out.materialize()
+        return out.map_batches(
+            lambda t: t.select(out_names), batch_format="pyarrow"
         )
 
     def triples_all(self) -> rd.Dataset:

@@ -1971,11 +1971,7 @@ def _try_id_distinct_fastpath(q: Query, source):
         sel = list(var_col)
     if any(n not in var_col for n in sel):
         return None
-    from de_ray.hdt.store import TERM_MAP_LIMIT
-
     store = source.store
-    if store._total_terms() > TERM_MAP_LIMIT:
-        return None
     extra = _order_extra_cols(q, sel, list(var_col))
     cols_needed = sel + extra
     ids = store.pattern_scan_ids(
@@ -1990,26 +1986,12 @@ def _try_id_distinct_fastpath(q: Query, source):
     from de_ray.functions.agg import adaptive_distinct
 
     dl = adaptive_distinct(ids.select_columns(id_cols), id_cols)
-    tbl_ref = store.term_luts_ref()
     space_of = {"s_id": "subj", "p_id": "pred", "o_id": "obj"}
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow.compute as pc
-
-        from de_ray.hdt.store import terms_by_id_luts
-        from de_ray.state.broadcast import get_broadcast
-
-        lut = get_broadcast(tbl_ref, transform=terms_by_id_luts)
-        cols = {}
-        for v in cols_needed:
-            c = var_col[v]
-            idx = df[c].to_numpy(dtype="int64") - 1
-            cols[v] = pc.take(lut[space_of[c]], pa.array(idx)).to_pandas().to_numpy()
-        return pd.DataFrame(cols, columns=cols_needed) if cols else pd.DataFrame(
-            columns=cols_needed
-        )
-
-    out = dl.map_batches(finish, batch_format="pandas")
+    out = store.decode_id_columns(
+        dl,
+        {var_col[v]: (space_of[var_col[v]], v) for v in cols_needed},
+        schema={c: pa.int64() for c in id_cols},
+    )
     out = _order_and_slice(q, cols_needed, out)
     if extra:
         out = out.drop_columns(extra)
@@ -2050,11 +2032,7 @@ def _try_id_groupby_fastpath(q: Query, source):
     for expr, _v in q.projections:
         if any(n not in legal for n in _expr_vars(expr)):
             return None
-    from de_ray.hdt.store import TERM_MAP_LIMIT
-
     store = source.store
-    if store._total_terms() > TERM_MAP_LIMIT:
-        return None
     group_vars = [v.name for v in q.group_by]
     out_cols = group_vars + [a.alias.name for a in q.aggregates]
     ids = store.pattern_scan_ids(
@@ -2084,29 +2062,22 @@ def _try_id_groupby_fastpath(q: Query, source):
         group_cols,
         ["__n"],
     )
-    tbl_ref = store.term_luts_ref()
     space_of = {"s_id": "subj", "p_id": "pred", "o_id": "obj"}
+    dec = store.decode_id_columns(
+        tot,
+        {var_col[v]: (space_of[var_col[v]], v) for v in group_vars},
+        schema={**{c: pa.int64() for c in group_cols}, "__n": pa.int64()},
+    )
     from de_ray.model import XSD_INTEGER
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow.compute as pc
-
-        from de_ray.hdt.store import terms_by_id_luts
-        from de_ray.state.broadcast import get_broadcast
-
-        lut = get_broadcast(tbl_ref, transform=terms_by_id_luts)
-        cols = {}
-        for v in group_vars:
-            c = var_col[v]
-            idx = df[c].to_numpy(dtype="int64") - 1
-            cols[v] = pc.take(lut[space_of[c]], pa.array(idx)).to_pandas().to_numpy()
         # COUNT over a BGP-bound var is never null → every COUNT == group size
         n_lit = ('"' + df["__n"].astype("int64").astype(str) + f'"^^<{XSD_INTEGER}>').to_numpy()
         for a in q.aggregates:
-            cols[a.alias.name] = n_lit
-        return pd.DataFrame(cols)[out_cols]
+            df[a.alias.name] = n_lit
+        return df[out_cols]
 
-    out = tot.map_batches(finish, batch_format="pandas")
+    out = dec.map_batches(finish, batch_format="pandas")
     return _finish_aggregates(q, out, out_cols)
 
 

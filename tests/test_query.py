@@ -319,6 +319,35 @@ def test_id_distinct_fastpath_matches_generic(pineapple_store, sparql, monkeypat
     pd.testing.assert_frame_equal(a, b)
 
 
+@pytest.mark.parametrize(
+    "sparql",
+    [
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p ORDER BY ?p",
+        "SELECT ?p (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p",
+        "SELECT DISTINCT ?p WHERE { ?s ?p ?o } ORDER BY ?p",
+        # resolvable bound terms, zero matches, through the join decode
+        "SELECT ?o (COUNT(*) AS ?n) WHERE { <http://example.org/Fruit> "
+        "<http://example.org/hasColor> ?o } GROUP BY ?o",
+    ],
+)
+def test_id_fastpaths_forced_join_decode(pineapple_store, sparql, monkeypatch):
+    """TERM_MAP_LIMIT=0 forces the huge-dictionary regime: the pushdowns
+    must decode their survivors via the on-disk hash joins and still match
+    the generic path exactly."""
+    import pandas as pd
+
+    import de_ray.hdt.store as S
+    import de_ray.query.engine as E
+
+    src = StoreSource(pineapple_store)
+    want = _solutions_df(evaluate(parse_query(sparql), src))
+    monkeypatch.setattr(S, "TERM_MAP_LIMIT", 0)
+    q = parse_query(sparql)
+    fast = E._try_id_groupby_fastpath(q, src) or E._try_id_distinct_fastpath(q, src)
+    assert fast is not None
+    pd.testing.assert_frame_equal(_solutions_df(fast), want)
+
+
 def test_id_distinct_fastpath_declines_unsupported_shapes(pineapple_store):
     import de_ray.query.engine as E
 
