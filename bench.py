@@ -100,6 +100,7 @@ def run_bench() -> dict:
         "ann_topk",
         "minhash_clusters",
         "ngram_jaccard",
+        "dup_ngram_spans",
         "asof_join",
         "token_quantiles",
         "decontaminate",

@@ -803,3 +803,115 @@ def ngram_jaccard_pairs(
     from de_ray.functions.agg import adaptive_grouped_apply
 
     return adaptive_grouped_apply(partial, ["doc_a", "doc_b"], pair_final)
+
+
+# ---------------------------------------------------------------------------
+# duplicated n-gram window statistics (exact substring-duplication signal)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_stats(
+    ds,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document duplicated-window statistics: for every doc with at
+    least one full word ``n``-gram window, count how many of its window
+    POSITIONS carry an n-gram that also occurs in ANOTHER document
+    (cross-doc duplicated substrings, the signal behind exact-substring
+    training-data dedup a la Lee et al. 2021 — here at window granularity
+    instead of suffix arrays).
+
+    Output: (doc_id, n_windows, n_dup_windows, dup_frac). Docs shorter
+    than ``n`` tokens emit no row (they have no full window; the oracle
+    enumerates the same set).
+
+    Plan (two shuffles, both over small int rows, nothing on the driver
+    above the adaptive limit):
+      1. one vectorized pass per batch: per-doc window hashes
+         (``_batch_ngrams``) → run-length-encoded (gram, doc_id, cnt)
+         rows — cnt is the number of positions of that gram in that doc,
+         so the exploded table is distinct per (gram, doc) by
+         construction (a doc lives wholly inside one batch row);
+      2. gram-grouped pass marks grams seen in ≥2 docs (group size ==
+         distinct-doc count, step 1 deduped) and splits each row's cnt
+         into (cnt, dup_cnt);
+      3. doc-grouped sum gives n_windows / n_dup_windows in ONE
+         aggregation — no totals side-pass and no join back to the input.
+    """
+    from de_ray.dataops.decontam import _batch_ngrams
+    from de_ray.functions.agg import adaptive_grouped_apply, adaptive_grouped_sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = np.asarray(batch.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+        vals, offsets = _batch_ngrams(texts, n)
+        doc_rep = np.repeat(ids, np.diff(offsets))
+        if len(vals):
+            order = np.lexsort((vals, doc_rep))
+            sv, sd = vals[order], doc_rep[order]
+            bound = np.empty(len(sv), dtype=bool)
+            bound[0] = True
+            bound[1:] = (sv[1:] != sv[:-1]) | (sd[1:] != sd[:-1])
+            starts = np.flatnonzero(bound)
+            cnt = np.diff(np.append(starts, len(sv)))
+            grams, docs = sv[starts], sd[starts]
+        else:
+            grams = np.empty(0, dtype=np.uint64)
+            docs = cnt = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                # mask to int63 so the column is a plain arrow int64
+                "gram": pa.array(
+                    (grams & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+
+    def mark_dup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                    "dup_cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        ndocs = df.groupby("gram", sort=False)["gram"].transform("size")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "cnt": df["cnt"].to_numpy(),
+                "dup_cnt": np.where(ndocs.to_numpy() >= 2, df["cnt"].to_numpy(), 0),
+            }
+        )
+
+    marked = adaptive_grouped_apply(exploded, "gram", mark_dup)
+    per_doc = adaptive_grouped_sum(marked, "doc_id", ["cnt", "dup_cnt"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_windows": pd.Series([], dtype="int64"),
+                    "n_dup_windows": pd.Series([], dtype="int64"),
+                    "dup_frac": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_windows": df["cnt"].astype("int64"),
+                "n_dup_windows": df["dup_cnt"].astype("int64"),
+                "dup_frac": df["dup_cnt"].to_numpy() / df["cnt"].to_numpy(),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pandas")

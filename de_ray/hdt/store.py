@@ -43,7 +43,7 @@ from de_ray.hdt.dictionary import (
 from de_ray.hdt.header import build_header, original_size_of
 from de_ray.hdt.triples import (
     encode_triples,
-    finalize_sorted_blocks,
+    finalize_write_sorted_blocks,
     id_dtype_for,
     local_distinct,
     pack_adjacency_block,
@@ -278,21 +278,29 @@ def write_store(
         n_terms = sum(dict_build.counts.values())
         if dedup:
             # ONE fused pass over the pinned sorted blocks: dedup + unpack
-            # + per-graph stats (the separate stats scan was a pure
-            # memory-bandwidth floor at both CPU levels)
+            # + per-graph stats + the triples/adjacency PARQUET WRITES, all
+            # per block inside one task. The previous three-pass shape
+            # (finalize → write_parquet → adjacency map) re-streamed the
+            # unpacked corpus through the node's memory bus twice more and
+            # measured as a ~12 s wall at BOTH 4 and 16 CPUs — a pure
+            # bandwidth floor, not CPU work (BASELINE.md round-3).
             t = _time.time()
-            sorted_ds, n_g, b_g = finalize_sorted_blocks(
+            n_g, b_g, _n_rows = finalize_write_sorted_blocks(
                 sorted_ds,
                 key_cols,
                 pack,
                 id_dtype_for(n_terms),
                 fut_luts.result(),
                 len(graphs),
+                out_dir,
+                with_adjacency=with_adjacency,
             )
             per_graph = {g: int(n) for g, n in zip(graphs, n_g) if n}
             original_size = int(b_g.sum())
             _t("finalize", t)
-            fut_stats = None
+            # fused into the finalize pass above
+            timings["write_triples"] = 0.0
+            timings["adjacency"] = 0.0
         else:
             fut_stats = pool.submit(
                 timed(
@@ -302,22 +310,21 @@ def write_store(
                     ),
                 )
             )
-        fut_wt = pool.submit(
-            timed(
-                "write_triples",
-                lambda: sorted_ds.write_parquet(os.path.join(out_dir, "triples")),
+            fut_wt = pool.submit(
+                timed(
+                    "write_triples",
+                    lambda: sorted_ds.write_parquet(os.path.join(out_dir, "triples")),
+                )
             )
-        )
-        if with_adjacency:
-            t = _time.time()
-            sorted_ds.map_batches(
-                pack_adjacency_block, batch_format="pyarrow", batch_size=256 * 1024
-            ).write_parquet(os.path.join(out_dir, "adjacency"))
-            _t("adjacency", t)
-        if fut_stats is not None:
+            if with_adjacency:
+                t = _time.time()
+                sorted_ds.map_batches(
+                    pack_adjacency_block, batch_format="pyarrow", batch_size=256 * 1024
+                ).write_parquet(os.path.join(out_dir, "adjacency"))
+                _t("adjacency", t)
             per_graph, original_size = fut_stats.result()
+            fut_wt.result()
         n_triples = sum(per_graph.values())
-        fut_wt.result()
         if fut_fc is not None:
             fut_fc.result()
     header = build_header(dict_build, n_triples, per_graph, original_size)

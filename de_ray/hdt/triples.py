@@ -565,6 +565,11 @@ def _finalize_block_task(
     for driver-side boundary reconciliation — when the driver drops a
     block's first row (duplicate of the previous block's last), it subtracts
     that row's pre-computed (graph, nbytes) from the totals."""
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("DE_RAY_FINALIZE_DEBUG")
+    _t0 = _time.time()
     n = tbl.num_rows
     zeros = np.zeros(n_graphs, dtype=np.int64)
     if n == 0:
@@ -574,6 +579,7 @@ def _finalize_block_task(
         )
     if pack is not None:
         k = tbl.column("spog").to_numpy(zero_copy_only=False)
+        _t1 = _time.time()
         first, last = (int(k[0]),), (int(k[-1]),)
         if dedup and n > 1:
             keep = np.empty(n, dtype=bool)
@@ -581,11 +587,13 @@ def _finalize_block_task(
             keep[1:] = k[1:] != k[:-1]
             if not keep.all():
                 k = k[keep]
+        _t2 = _time.time()
         dt = np.int32 if id_dtype_name == "int32" else np.int64
         s = (k >> pack.s_shift).astype(dt)
         p = ((k >> pack.p_shift) & pack.p_mask).astype(dt)
         o = ((k >> pack.o_shift) & pack.o_mask).astype(dt)
         g = (k & pack.g_mask).astype(np.int32)
+        _t3 = _time.time()
         out = pa.table(
             {
                 "s_id": pa.array(s),
@@ -594,6 +602,12 @@ def _finalize_block_task(
                 "g_id": pa.array(g),
             }
         )
+        if _dbg:
+            print(
+                f"[finalize] n={n} fetch={_t1 - _t0:.2f} dedup={_t2 - _t1:.2f} "
+                f"unpack={_t3 - _t2:.2f}",
+                flush=True,
+            )
     else:
         first = tuple(tbl.column(c)[0].as_py() for c in cols)
         last = tuple(tbl.column(c)[n - 1].as_py() for c in cols)
@@ -611,10 +625,17 @@ def _finalize_block_task(
         o = out.column("o_id").to_numpy(zero_copy_only=False)
         g = out.column("g_id").to_numpy(zero_copy_only=False)
     ls, lp, lo = luts
+    _t4 = _time.time()
     nbytes = ls[s - 1].astype(np.int64) + lp[p - 1] + lo[o - 1] + 8
     n_g = np.bincount(g, minlength=n_graphs).astype(np.int64)
     b_g = np.zeros(n_graphs, dtype=np.int64)
     np.add.at(b_g, g, nbytes)
+    if _dbg:
+        print(
+            f"[finalize] n={n} stats={_time.time() - _t4:.2f} "
+            f"task_total={_time.time() - _t0:.2f}",
+            flush=True,
+        )
     return out, (first, last, n_g, b_g, (int(g[0]), int(nbytes[0])))
 
 
@@ -651,6 +672,11 @@ def finalize_sorted_blocks(
     Returns ``(dataset, n_per_graph, bytes_per_graph)`` — the stats arrive
     for free from the same pass (VERDICT r2 #1: fewer full-corpus
     memory-bandwidth passes is the single-node scaling lever)."""
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("DE_RAY_FINALIZE_DEBUG")
+    _t0 = _time.time()
     cols = list(cols)
     id_dtype_name = "int32" if id_dtype == pa.int32() else "int64"
     refs = sorted_ds.to_arrow_refs()
@@ -658,6 +684,7 @@ def finalize_sorted_blocks(
     b_g_total = np.zeros(n_graphs, dtype=np.int64)
     if not refs:
         return sorted_ds, n_g_total, b_g_total
+    _t1 = _time.time()
     luts_ref = ray.put(luts)
     pairs = [
         _finalize_block_task.remote(
@@ -666,6 +693,12 @@ def finalize_sorted_blocks(
         for r in refs
     ]
     metas = ray.get([m for _, m in pairs])
+    if _dbg:
+        print(
+            f"[finalize] driver: n_blocks={len(refs)} to_refs={_t1 - _t0:.2f} "
+            f"metas_wait={_time.time() - _t1:.2f}",
+            flush=True,
+        )
     out_refs = []
     prev_last = None
     for (tbl_ref, _), (first, last, n_g, b_g, first_cost) in zip(pairs, metas):
@@ -738,3 +771,260 @@ def pack_adjacency_block(tbl: pa.Table) -> pa.Table:
             "bitmap_z": pa.array([z_is_last.tolist()], pa.large_list(pa.bool_())),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# fused finalize + write + adjacency (single pass per sorted block)
+# ---------------------------------------------------------------------------
+
+
+def _adjacency_table_from_arrays(s, p, o) -> pa.Table:
+    """BitmapTriples segment row from sorted id arrays.
+
+    Same layout as ``pack_adjacency_block`` but list columns are built
+    zero-copy with ``LargeListArray.from_arrays`` — ``.tolist()`` on a
+    multi-million-row block costs seconds of pure Python boxing."""
+    n = len(s)
+    if n == 0:
+        return pa.table(
+            {
+                "s_min": pa.array([], pa.int64()),
+                "s_max": pa.array([], pa.int64()),
+                "n_triples": pa.array([], pa.int64()),
+                "subjects": pa.array([], pa.large_list(pa.int64())),
+                "y": pa.array([], pa.large_list(pa.int64())),
+                "bitmap_y": pa.array([], pa.large_list(pa.bool_())),
+                "z": pa.array([], pa.large_list(pa.int64())),
+                "bitmap_z": pa.array([], pa.large_list(pa.bool_())),
+            }
+        )
+    new_s = np.empty(n, dtype=bool)
+    new_s[0] = True
+    new_s[1:] = s[1:] != s[:-1]
+    new_sp = np.empty(n, dtype=bool)
+    new_sp[0] = True
+    new_sp[1:] = new_s[1:] | (p[1:] != p[:-1])
+    y = p[new_sp]
+    s_of_sp = s[new_sp]
+    y_is_last = np.empty(len(y), dtype=bool)
+    y_is_last[:-1] = s_of_sp[1:] != s_of_sp[:-1]
+    y_is_last[-1] = True
+    z_is_last = np.empty(n, dtype=bool)
+    z_is_last[:-1] = new_sp[1:]
+    z_is_last[-1] = True
+    subjects = s[new_s]  # s is sorted: run starts == distinct subjects
+
+    def _ll(values: np.ndarray, typ) -> pa.LargeListArray:
+        va = pa.array(values, typ)
+        offs = pa.array(np.array([0, len(va)], dtype=np.int64), pa.int64())
+        return pa.LargeListArray.from_arrays(offs, va)
+
+    return pa.table(
+        {
+            "s_min": pa.array([int(s[0])], pa.int64()),
+            "s_max": pa.array([int(s[-1])], pa.int64()),
+            "n_triples": pa.array([n], pa.int64()),
+            "subjects": _ll(subjects.astype(np.int64), pa.int64()),
+            "y": _ll(y.astype(np.int64), pa.int64()),
+            "bitmap_y": _ll(y_is_last, pa.bool_()),
+            "z": _ll(o.astype(np.int64), pa.int64()),
+            "bitmap_z": _ll(z_is_last, pa.bool_()),
+        }
+    )
+
+
+@ray.remote
+def _peek_block_keys(tbl: pa.Table, cols, pack):
+    """ORIGINAL (first, last) sort key of one block — O(1) scalar reads,
+    no column materialization. Feeds the driver's boundary-dedup chain."""
+    n = tbl.num_rows
+    if n == 0:
+        return None, None
+    if pack is not None:
+        c = tbl.column("spog")
+        return (c[0].as_py(),), (c[n - 1].as_py(),)
+    first = tuple(tbl.column(c)[0].as_py() for c in cols)
+    last = tuple(tbl.column(c)[n - 1].as_py() for c in cols)
+    return first, last
+
+
+@ray.remote
+def _finalize_write_block_task(
+    tbl: pa.Table,
+    cols,
+    pack,
+    id_dtype_name,
+    luts,
+    n_graphs,
+    drop_first,
+    triples_path,
+    adjacency_path,
+):
+    """FUSED per-block pass: adjacent dedup (the boundary drop flag was
+    decided by the driver from peeked ORIGINAL keys, so stats need no
+    correction) → unpack → per-graph stats → parquet write of this block's
+    triples part → BitmapTriples adjacency segment.
+
+    ONE read of the block; the unpacked table lives only in this worker's
+    heap and goes straight to storage — it is never pinned in the object
+    store and never re-streamed for a separate write/adjacency pass. The
+    three-pass shape was the measured non-scaling memory-bandwidth floor
+    at BOTH 4 and 16 CPUs (~12 s flat, BASELINE.md round-3)."""
+    import os as _os
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    _dbg = _os.environ.get("DE_RAY_FINALIZE_DEBUG")
+    _t0 = _time.time()
+    zeros = np.zeros(n_graphs, dtype=np.int64)
+    n = tbl.num_rows
+    if n == 0:
+        return zeros, zeros, 0
+    if pack is not None:
+        k = tbl.column("spog").to_numpy(zero_copy_only=False)
+        keep = np.empty(n, dtype=bool)
+        keep[0] = not drop_first
+        keep[1:] = k[1:] != k[:-1]
+        if not keep.all():
+            k = k[keep]
+        dt = np.int32 if id_dtype_name == "int32" else np.int64
+        s = (k >> pack.s_shift).astype(dt)
+        p = ((k >> pack.p_shift) & pack.p_mask).astype(dt)
+        o = ((k >> pack.o_shift) & pack.o_mask).astype(dt)
+        g = (k & pack.g_mask).astype(np.int32)
+        out = pa.table(
+            {
+                "s_id": pa.array(s),
+                "p_id": pa.array(p),
+                "o_id": pa.array(o),
+                "g_id": pa.array(g),
+            }
+        )
+    else:
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = not drop_first
+        for c in cols:
+            a = tbl.column(c).to_numpy(zero_copy_only=False)
+            keep[1:] |= a[1:] != a[:-1]
+        if not keep.all():
+            tbl = tbl.filter(pa.array(keep))
+        out = tbl
+        s = out.column("s_id").to_numpy(zero_copy_only=False)
+        p = out.column("p_id").to_numpy(zero_copy_only=False)
+        o = out.column("o_id").to_numpy(zero_copy_only=False)
+        g = out.column("g_id").to_numpy(zero_copy_only=False)
+    if out.num_rows == 0:  # n==1 block whose only row was a boundary dup
+        return zeros, zeros, 0
+    _t1 = _time.time()
+    ls, lp, lo = luts
+    nbytes = ls[s - 1].astype(np.int64) + lp[p - 1] + lo[o - 1] + 8
+    n_g = np.bincount(g, minlength=n_graphs).astype(np.int64)
+    b_g = np.zeros(n_graphs, dtype=np.int64)
+    np.add.at(b_g, g, nbytes)
+    _t2 = _time.time()
+    pq.write_table(out, triples_path + ".tmp")
+    _os.replace(triples_path + ".tmp", triples_path)
+    _t3 = _time.time()
+    if adjacency_path is not None:
+        adj = _adjacency_table_from_arrays(s, p, o)
+        pq.write_table(adj, adjacency_path + ".tmp")
+        _os.replace(adjacency_path + ".tmp", adjacency_path)
+    if _dbg:
+        print(
+            f"[finalize-fused] n={n} dedup+unpack={_t1 - _t0:.2f} "
+            f"stats={_t2 - _t1:.2f} write={_t3 - _t2:.2f} "
+            f"adj={_time.time() - _t3:.2f} total={_time.time() - _t0:.2f}",
+            flush=True,
+        )
+    return n_g, b_g, out.num_rows
+
+
+def finalize_write_sorted_blocks(
+    sorted_ds: rd.Dataset,
+    cols,
+    pack,
+    id_dtype,
+    luts,
+    n_graphs: int,
+    out_dir: str,
+    with_adjacency: bool = True,
+):
+    """Fused dedup + unpack + stats + WRITE of an ALREADY-SORTED ID-triples
+    Dataset: one task per pinned sorted block writes ``triples/part-i`` and
+    ``adjacency/part-i`` directly from the worker.
+
+    Replaces the finalize → write_parquet → adjacency three-pass shape
+    whose second and third passes re-streamed the full unpacked corpus
+    through the node's memory bus (measured ~12 s wall at BOTH 4 and 16
+    CPUs — a pure bandwidth floor). Boundary dedup chains each block's
+    ORIGINAL (first, last) key from a cheap peek wave, so a duplicate run
+    spanning whole blocks still keeps exactly one row (same invariant as
+    ``finalize_sorted_blocks``).
+
+    Returns ``(n_per_graph, bytes_per_graph, n_rows_total)``."""
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow.parquet as pq
+
+    cols = list(cols)
+    id_dtype_name = "int32" if id_dtype == pa.int32() else "int64"
+    triples_dir = _os.path.join(out_dir, "triples")
+    adj_dir = _os.path.join(out_dir, "adjacency") if with_adjacency else None
+    for d in (triples_dir, adj_dir):
+        if d:
+            _shutil.rmtree(d, ignore_errors=True)
+            _os.makedirs(d, exist_ok=True)
+    n_g_total = np.zeros(n_graphs, dtype=np.int64)
+    b_g_total = np.zeros(n_graphs, dtype=np.int64)
+
+    def _write_empty():
+        pq.write_table(
+            _id_triple_schema(id_dtype_name).empty_table(),
+            _os.path.join(triples_dir, "part-00000.parquet"),
+        )
+        if adj_dir:
+            pq.write_table(
+                _adjacency_table_from_arrays(
+                    np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+                ),
+                _os.path.join(adj_dir, "part-00000.parquet"),
+            )
+
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        _write_empty()
+        return n_g_total, b_g_total, 0
+    keys = ray.get([_peek_block_keys.remote(r, cols, pack) for r in refs])
+    drops = []
+    prev_last = None
+    for first, last in keys:
+        drops.append(first is not None and first == prev_last)
+        if last is not None:
+            prev_last = last
+    luts_ref = ray.put(luts)
+    results = ray.get(
+        [
+            _finalize_write_block_task.remote(
+                r,
+                cols,
+                pack,
+                id_dtype_name,
+                luts_ref,
+                n_graphs,
+                drops[i],
+                _os.path.join(triples_dir, f"part-{i:05d}.parquet"),
+                _os.path.join(adj_dir, f"part-{i:05d}.parquet") if adj_dir else None,
+            )
+            for i, r in enumerate(refs)
+        ]
+    )
+    total_rows = 0
+    for n_g, b_g, nr in results:
+        n_g_total += n_g
+        b_g_total += b_g
+        total_rows += int(nr)
+    if total_rows == 0:
+        _write_empty()
+    return n_g_total, b_g_total, total_rows

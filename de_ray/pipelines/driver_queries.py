@@ -1359,6 +1359,30 @@ SQL_DECONTAMINATE = (
 )
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact duplicated-substring signal: per doc (with ≥1 full window),
+    the number of word-8-gram window positions whose n-gram also occurs in
+    ANOTHER document — Lee-et-al-style exact substring dedup statistics at
+    window granularity (``dup_span_stats``)."""
+    from de_ray.dataops.dedup import dup_span_stats
+
+    return dup_span_stats(_docs(sf_dir, ["doc_id", "text"]), n=8)
+
+
+SQL_DUP_SPANS = (
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "grams AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g "
+    "FROM toks, unnest(generate_series(1, len(t)-7)) AS s(i)), "
+    "nd AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY g) "
+    "SELECT doc_id, count(*) AS n_windows, "
+    "count(*) FILTER (WHERE ndocs >= 2) AS n_dup_windows, "
+    "CAST(count(*) FILTER (WHERE ndocs >= 2) AS DOUBLE) / count(*) AS dup_frac "
+    "FROM grams JOIN nd USING (g) GROUP BY doc_id"
+)
+
+
 def q_curate_corpus(sf_dir: str):
     """End-to-end curation composition: quality filter → decontaminate
     (docs 0-49 are the held-out set) → exact dedup → LM score fitted on
@@ -1857,6 +1881,7 @@ REGISTRY = {
     "cosine_near_dup": (q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
     "ivf_topk_exact": (q_ivf_topk_exact, SQL_IVF_TOPK_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dup_ngram_spans": (q_dup_spans, SQL_DUP_SPANS),
     "minhash_dup_property": (q_minhash_dup_property, SQL_MINHASH_DUP_PROPERTY),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

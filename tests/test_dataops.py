@@ -524,3 +524,54 @@ def test_pixel_resize_bilinear():
     assert len(res) == 12
     assert (res["height"] == 8).all() and (res["width"] == 6).all()
     assert res["pixels"].map(len).eq(48).all()
+
+
+def test_dup_span_stats_vs_bruteforce():
+    """dup_span_stats == brute-force window-string counting on a corpus
+    with planted exact-duplicate spans."""
+    from collections import Counter
+
+    from de_ray.dataops.dedup import dup_span_stats
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = 1 window
+    texts = [
+        f"unique one two three four five six seven eight {i} " + span
+        for i in range(3)
+    ] + [
+        "all different tokens here nine ten eleven twelve thirteen",
+        "short doc",  # < 8 tokens -> no row
+        span + " " + span,  # self-repeat + cross-doc dup
+    ]
+    docs = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    got = (
+        dup_span_stats(docs, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # brute force over window strings
+    n = 8
+    windows = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        windows[i] = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+    docs_per_gram = Counter()
+    for i, ws in windows.items():
+        for g in set(ws):
+            docs_per_gram[g] += 1
+    want = {}
+    for i, ws in windows.items():
+        if not ws:
+            continue
+        dup = sum(1 for g in ws if docs_per_gram[g] >= 2)
+        want[i] = (len(ws), dup)
+
+    assert list(got["doc_id"]) == sorted(want)
+    for _, row in got.iterrows():
+        nw, nd = want[row["doc_id"]]
+        assert row["n_windows"] == nw
+        assert row["n_dup_windows"] == nd
+        assert row["dup_frac"] == pytest.approx(nd / nw)

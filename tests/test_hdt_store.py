@@ -112,9 +112,18 @@ def test_adjacency_segments(apple_store):
     assert t.num_rows >= 1
     n = sum(t.column("n_triples").to_pylist())
     assert n == 9
-    # bitmaps: #true in bitmap_y == #distinct subjects; len(z) == n_triples
-    y_last = sum(sum(x) for x in t.column("bitmap_y").to_pylist())
-    assert y_last == 2  # Apple, Fruit
+    # segments are per sorted block (s_min/s_max recorded so readers merge:
+    # a subject run spanning two blocks yields one 'last' mark per block).
+    # Merged invariant: the union of per-segment subjects is the store's
+    # distinct-subject set, and every segment's bitmap_y marks exactly its
+    # own distinct subjects.
+    subjects = set()
+    for seg_subj, seg_y in zip(
+        t.column("subjects").to_pylist(), t.column("bitmap_y").to_pylist()
+    ):
+        assert sum(seg_y) == len(set(seg_subj))
+        subjects.update(seg_subj)
+    assert len(subjects) == 2  # Apple, Fruit
     assert sum(len(x) for x in t.column("z").to_pylist()) == 9
 
 
