@@ -951,6 +951,29 @@ SQL_SPARQL_PATH = (
 )
 
 
+def q_sparql_negpath(sf_dir: str):
+    """SPARQL 1.1 negated property set (§9.1) over the raw doc triples:
+    ``!(rdf:type|de:mentions|de:source)`` keeps only the lang + tokenCount
+    arcs via one vectorized predicate anti-filter scan (engine
+    ``_negated_pairs``; the reference gets this from spareval,
+    src/sparql.rs:511-521)."""
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    triples = _doc_triples(sf_dir, linked=False)
+    q = parse_query(
+        f"SELECT ?doc ?o WHERE {{ "
+        f"?doc !(<{RDF_TYPE}>|<{DE}mentions>|<{DE}source>) ?o }}"
+    )
+    return evaluate(q, DatasetSource(triples)).ds
+
+
+SQL_SPARQL_NEGPATH = (
+    f"{_tr_cte(False)} SELECT subj AS doc, obj AS o FROM tr "
+    f"WHERE pred NOT IN ('{RDF_TYPE}', '{DE}mentions', '{DE}source')"
+)
+
+
 def q_sparql_graph(sf_dir: str):
     """Round-2 SPARQL surface: GRAPH ?g clause over a two-graph store
     (docs split by id parity)."""
@@ -1836,6 +1859,7 @@ REGISTRY = {
     "sparql_mentions": (q_sparql_mentions, SQL_SPARQL_MENTIONS),
     "sparql_arith": (q_sparql_arith, SQL_SPARQL_ARITH),
     "sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
+    "sparql_negpath": (q_sparql_negpath, SQL_SPARQL_NEGPATH),
     "sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),
     "sparql_datetime": (q_sparql_datetime, SQL_SPARQL_DATETIME),
     "sparql_service": (q_sparql_service, SQL_SPARQL_SERVICE),
