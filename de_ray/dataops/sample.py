@@ -18,6 +18,13 @@ wraps in uint64 and keeps working).
 
 ``stratified_sample`` applies a different rate per value of a strata
 column (e.g. oversample rare languages) with the same predicate.
+
+``quota_sample`` keeps EXACTLY ``min(quota, |stratum|)`` rows per stratum
+— the rows whose ``(hash32(key+salt), key)`` rank smallest within the
+stratum — for balanced-corpus construction where binomial rate sampling
+is not enough ("exactly 10 k docs per language"). Deterministic,
+order- and partitioning-independent, and auditable in ANSI SQL as
+``ROW_NUMBER() OVER (PARTITION BY strata ORDER BY hash, key) <= quota``.
 """
 
 from __future__ import annotations
@@ -81,6 +88,77 @@ def stratified_sample(
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
+def quota_sample(
+    ds: rd.Dataset,
+    key: str,
+    strata_col: str,
+    quotas: Dict[str, int],
+    default_quota: int = 0,
+    salt: int = 0,
+    driver_limit: Optional[int] = None,
+) -> rd.Dataset:
+    """Exact per-stratum quotas: keep the ``quota`` rows of each stratum
+    whose ``(hash32(key+salt), key)`` sort smallest (all rows when the
+    stratum is smaller than its quota; ``default_quota`` for unlisted
+    strata).
+
+    Scale shape: a per-batch COMBINER first prunes each block to its local
+    per-stratum top-``quota`` (a block can contribute at most ``quota``
+    survivors per stratum), so the wide exchange moves at most
+    ``quota · n_blocks`` rows per stratum regardless of corpus size; the
+    exact global cut then runs per complete stratum group through
+    :func:`adaptive_grouped_apply` (bucket-vectorized, never per-key
+    Python). Both passes are pure vectorized numpy/pandas.
+    """
+    if default_quota < 0 or any(q < 0 for q in quotas.values()):
+        raise ValueError("quotas must be >= 0")
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        h = _hash32(t.column(key).to_numpy(zero_copy_only=False), salt)
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        strat = t.column(strata_col).to_numpy(zero_copy_only=False)
+        u, inv = np.unique(strat, return_inverse=True)
+        q = np.array(
+            [quotas.get(s, default_quota) for s in u], dtype=np.int64
+        )  # Python touches only the UNIQUE strata
+        order = np.lexsort((k, h, inv))  # stratum-major, then hash, then key
+        inv_sorted = inv[order]
+        starts = np.searchsorted(inv_sorted, np.arange(len(u)))
+        rank = np.arange(len(order)) - starts[inv_sorted]
+        keep = order[rank < q[inv_sorted]]
+        keep.sort()
+        return t.take(pa.array(keep))
+
+    def final(df):
+        h = _hash32(df[key].to_numpy(), salt)
+        srt = df.assign(_h=h.astype("uint64")).sort_values(
+            [strata_col, "_h", key], kind="mergesort"
+        )
+        qrow = (
+            srt[strata_col].map(quotas).fillna(default_quota).astype("int64")
+        )
+        kept = srt[srt.groupby(strata_col, sort=False).cumcount() < qrow]
+        return kept.drop(columns=["_h"])
+
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    kw = {} if driver_limit is None else {"limit": driver_limit}
+    return adaptive_grouped_apply(pruned, strata_col, final, **kw)
+
+
 def sql_predicate(key: str, rate: float, salt: int = 0) -> str:
     """The ANSI-SQL form of the keep predicate (test-scale audit oracle)."""
     return f"(({key} + {salt}) * {KNUTH}) % 4294967296 < {_threshold(rate)}"
+
+
+def sql_quota_rank(key: str, strata_col: str, salt: int = 0) -> str:
+    """ANSI-SQL ``ROW_NUMBER()`` expression ranking rows within a stratum
+    by the same (hash, key) order ``quota_sample`` uses (test-scale audit;
+    int64 SQL engines match our uint64 wrap while key·KNUTH < 2^63)."""
+    return (
+        f"ROW_NUMBER() OVER (PARTITION BY {strata_col} "
+        f"ORDER BY (({key} + {salt}) * {KNUTH}) % 4294967296, {key})"
+    )

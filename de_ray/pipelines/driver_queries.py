@@ -1580,8 +1580,34 @@ def _sql_stratified_sample() -> str:
     )
 
 
+def q_quota_sample(sf_dir: str):
+    """Exact per-language quotas (balanced-corpus cut): 50 'en', 30 'de',
+    100 'fr' (more than exist → all 64 kept), 10 for anything else —
+    deterministic smallest-(hash,key) rows per stratum, batch-level
+    combiner bounds the shuffle at quota·n_blocks rows per stratum."""
+    from de_ray.dataops.sample import quota_sample
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    quotas = {"en": 50, "de": 30, "fr": 100}
+    out = quota_sample(ds, "doc_id", "lang", quotas, default_quota=10, salt=11)
+    return out.select_columns(["doc_id", "lang"])
+
+
+def _sql_quota_sample() -> str:
+    from de_ray.dataops.sample import sql_quota_rank
+
+    rank = sql_quota_rank("doc_id", "lang", salt=11)
+    return (
+        f"SELECT doc_id, lang FROM ("
+        f"SELECT doc_id, lang, {rank} AS rn FROM documents) "
+        f"WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 "
+        f"WHEN 'fr' THEN 100 ELSE 10 END"
+    )
+
+
 SQL_SAMPLE_DOCS = _sql_sample_docs()
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+SQL_QUOTA_SAMPLE = _sql_quota_sample()
 
 
 def q_top_terms(sf_dir: str):
@@ -1909,6 +1935,7 @@ REGISTRY = {
     "minhash_dup_property": (q_minhash_dup_property, SQL_MINHASH_DUP_PROPERTY),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "quota_sample": (q_quota_sample, SQL_QUOTA_SAMPLE),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "lang_token_quantiles": (q_lang_token_quantiles, SQL_LANG_TOKEN_QUANTILES),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),

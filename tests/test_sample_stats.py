@@ -71,6 +71,70 @@ def test_stratified_sample_rates():
     assert (out["lang"] == "de").sum() == n_de  # rate 1.0 keeps every row
 
 
+QUOTAS = {"en": 5, "de": 1000, "fr": 3}
+
+
+def _quota_oracle(con, default=2, salt=13):
+    from de_ray.dataops.sample import sql_quota_rank
+
+    rank = sql_quota_rank("doc_id", "lang", salt=salt)
+    rows = con.execute(
+        f"SELECT doc_id, lang FROM (SELECT doc_id, lang, {rank} AS rn "
+        f"FROM documents) WHERE rn <= CASE lang WHEN 'en' THEN 5 "
+        f"WHEN 'de' THEN 1000 WHEN 'fr' THEN 3 ELSE {default} END"
+    ).fetchall()
+    return sorted(rows)
+
+
+def test_quota_sample_matches_sql_row_number():
+    from de_ray.dataops.sample import quota_sample
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    out = quota_sample(ds, "doc_id", "lang", QUOTAS, default_quota=2, salt=13)
+    got = sorted(map(tuple, out.to_pandas()[["doc_id", "lang"]].itertuples(index=False)))
+    assert got == _quota_oracle(_con())
+    # exact quota semantics: never more than quota, whole stratum when smaller
+    langs = pd.Series([l for _, l in got]).value_counts()
+    n_de = (
+        rd.read_parquet(f"{SF}/documents.parquet", columns=["lang"])
+        .to_pandas()["lang"]
+        .eq("de")
+        .sum()
+    )
+    assert langs["en"] == 5 and langs["fr"] == 3 and langs["de"] == n_de
+
+
+def test_quota_sample_partitioning_invariant():
+    from de_ray.dataops.sample import quota_sample
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    base = quota_sample(ds, "doc_id", "lang", QUOTAS, default_quota=2, salt=13)
+    rep = quota_sample(
+        ds.repartition(7), "doc_id", "lang", QUOTAS, default_quota=2, salt=13
+    )
+    key = lambda df: sorted(map(tuple, df[["doc_id", "lang"]].itertuples(index=False)))
+    assert key(base.to_pandas()) == key(rep.to_pandas())
+
+
+def test_quota_sample_forced_distributed_final():
+    from de_ray.dataops.sample import quota_sample
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    out = quota_sample(
+        ds, "doc_id", "lang", QUOTAS, default_quota=2, salt=13, driver_limit=10
+    )
+    got = sorted(map(tuple, out.to_pandas()[["doc_id", "lang"]].itertuples(index=False)))
+    assert got == _quota_oracle(_con())
+
+
+def test_quota_sample_default_zero_drops_unlisted():
+    from de_ray.dataops.sample import quota_sample
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    out = quota_sample(ds, "doc_id", "lang", {"en": 4}, default_quota=0).to_pandas()
+    assert set(out["lang"]) == {"en"} and len(out) == 4
+
+
 def test_quantile_disc_matches_duckdb_int():
     from de_ray.dataops.stats import quantile_disc
 
