@@ -1605,9 +1605,54 @@ def _sql_quota_sample() -> str:
     )
 
 
+def q_domain_blocklist(sf_dir: str):
+    """URL-host extraction + domain blocklist (C4/RefinedWeb-style
+    curation): per-doc URLs are rebuilt from the corpus's deterministic
+    rule (``https://{source}.example.com/page/{doc_id}``, mirrors
+    sources/webtext.py::page_url) so the ANSI-SQL oracle can construct
+    the identical strings; the host regex and the NOT IN filter then run
+    verbatim on both sides. Pure per-row column kernels, zero shuffle."""
+    import pyarrow.compute as pc
+
+    from de_ray.dataops.urlops import add_host_column, blocklist_filter
+
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+
+    def mk_url(t: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            "https://",
+            t.column("source"),
+            ".example.com/page/",
+            pc.cast(t.column("doc_id"), pa.string()),
+            "",
+        )
+        return t.append_column("url", url)
+
+    ds = ds.map_batches(mk_url, batch_format="pyarrow")
+    ds = add_host_column(ds)
+    # mixed-case entry exercises the case-insensitive contract
+    ds = blocklist_filter(ds, {"src3.example.com", "SRC7.example.com"})
+    return ds.select_columns(["doc_id", "host"])
+
+
+def _sql_domain_blocklist() -> str:
+    from de_ray.dataops.urlops import HOST_REGEX
+
+    return (
+        "WITH u AS (SELECT doc_id, 'https://' || source || "
+        "'.example.com/page/' || CAST(doc_id AS VARCHAR) AS url "
+        "FROM documents), "
+        f"h AS (SELECT doc_id, lower(regexp_extract(url, '{HOST_REGEX}', 1)) "
+        "AS host FROM u) "
+        "SELECT doc_id, host FROM h "
+        "WHERE host NOT IN ('src3.example.com', 'src7.example.com')"
+    )
+
+
 SQL_SAMPLE_DOCS = _sql_sample_docs()
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 SQL_QUOTA_SAMPLE = _sql_quota_sample()
+SQL_DOMAIN_BLOCKLIST = _sql_domain_blocklist()
 
 
 def q_top_terms(sf_dir: str):
@@ -1936,6 +1981,7 @@ REGISTRY = {
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "quota_sample": (q_quota_sample, SQL_QUOTA_SAMPLE),
+    "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "lang_token_quantiles": (q_lang_token_quantiles, SQL_LANG_TOKEN_QUANTILES),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
