@@ -108,6 +108,8 @@ def run_bench() -> dict:
         "pii_scrub",
         "quality_filter",
         "curate_corpus",
+        "quota_sample",
+        "domain_blocklist",
     ]
     q_trials = int(os.environ.get("GRAFT_QUERY_TRIALS", "2"))
     q_times = {}
