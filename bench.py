@@ -110,6 +110,7 @@ def run_bench() -> dict:
         "curate_corpus",
         "quota_sample",
         "domain_blocklist",
+        "local_supplier_revenue",
     ]
     q_trials = int(os.environ.get("GRAFT_QUERY_TRIALS", "2"))
     q_times = {}

@@ -1347,6 +1347,103 @@ SQL_TOP_REVENUE = (
 )
 
 
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5-shaped SIX-table join: region(ASIA) ⋈ nation seed a tiny
+    driver-side key map (region/nation are constant-size catalogs at
+    every scale factor — 5/25 rows, never data-sized); customer and
+    supplier are pruned to the region's nations AT THE READ with a
+    vectorized ``is_in``; orders is date-windowed at the read; then two
+    size-adaptive equi_joins carry only int keys + the two revenue
+    columns. The local-supplier constraint (c_nationkey = s_nationkey)
+    is a post-join vectorized filter fused into the combiner partial, so
+    the final exchange is ≤ 5 rows."""
+    from datetime import datetime
+
+    from de_ray.dataops.joins import equi_join
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    asia = region[region["r_name"] == "ASIA"]
+    nmap = nation.merge(asia, left_on="n_regionkey", right_on="r_regionkey")
+    name_of = dict(zip(nmap["n_nationkey"], nmap["n_name"]))
+    keyset = pa.array(sorted(name_of), pa.int64())
+
+    def in_region(col):
+        def flt(t: pa.Table) -> pa.Table:
+            return t.filter(pa.compute.is_in(t.column(col), value_set=keyset))
+
+        return flt
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(in_region("c_nationkey"), batch_format="pyarrow")
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(in_region("s_nationkey"), batch_format="pyarrow")
+
+    lo = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
+
+    def date_window(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        keep = pa.compute.and_(
+            pa.compute.greater_equal(d, lo), pa.compute.less(d, hi)
+        )
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(date_window, batch_format="pyarrow")
+
+    ords_c = equi_join(
+        orders, cust, on_left="o_custkey", on_right="c_custkey"
+    ).select_columns(["o_orderkey", "c_nationkey"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li_o = equi_join(li, ords_c, on_left="l_orderkey", on_right="o_orderkey")
+    li_s = equi_join(li_o, supp, on_left="l_suppkey", on_right="s_suppkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"] == df["s_nationkey"]]
+        df = df.assign(revenue=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        return df.groupby("s_nationkey", as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
+
+    tot = adaptive_grouped_sum(
+        li_s.map_batches(partial, batch_format="pandas", batch_size=256 * 1024),
+        "s_nationkey",
+        ["revenue"],
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": df["s_nationkey"].map(name_of),
+                "revenue": df["revenue"].round(2),
+            }
+        )
+
+    return tot.map_batches(finish, batch_format="pandas")
+
+
+SQL_LOCAL_SUPPLIER_REVENUE = (
+    "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM customer, orders, lineitem, supplier, nation, region "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    "AND r_name = 'ASIA' "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY n_name"
+)
+
+
 def q_decontaminate(sf_dir: str):
     """Test-set decontamination: docs 0-49 act as the held-out eval set;
     return every other document sharing a word 5-gram with it. Test-side
@@ -1957,6 +2054,7 @@ REGISTRY = {
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "equi_join": (q_equi_join, SQL_EQUI_JOIN),
     "top_revenue": (q_top_revenue, SQL_TOP_REVENUE),
+    "local_supplier_revenue": (q_local_supplier_revenue, SQL_LOCAL_SUPPLIER_REVENUE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_signals": (q_repetition_signals, SQL_REPETITION),
     "pack_chunks": (q_pack_chunks, None),
