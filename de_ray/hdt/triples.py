@@ -835,17 +835,18 @@ def _adjacency_table_from_arrays(s, p, o) -> pa.Table:
 
 @ray.remote
 def _peek_block_keys(tbl: pa.Table, cols, pack):
-    """ORIGINAL (first, last) sort key of one block — O(1) scalar reads,
-    no column materialization. Feeds the driver's boundary-dedup chain."""
+    """ORIGINAL (first, last) sort key + row count of one block — O(1)
+    scalar reads, no column materialization. Feeds the driver's
+    boundary-dedup chain and the finalize slice planner."""
     n = tbl.num_rows
     if n == 0:
-        return None, None
+        return None, None, 0
     if pack is not None:
         c = tbl.column("spog")
-        return (c[0].as_py(),), (c[n - 1].as_py(),)
+        return (c[0].as_py(),), (c[n - 1].as_py(),), n
     first = tuple(tbl.column(c)[0].as_py() for c in cols)
     last = tuple(tbl.column(c)[n - 1].as_py() for c in cols)
-    return first, last
+    return first, last, n
 
 
 @ray.remote
@@ -859,13 +860,24 @@ def _finalize_write_block_task(
     drop_first,
     triples_path,
     adjacency_path,
+    start=0,
+    stop=None,
 ):
-    """FUSED per-block pass: adjacent dedup (the boundary drop flag was
-    decided by the driver from peeked ORIGINAL keys, so stats need no
-    correction) → unpack → per-graph stats → parquet write of this block's
-    triples part → BitmapTriples adjacency segment.
+    """FUSED pass over rows ``[start, stop)`` of one pinned sorted block:
+    adjacent dedup → unpack → per-graph stats → parquet write of this
+    slice's triples part → BitmapTriples adjacency segment.
 
-    ONE read of the block; the unpacked table lives only in this worker's
+    Slicing keeps finalize parallelism tracking the CPU count instead of
+    the sort's output block count/skew (the 2→8 scaling campaign measured
+    finalize at 1.4–2.9× for 4× CPUs depending on block balance — the
+    straggler wave, not the work, set the wall). Every slice task maps the
+    SAME plasma block zero-copy and ``Table.slice``s its range, so no extra
+    object-store copy exists. A slice starting mid-block decides its own
+    first-row drop by comparing against row ``start-1`` of the same block;
+    only slice 0 uses the driver's cross-block ``drop_first`` flag (from
+    peeked ORIGINAL keys), so stats need no correction either way.
+
+    ONE read of the slice; the unpacked table lives only in this worker's
     heap and goes straight to storage — it is never pinned in the object
     store and never re-streamed for a separate write/adjacency pass. The
     three-pass shape was the measured non-scaling memory-bandwidth floor
@@ -878,13 +890,19 @@ def _finalize_write_block_task(
     _dbg = _os.environ.get("DE_RAY_FINALIZE_DEBUG")
     _t0 = _time.time()
     zeros = np.zeros(n_graphs, dtype=np.int64)
-    n = tbl.num_rows
-    if n == 0:
+    if stop is None:
+        stop = tbl.num_rows
+    n = stop - start
+    if n <= 0:
         return zeros, zeros, 0
+    sl = tbl.slice(start, n)
     if pack is not None:
-        k = tbl.column("spog").to_numpy(zero_copy_only=False)
+        k = sl.column("spog").to_numpy(zero_copy_only=False)
         keep = np.empty(n, dtype=bool)
-        keep[0] = not drop_first
+        if start > 0:
+            keep[0] = k[0] != tbl.column("spog")[start - 1].as_py()
+        else:
+            keep[0] = not drop_first
         keep[1:] = k[1:] != k[:-1]
         if not keep.all():
             k = k[keep]
@@ -903,13 +921,18 @@ def _finalize_write_block_task(
         )
     else:
         keep = np.zeros(n, dtype=bool)
-        keep[0] = not drop_first
+        if start > 0:
+            prev = tuple(tbl.column(c)[start - 1].as_py() for c in cols)
+            first = tuple(sl.column(c)[0].as_py() for c in cols)
+            keep[0] = first != prev
+        else:
+            keep[0] = not drop_first
         for c in cols:
-            a = tbl.column(c).to_numpy(zero_copy_only=False)
+            a = sl.column(c).to_numpy(zero_copy_only=False)
             keep[1:] |= a[1:] != a[:-1]
         if not keep.all():
-            tbl = tbl.filter(pa.array(keep))
-        out = tbl
+            sl = sl.filter(pa.array(keep))
+        out = sl
         s = out.column("s_id").to_numpy(zero_copy_only=False)
         p = out.column("p_id").to_numpy(zero_copy_only=False)
         o = out.column("o_id").to_numpy(zero_copy_only=False)
@@ -999,27 +1022,49 @@ def finalize_write_sorted_blocks(
     keys = ray.get([_peek_block_keys.remote(r, cols, pack) for r in refs])
     drops = []
     prev_last = None
-    for first, last in keys:
+    for first, last, _n in keys:
         drops.append(first is not None and first == prev_last)
         if last is not None:
             prev_last = last
     luts_ref = ray.put(luts)
-    results = ray.get(
-        [
-            _finalize_write_block_task.remote(
-                r,
-                cols,
-                pack,
-                id_dtype_name,
-                luts_ref,
-                n_graphs,
-                drops[i],
-                _os.path.join(triples_dir, f"part-{i:05d}.parquet"),
-                _os.path.join(adj_dir, f"part-{i:05d}.parquet") if adj_dir else None,
+    # Slice each pinned sorted block into ~uniform row ranges so finalize
+    # parallelism tracks the CPU count, not the sort's output block
+    # count/skew (blocks-per-CPU imbalance was the measured straggler term
+    # in the 2→8 campaign). Slice tasks map the SAME plasma block zero-copy
+    # — no extra object-store pin; the floor keeps tiny stores at one task.
+    total_rows_in = sum(n for _, _, n in keys)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    slice_rows = int(
+        _os.environ.get("DE_RAY_FINALIZE_SLICE_ROWS", 0)
+    ) or max(1_000_000, min(4_000_000, total_rows_in // max(1, 3 * cpus) + 1))
+    tasks = []
+    part = 0
+    for i, r in enumerate(refs):
+        n_i = keys[i][2]
+        if n_i == 0:
+            continue
+        k_slices = -(-n_i // slice_rows)
+        bounds = [n_i * j // k_slices for j in range(k_slices + 1)]
+        for j in range(k_slices):
+            tasks.append(
+                _finalize_write_block_task.remote(
+                    r,
+                    cols,
+                    pack,
+                    id_dtype_name,
+                    luts_ref,
+                    n_graphs,
+                    drops[i] if j == 0 else False,
+                    _os.path.join(triples_dir, f"part-{part:05d}.parquet"),
+                    _os.path.join(adj_dir, f"part-{part:05d}.parquet")
+                    if adj_dir
+                    else None,
+                    bounds[j],
+                    bounds[j + 1],
+                )
             )
-            for i, r in enumerate(refs)
-        ]
-    )
+            part += 1
+    results = ray.get(tasks)
     total_rows = 0
     for n_g, b_g, nr in results:
         n_g_total += n_g

@@ -157,3 +157,42 @@ def test_dedup_scattered_duplicates(tmp_path):
     got = st.triples_all().take_all()
     assert len(got) == distinct
     assert len({(r["subj"], r["pred"], r["obj"]) for r in got}) == distinct
+
+
+@pytest.mark.parametrize("force_no_pack", [False, True])
+def test_finalize_slicing_boundaries(tmp_path, monkeypatch, force_no_pack):
+    """Forced multi-slice finalize (DE_RAY_FINALIZE_SLICE_ROWS=57) must
+    produce the exact same store as the single-slice path: duplicate runs
+    (~19 rows long here) span slice boundaries, so every intra-block
+    boundary drop decision (k[start] == k[start-1]) is exercised, in both
+    the packed-key and 4-column (pack=None) task branches."""
+    import pandas as pd
+    import ray.data as rd
+
+    rows = []
+    for i in range(2000):
+        rows.append(
+            {
+                "subj": f"http://example.org/s{i % 7}",
+                "pred": f"http://example.org/p{i % 3}",
+                "obj": f'"v{i % 5}"',
+                "graph": "file:///g",
+            }
+        )
+    df = pd.DataFrame(rows)
+    distinct = len(df.drop_duplicates())
+    ds = rd.from_pandas([df.iloc[i : i + 40] for i in range(0, len(df), 40)])
+    if force_no_pack:
+        import de_ray.hdt.store as store_mod
+
+        monkeypatch.setattr(store_mod, "pack_spec_for", lambda *a, **k: None)
+    monkeypatch.setenv("DE_RAY_FINALIZE_SLICE_ROWS", "57")
+    out = str(tmp_path / "sliced")
+    h = write_store(ds, out)
+    assert h["void:triples"] == distinct
+    st = Store(out)
+    got = st.triples_all().take_all()
+    assert len(got) == distinct
+    assert {(r["subj"], r["pred"], r["obj"]) for r in got} == {
+        (r.subj, r.pred, r.obj) for r in df.drop_duplicates().itertuples()
+    }
