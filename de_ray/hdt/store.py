@@ -105,7 +105,15 @@ def _write_front_coded(dict_build: DictionaryBuild, out_dir: str) -> None:
     (section, rank range) → byte range for ranged decoding."""
     os.makedirs(out_dir, exist_ok=True)
     refs = dict_build.sections.materialize().to_arrow_refs()
-    metas = ray.get([_block_sec_meta.remote(r) for r in refs])
+    # per-block meta/pack tasks run where the block lives (soft affinity)
+    # — on a multi-node cluster a spilled task would otherwise pull the
+    # whole sections block cross-node for an O(section-runs) scan
+    from de_ray.state.locality import block_locations, node_affinity_opts
+
+    locs = block_locations(refs)
+    metas = ray.get(
+        [_block_sec_meta.options(**node_affinity_opts(r, locs)).remote(r) for r in refs]
+    )
 
     CHUNK = 64 * 1024  # terms per pack task; multiple of block size 16
     manifest: Dict[str, List[dict]] = {}
@@ -131,6 +139,12 @@ def _write_front_coded(dict_build: DictionaryBuild, out_dir: str) -> None:
                     slices.append((s, e))
                     blocks.append(refs[bi])
                 gs = ge
+            # NO affinity for pack chunks: front-coding is CPU-bound Python
+            # over 64Ki terms and many chunks share one sections block —
+            # pinning them to the block's node serializes the stage
+            # (measured 2.15 s → 4.07 s on the 4-node sim), while an
+            # unpinned chunk's one block pull is cached node-locally and
+            # amortized across every later chunk on that node
             chunk_refs.append(_pack_range.remote(slices, *blocks))
             chunk_meta.append({"rank_start": lo, "n_terms": hi - lo})
             lo = hi

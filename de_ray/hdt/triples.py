@@ -1019,7 +1019,21 @@ def finalize_write_sorted_blocks(
     if not refs:
         _write_empty()
         return n_g_total, b_g_total, 0
-    keys = ray.get([_peek_block_keys.remote(r, cols, pack) for r in refs])
+    # per-block tasks run on the node already holding the block (soft
+    # affinity): without it, a peek/slice task spilled to another node
+    # pulls the whole pinned block cross-node first — a full corpus copy
+    # on a 4-node cluster, for a pass that is zero-copy when local
+    from de_ray.state.locality import block_locations, node_affinity_opts
+
+    locs = block_locations(refs)
+    keys = ray.get(
+        [
+            _peek_block_keys.options(**node_affinity_opts(r, locs)).remote(
+                r, cols, pack
+            )
+            for r in refs
+        ]
+    )
     drops = []
     prev_last = None
     for first, last, _n in keys:
@@ -1045,9 +1059,10 @@ def finalize_write_sorted_blocks(
             continue
         k_slices = -(-n_i // slice_rows)
         bounds = [n_i * j // k_slices for j in range(k_slices + 1)]
+        aff = node_affinity_opts(refs[i], locs)
         for j in range(k_slices):
             tasks.append(
-                _finalize_write_block_task.remote(
+                _finalize_write_block_task.options(**aff).remote(
                     r,
                     cols,
                     pack,
