@@ -54,6 +54,9 @@ def main() -> int:
     if not trials:
         print("no trials")
         return 1
+    for t in trials:  # nodes-mode results name the walls sec_lo/sec_hi
+        if "sec_8" not in t and "sec_lo" in t:
+            t["sec_8"], t["sec_32"] = t["sec_lo"], t["sec_hi"]
 
     sep = " | " if args.markdown else "  "
     hdr = ["trial", "eff", "T_narrow", "T_wide", "steal_n%", "steal_w%", "clean"]
@@ -85,7 +88,8 @@ def main() -> int:
             f"  median eff {statistics.median(effs):.3f}  band {effs[0]:.3f}-{effs[-1]:.3f}"
         )
         cpus = clean[0].get("num_cpus")
-        print(f"cpu pair: {cpus}")
+        nodes = clean[0].get("cluster_nodes")
+        print(f"cpu pair: {cpus}" + (f"  node pair: {nodes}" if nodes else ""))
         # per-stage means across clean trials; store_timings = [narrow, wide]
         ok_trials = [t for t in clean if t.get("store_timings") and len(t["store_timings"]) == 2]
         if ok_trials:
