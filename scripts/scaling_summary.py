@@ -59,7 +59,8 @@ def main() -> int:
             t["sec_8"], t["sec_32"] = t["sec_lo"], t["sec_hi"]
 
     sep = " | " if args.markdown else "  "
-    hdr = ["trial", "eff", "T_narrow", "T_wide", "steal_n%", "steal_w%", "clean"]
+    hdr = ["trial", "eff", "T_narrow", "T_wide", "steal_n%", "steal_w%",
+           "cores_n", "cores_w", "pin", "clean"]
     rows = []
     clean = []
     for i, t in enumerate(trials):
@@ -67,9 +68,15 @@ def main() -> int:
         ok = sn <= args.max_steal and sw <= args.max_steal
         if ok:
             clean.append(t)
+        bc = t.get("busy_cores_avg") or [None, None]
+        pin = t.get("pin_dataplane") or [None, None]
         rows.append(
             [i, f"{t['value']:.3f}", f"{t['sec_8']:.1f}", f"{t['sec_32']:.1f}",
-             f"{sn:.2f}", f"{sw:.2f}", "yes" if ok else "no"]
+             f"{sn:.2f}", f"{sw:.2f}",
+             "-" if bc[0] is None else f"{bc[0]:.2f}",
+             "-" if bc[1] is None else f"{bc[1]:.2f}",
+             "yes" if pin[0] else "no",
+             "yes" if ok else "no"]
         )
     if args.markdown:
         print("| " + " | ".join(hdr) + " |")
