@@ -173,7 +173,29 @@ def run_bench() -> dict:
     # (loadavg 17+ while idle here) that inflate any single wall-clock run
     # ~1.5-3x; the minimum over trials estimates the engine, not the noise
     trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
-    headline, summary, loads = None, None, []
+    # GRAFT_STAGE_SAMPLER=1: sample host busy-cores at 5 Hz and attribute
+    # them to the store build's stage spans (diagnostic for localizing the
+    # wide-child pipeline bubbles behind the scaling ratio — BASELINE.md)
+    sampler_on = os.environ.get("GRAFT_STAGE_SAMPLER") == "1"
+    samples, stop_evt = [], None
+    if sampler_on:
+        import threading
+
+        def _stat():
+            with open("/proc/stat") as f:
+                v = list(map(int, f.readline().split()[1:9]))
+            return sum(v) - (v[3] + v[4] + v[7]), sum(v)  # busy, total
+
+        stop_evt = threading.Event()
+
+        def _loop():
+            while not stop_evt.is_set():
+                b, tt = _stat()
+                samples.append((time.time(), b, tt))
+                stop_evt.wait(0.2)
+
+        threading.Thread(target=_loop, daemon=True).start()
+    headline, summary, loads, best_t0 = None, None, [], None
     for _ in range(max(1, trials)):
         shutil.rmtree(out_root, ignore_errors=True)
         loads.append(float(open("/proc/loadavg").read().split()[0]))
@@ -181,7 +203,7 @@ def run_bench() -> dict:
         s = run_kg_pipeline(wt, out_root, resume=False)
         wall = time.time() - t0
         if headline is None or wall < headline:
-            headline, summary = wall, s
+            headline, summary, best_t0 = wall, s, t0
 
     # representative operator timings over the same sf
     from de_ray.pipelines.driver_queries import REGISTRY
@@ -209,6 +231,8 @@ def run_bench() -> dict:
         "local_supplier_revenue",
     ]
     q_trials = int(os.environ.get("GRAFT_QUERY_TRIALS", "2"))
+    if os.environ.get("GRAFT_SKIP_QUERIES") == "1":
+        bench_queries = []
     q_times = {}
     for name in bench_queries:
         fn, _sql = REGISTRY[name]
@@ -241,6 +265,27 @@ def run_bench() -> dict:
         # non-scaling floor for the BASELINE.md scaling decomposition
         "store_timings": (summary.get("header") or {}).get("timings"),
     }
+    if sampler_on:
+        stop_evt.set()
+        st = (summary.get("header") or {}).get("timings") or {}
+        spans, epoch0 = st.get("spans") or {}, st.get("epoch0")
+        n_host = len(os.sched_getaffinity(0))
+
+        def busy_between(a, b):
+            pts = [s for s in samples if a <= s[0] <= b]
+            if len(pts) < 2:
+                return None
+            db, dt = pts[-1][1] - pts[0][1], pts[-1][2] - pts[0][2]
+            return round(n_host * db / dt, 2) if dt else None
+
+        prof = {}
+        if epoch0:
+            # everything before the store build's epoch0 is the fused
+            # extract→link chain (+ its checkpoint write)
+            prof["extract_chain"] = busy_between(best_t0, epoch0)
+            for name, (a, b) in spans.items():
+                prof[name] = busy_between(epoch0 + a, epoch0 + b)
+        result["stage_busy_cores"] = prof
     ray.shutdown()
     sim = globals().pop("_sim_cluster", None)
     if sim is not None:

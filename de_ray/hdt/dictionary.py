@@ -27,7 +27,8 @@ ID spaces (HDT spec; ``numSharedSubjectObject`` header key):
 
 from __future__ import annotations
 
-from typing import Dict, List
+import os
+from typing import Dict, List, Optional
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -67,6 +68,62 @@ def _role_partials(batch: pa.Table) -> pa.Table:
             )
         tables.append(pa.table(cols))
     return pa.concat_tables(tables)
+
+
+def roles_tap_stage(ds: rd.Dataset, roles_dir: str) -> rd.Dataset:
+    """Pass-through map stage that side-writes per-block role partials.
+
+    Fused into a producing chain (e.g. the flagship's read→extract→triples→
+    link), it computes each block's distinct ``(term, role)`` partials WHILE
+    the block is already in memory and appends them to ``roles_dir`` as one
+    small parquet file per block (write-to-temp + atomic rename, so a task
+    killed mid-write never leaves a readable partial file). ``write_store``
+    then builds the dictionary from ``roles_dir`` and skips its own roles
+    pass entirely — deleting one full-corpus re-read AND moving the roles
+    compute into the producing stage's scheduling gaps (the narrow-vs-wide
+    scaling bubbles, BASELINE.md round-3).
+
+    Correctness under retries: a re-executed block writes a second file with
+    a fresh name; duplicate partials are folded by the dictionary final's
+    groupby-max, so coverage only requires that every block that reached the
+    stage output also renamed its file — guaranteed because the rename
+    happens before the task returns the block. ``roles_dir`` must be on
+    storage every node can reach (same contract as the stage checkpoints).
+    """
+    os.makedirs(roles_dir, exist_ok=True)
+
+    def tap(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        parts = _role_partials(batch)
+        name = uuid.uuid4().hex
+        tmp = os.path.join(roles_dir, f".tmp-{name}")
+        pq.write_table(parts, tmp)
+        os.replace(tmp, os.path.join(roles_dir, f"part-{name}.parquet"))
+        return batch
+
+    return ds.map_batches(
+        tap, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def _roles_tap_files(roles_dir) -> List[str]:
+    """Tap parquet files under one dir or an explicit list of dirs (the
+    per-group form — lets the caller exclude stale subdirs whose input
+    fingerprint no longer matches a current group)."""
+    dirs = roles_dir if isinstance(roles_dir, (list, tuple)) else [roles_dir]
+    out: List[str] = []
+    for d in dirs:
+        if not d or not os.path.isdir(d):
+            continue
+        out.extend(
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        )
+    return out
 
 
 @ray.remote
@@ -164,7 +221,9 @@ DRIVER_FINAL_LIMIT = 32_000_000
 
 
 def build_dictionary(
-    triples_ds: rd.Dataset, driver_final_limit: int = DRIVER_FINAL_LIMIT
+    triples_ds: rd.Dataset,
+    driver_final_limit: int = DRIVER_FINAL_LIMIT,
+    roles_dir: Optional[str] = None,
 ) -> DictionaryBuild:
     """Triples Dataset (subj,pred,obj[,graph]) → sorted, ranked dictionary.
 
@@ -173,10 +232,39 @@ def build_dictionary(
     distinct (term, role) partial rows it completes in one pandas task
     (exact, just cheaper than two shuffles), beyond that the distributed
     groupby → sort → per-block-offset rank path runs (the 10^12-doc path).
+
+    ``roles_dir``: partials pre-written by :func:`roles_tap_stage` during
+    the producing stage. When present, the roles pass (and its full-corpus
+    re-read) is skipped — the final merges the tap files directly. Falls
+    back to the normal pass when the directory is missing or empty.
     """
     import time as _time
 
     t0 = _time.time()
+    tap_files = _roles_tap_files(roles_dir)
+    if tap_files:
+        import pyarrow.parquet as pq
+
+        n_roles = sum(pq.read_metadata(f).num_rows for f in tap_files)
+        timings = {
+            "roles_pass": 0.0,
+            "roles_tap_files": len(tap_files),
+            "role_rows": n_roles,
+        }
+        if n_roles <= driver_final_limit:
+            t1 = _time.time()
+            # parallel multi-file read on the driver (pyarrow releases the
+            # GIL per file); the partials are small — distinct terms only
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as tp:
+                tbls = list(tp.map(pq.read_table, tap_files))
+            out = _final_from_table(pa.concat_tables(tbls))
+            timings["driver_final"] = round(_time.time() - t1, 2)
+            out.timings = timings
+            return out
+        roles = rd.read_parquet(tap_files)
+        return _distributed_final(roles, timings, t0)
     roles = triples_ds.map_batches(
         _role_partials, batch_format="pyarrow", batch_size=128 * 1024
     ).materialize()
@@ -188,6 +276,15 @@ def build_dictionary(
         timings["driver_final"] = round(_time.time() - t1, 2)
         out.timings = timings
         return out
+    return _distributed_final(roles, timings, t0)
+
+
+def _distributed_final(
+    roles: rd.Dataset, timings: Dict[str, float], t0: float
+) -> DictionaryBuild:
+    """Distributed merge + sort + rank over role partials (the 10^12-doc
+    path); see :func:`build_dictionary` step 2-4."""
+    import time as _time
     # distributed merge: bucket on a stable term hash, merge each bucket with
     # ONE vectorized pandas groupby (not per-term map_groups), then the
     # global (section, term) sort gives front-coding order and rank input
@@ -242,8 +339,6 @@ def _driver_final_dictionary(roles: rd.Dataset) -> DictionaryBuild:
     """Mid-size-dictionary final: merge roles, split sections, sort, rank —
     one multi-threaded polars pass on the driver (pandas fallback).
     Identical output to the distributed path."""
-    import numpy as np
-
     # fetch the materialized role blocks directly: plasma objects are
     # shared-memory on a node, so ray.get of Arrow refs is near-zero-copy
     # and parallel — measurably cheaper than the iter_batches stream (which
@@ -252,6 +347,14 @@ def _driver_final_dictionary(roles: rd.Dataset) -> DictionaryBuild:
         [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
          for t in ray.get(roles.to_arrow_refs())]
     )
+    return _final_from_table(tbl)
+
+
+def _final_from_table(tbl: pa.Table) -> DictionaryBuild:
+    """Driver final over an in-memory role-partials table (polars, pandas
+    fallback) — shared by the materialized-roles and roles-tap paths."""
+    import numpy as np
+
     try:
         return _polars_final(tbl)
     except ImportError:

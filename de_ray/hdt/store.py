@@ -169,6 +169,7 @@ def write_store(
     with_front_coded: bool = True,
     materialize_input: bool = True,
     graphs: Optional[List[str]] = None,
+    roles_dir: Optional[str] = None,
 ) -> dict:
     """String-triples Dataset → HDT-style store directory. Returns the header
     (with a ``timings`` breakdown of the build phases).
@@ -188,9 +189,13 @@ def write_store(
     import time as _time
 
     timings = {}
+    spans = {}  # per-stage [start, end] relative to t_build0 — lets an
+    # external busy-core sampler attribute host utilization to stages
+    t_build0 = _time.time()
 
     def _t(name, t0):
         timings[name] = round(_time.time() - t0, 2)
+        spans[name] = [round(t0 - t_build0, 2), round(_time.time() - t_build0, 2)]
 
     os.makedirs(out_dir, exist_ok=True)
     t = _time.time()
@@ -224,8 +229,18 @@ def write_store(
             else pool.submit(timed("graphs", lambda: _distinct_graphs(raw_ds)))
         )
         dict_build = timed(
-            "dictionary", lambda: build_dictionary_checkpointed(raw_ds, out_dir)
+            "dictionary", lambda: build_dictionary(raw_ds, roles_dir=roles_dir)
         )()
+        # the sections parquet (read back by Store) does not gate encode —
+        # overlap the write with the encode+sort stream
+        fut_dictwrite = pool.submit(
+            timed(
+                "dictionary_write",
+                lambda: dict_build.sections.write_parquet(
+                    os.path.join(out_dir, "dictionary")
+                ),
+            )
+        )
         if fut_graphs is not None:
             graphs = fut_graphs.result()
         graphs = sorted(graphs)
@@ -341,10 +356,13 @@ def write_store(
         n_triples = sum(per_graph.values())
         if fut_fc is not None:
             fut_fc.result()
+        fut_dictwrite.result()
     header = build_header(dict_build, n_triples, per_graph, original_size)
     header["graph_list"] = graphs  # g_id → graph name (triples/ stores g_id)
     header["hdtSize"] = _dir_size(out_dir)
     timings["dictionary_detail"] = dict_build.timings
+    timings["spans"] = spans
+    timings["epoch0"] = round(t_build0, 3)
     header["timings"] = timings
     with open(os.path.join(out_dir, "header.json"), "w") as f:
         json.dump(header, f, indent=1, sort_keys=True)
@@ -453,12 +471,6 @@ def _length_luts(dict_build):
         lut[ids - 1] = tl  # ids are dense 1..N per space
         out.append(lut)
     return tuple(out)
-
-
-def build_dictionary_checkpointed(triples_ds: rd.Dataset, out_dir: str) -> DictionaryBuild:
-    dict_build = build_dictionary(triples_ds)
-    dict_build.sections.write_parquet(os.path.join(out_dir, "dictionary"))
-    return dict_build
 
 
 def _dir_size(d: str) -> int:

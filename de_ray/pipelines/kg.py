@@ -67,13 +67,25 @@ def run_kg_pipeline(
     run = CheckpointedRun(out_root)
 
     cols = ["url", "warc_ts", "html", "lang"]
+    # dictionary role partials are side-written DURING the fused chain
+    # (roles_tap_stage): write_store then skips its own roles pass — one
+    # full-corpus re-read less, and the roles compute lands in the chain's
+    # scheduling gaps instead of serializing after it (BASELINE.md round-3
+    # scaling: the wide child's idle cores absorb it, the packed narrow
+    # child pays it either way). Partials are keyed per GROUP by input
+    # fingerprint so a resumed run can verify coverage: a group whose
+    # checkpoint predates the tap (older writer) has no subdir, and the
+    # store build then falls back to its full roles pass.
+    from de_ray.state.checkpoint import input_fingerprint, shard_groups
+
+    roles_root = os.path.join(out_root, "roles_tap") if build_store else None
 
     def _fused(files) -> rd.Dataset:
-        # ONE fused task chain: read → extract → triples → link. No
-        # intermediate parquet of extracted text — the text column is
-        # consumed by the triple extractor in the same pass it is produced
-        # (one full-corpus write+read less per run).
-        return link_entities_stage(
+        # ONE fused task chain: read → extract → triples → link (→ roles
+        # tap). No intermediate parquet of extracted text — the text column
+        # is consumed by the triple extractor in the same pass it is
+        # produced (one full-corpus write+read less per run).
+        out = link_entities_stage(
             extract_triples_stage(
                 extract_text_stage(
                     rd.read_parquet(files, columns=cols),
@@ -84,6 +96,13 @@ def run_kg_pipeline(
             ),
             concurrency=link_concurrency,
         )
+        if roles_root is not None:
+            from de_ray.hdt.dictionary import roles_tap_stage
+
+            out = roles_tap_stage(
+                out, os.path.join(roles_root, input_fingerprint(files))
+            )
+        return out
 
     if os.path.isdir(webtext_path):
         # sharded crawl input → shard-group checkpoints: the WHOLE map chain
@@ -94,11 +113,27 @@ def run_kg_pipeline(
             for f in os.listdir(webtext_path)
             if f.endswith(".parquet")
         ]
+        groups = shard_groups(shards, extract_group_size)
         linked = run.sharded_stage(
             "linked", shards, _fused, group_size=extract_group_size
         )
     else:
+        groups = [webtext_path]
         linked = run.stage("linked", lambda: _fused(webtext_path), inputs=webtext_path)
+
+    # roles-tap coverage check: the store may skip its roles pass only if
+    # EVERY current group has tap partials (exactly these subdirs — stale
+    # fingerprints from changed inputs are thereby excluded)
+    roles_dirs = None
+    if roles_root is not None:
+        roles_dirs = [
+            os.path.join(roles_root, input_fingerprint(g)) for g in groups
+        ]
+        if not all(
+            os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+            for d in roles_dirs
+        ):
+            roles_dirs = None  # a group ran without the tap — full pass
 
     store_dir = os.path.join(out_root, "graph")
     header = None
@@ -113,6 +148,7 @@ def run_kg_pipeline(
                 store_dir,
                 materialize_input=False,
                 graphs=[graph],  # the pipeline writes exactly one named graph
+                roles_dir=roles_dirs,
             )
             run.record(
                 "graph", shard="*", rows=header["void:triples"], wall_sec=time.time() - t0

@@ -36,6 +36,14 @@ def input_fingerprint(paths) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
+def shard_groups(files: List[str], group_size: int) -> List[List[str]]:
+    """The canonical shard→group slicing used by :meth:`sharded_stage` —
+    exported so callers (e.g. the kg pipeline's roles-tap coverage check)
+    can address per-group artifacts consistently."""
+    files = sorted(files)
+    return [files[i : i + group_size] for i in range(0, len(files), group_size)]
+
+
 class CheckpointedRun:
     """One pipeline run rooted at ``root``; stages call :meth:`stage`."""
 
@@ -135,8 +143,7 @@ class CheckpointedRun:
         """
         import ray.data as rd
 
-        files = sorted(files)
-        groups = [files[i : i + group_size] for i in range(0, len(files), group_size)]
+        groups = shard_groups(files, group_size)
         for gi, group in enumerate(groups):
             sub = os.path.join(name, f"group={gi:04d}")
             # runs the group (or skips it on resume); output lands in

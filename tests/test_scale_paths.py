@@ -39,6 +39,52 @@ def test_distributed_dictionary_matches_driver_final():
     assert a.counts == b.counts
 
 
+def test_roles_tap_dictionary_parity(tmp_path):
+    """A dictionary built from roles_tap_stage side-files must be identical
+    to one built by the normal roles pass — on BOTH finals (driver, forced
+    distributed) — and the tap must pass its batches through unchanged."""
+    from de_ray.hdt.dictionary import build_dictionary, roles_tap_stage
+
+    ds = read_rdf(
+        [f"{RES}/apple.ttl", f"{RES}/banana.nt", f"{RES}/pineapple.ttl"]
+    ).materialize()
+    roles_dir = str(tmp_path / "roles_tap")
+    tapped = roles_tap_stage(ds, roles_dir).materialize()
+    key = lambda r: (r["subj"], r["pred"], r["obj"], r["graph"])
+    assert sorted(map(key, tapped.take_all())) == sorted(map(key, ds.take_all()))
+
+    base = build_dictionary(ds)
+    via_tap = build_dictionary(ds, roles_dir=roles_dir)
+    rows = lambda d: sorted(
+        (r["term"], r["section"], r["id"]) for r in d.sections.take_all()
+    )
+    assert rows(via_tap) == rows(base)
+    assert via_tap.counts == base.counts
+    assert via_tap.strings_size == base.strings_size
+    assert via_tap.timings["roles_pass"] == 0.0  # the pass was skipped
+
+    dist = build_dictionary(ds, driver_final_limit=0, roles_dir=roles_dir)
+    assert rows(dist) == rows(base)
+    assert dist.counts == base.counts
+
+    # duplicate tap files (a retried task) must not change the result
+    import shutil as _sh
+
+    files = sorted(
+        f for f in __import__("os").listdir(roles_dir) if f.endswith(".parquet")
+    )
+    _sh.copy(
+        f"{roles_dir}/{files[0]}", f"{roles_dir}/part-retrydupe.parquet"
+    )
+    dup = build_dictionary(ds, roles_dir=roles_dir)
+    assert rows(dup) == rows(base)
+    assert dup.counts == base.counts
+
+    # missing/empty dir falls back to the normal roles pass
+    fb = build_dictionary(ds, roles_dir=str(tmp_path / "nonexistent"))
+    assert rows(fb) == rows(base)
+
+
 def test_bgp_hash_join_path(monkeypatch):
     """Force the Dataset.join path (small side above the broadcast limit)."""
     import de_ray.query.engine as eng
