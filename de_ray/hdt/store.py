@@ -170,6 +170,7 @@ def write_store(
     materialize_input: bool = True,
     graphs: Optional[List[str]] = None,
     roles_dir: Optional[str] = None,
+    input_coalesced: bool = False,
 ) -> dict:
     """String-triples Dataset → HDT-style store directory. Returns the header
     (with a ``timings`` breakdown of the build phases).
@@ -288,21 +289,26 @@ def write_store(
         # so 195 input blocks cost 2.5× more wall than 32 (measured 5.5 s vs
         # 2.1 s incl. the repartition itself on 12M rows). Width = one block
         # per CPU, floored so no block exceeds ~128 MB of int rows.
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        try:
-            n_rows = raw_ds.count()  # parquet-backed: metadata only
-        except Exception:
-            n_rows = None
-        row_bytes = 8 if pack is not None else 17
-        n_parts = max(
-            cpus, 0 if n_rows is None else (n_rows * row_bytes) // (128 << 20) + 1
-        )
+        # ``input_coalesced``: the caller already sized the input read's
+        # block count (override_num_blocks at the parquet read) — skip the
+        # repartition entirely. One AllToAll barrier less in the plan:
+        # measured 11.3 s → 9.4 s for the whole encode+sort span at 8 CPUs
+        # on the 46.9 M-triple corpus (BASELINE.md round-3).
+        if not input_coalesced:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            try:
+                n_rows = raw_ds.count()  # parquet-backed: metadata only
+            except Exception:
+                n_rows = None
+            row_bytes = 8 if pack is not None else 17
+            n_parts = max(
+                cpus, 0 if n_rows is None else (n_rows * row_bytes) // (128 << 20) + 1
+            )
+            id_ds = id_ds.repartition(n_parts)
         # g_id joins the sort key so cross-graph copies of one (s,p,o) are
         # adjacent too — required for the adjacent-equality dedup, and a
         # pure tie-break for the S/P/O order the layout needs
-        sorted_ds = sort_spo(
-            id_ds.repartition(n_parts), keys=key_cols if dedup else None
-        ).materialize()
+        sorted_ds = sort_spo(id_ds, keys=key_cols if dedup else None).materialize()
         _t("encode_sort", t)
         n_terms = sum(dict_build.counts.values())
         if dedup:

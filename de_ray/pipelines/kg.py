@@ -140,15 +140,29 @@ def run_kg_pipeline(
     if build_store:
         if not (resume and os.path.exists(os.path.join(store_dir, "_SUCCESS"))):
             t0 = time.time()
+            # Re-read the checkpoint with the store's sort width as the
+            # block count: the encode tasks then emit exactly one block per
+            # sort partition and write_store skips its pre-sort repartition
+            # (one AllToAll barrier less). Width = one block per CPU,
+            # floored so no block exceeds ~128 MB of int sort rows.
+            import pyarrow.parquet as _pq
+            import ray as _ray
+
+            lk_files = linked.input_files()
+            lk_rows = sum(_pq.read_metadata(f).num_rows for f in lk_files)
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+            n_parts = max(cpus, lk_rows * 17 // (128 << 20) + 1)
+            linked_store = rd.read_parquet(lk_files, override_num_blocks=n_parts)
             # linked is a checkpoint parquet read — skip the input pin, the
             # store consumers re-read it in parallel instead (exact dedup
             # happens inside write_store, after the SPO sort)
             header = write_store(
-                linked,
+                linked_store,
                 store_dir,
                 materialize_input=False,
                 graphs=[graph],  # the pipeline writes exactly one named graph
                 roles_dir=roles_dirs,
+                input_coalesced=True,
             )
             run.record(
                 "graph", shard="*", rows=header["void:triples"], wall_sec=time.time() - t0
