@@ -331,8 +331,14 @@ def run_scaling() -> dict:
             GRAFT_CLUSTER_NODES=str(nodes),
             GRAFT_REPEAT=scaling_repeat,
             # the headline trials already repeat inside the child; skip the
-            # operator-query trials there (they don't feed the ratio)
+            # operator-query bench there entirely (it doesn't feed the
+            # ratio, it ~2.5×-es the trial wall, and it dilutes the child's
+            # steal% attribution window)
             GRAFT_QUERY_TRIALS=os.environ.get("GRAFT_QUERY_TRIALS", "1"),
+            GRAFT_SKIP_QUERIES=os.environ.get("GRAFT_SKIP_QUERIES", "1"),
+            # per-stage busy-core attribution in every child (cheap 5 Hz
+            # /proc/stat thread) — localizes scaling bubbles per trial
+            GRAFT_STAGE_SAMPLER=os.environ.get("GRAFT_STAGE_SAMPLER", "1"),
             # driver-side native thread pools (polars dictionary final, OMP/
             # pyarrow kernels) size to the HOST's cores by default — in the
             # narrow child that would borrow 32 threads inside an "8-CPU"
