@@ -448,6 +448,10 @@ def run_scaling() -> dict:
         "busy_cores_avg": [r_lo.get("busy_cores_avg"), r_hi.get("busy_cores_avg")],
         "pin_dataplane": [r_lo.get("pin_dataplane"), r_hi.get("pin_dataplane")],
         "store_timings": [r_lo.get("store_timings"), r_hi.get("store_timings")],
+        "stage_busy_cores": [
+            r_lo.get("stage_busy_cores"),
+            r_hi.get("stage_busy_cores"),
+        ],
     }
 
 
