@@ -226,3 +226,58 @@ def grouped_quantile_disc(
     return adaptive_grouped_apply(
         ds.select_columns([key, col]), key, kernel, limit=limit, num_buckets=num_buckets
     )
+
+
+def grouped_zscore(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    out_col: str = "z",
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Per-group standardization: ``z = (x - mean_g) / std_pop_g``.
+
+    Zero extra shuffle: one combiner pass computes per-(batch, group)
+    ``(n, sum, sum_sq)`` partials, a tiny driver merge derives each group's
+    moments, and a broadcast dict scores every batch in place. The moment
+    arithmetic is plain float64 ``mean = s/n``, ``var = ss/n - mean²`` —
+    integer-valued partials are exact below 2^53, so a DuckDB oracle using
+    the *same formula* (not STDDEV_POP's Welford path) matches bitwise.
+    Groups with zero variance score 0.0 on both sides.
+    """
+    import ray
+
+    part = ds.map_batches(
+        lambda df: df.assign(_sq=df[value_col].astype("float64") ** 2)
+        .groupby(group_col, as_index=False)
+        .agg(n=(value_col, "size"), s=(value_col, "sum"), ss=("_sq", "sum")),
+        batch_format="pandas",
+        batch_size=256 * 1024,
+    )
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    moments = adaptive_grouped_sum(part, group_col, ["n", "s", "ss"]).to_pandas()
+    mean = moments["s"].to_numpy(dtype="float64") / moments["n"].to_numpy(dtype="float64")
+    var = moments["ss"].to_numpy(dtype="float64") / moments["n"].to_numpy(dtype="float64") - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+    lut = (
+        dict(zip(moments[group_col], mean)),
+        dict(zip(moments[group_col], std)),
+    )
+    ref = ray.put(lut)
+
+    from de_ray.state.broadcast import get_broadcast
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        means, stds = get_broadcast(ref, lambda x: x)
+        m = df[group_col].map(means).to_numpy(dtype="float64")
+        sd = df[group_col].map(stds).to_numpy(dtype="float64")
+        x = df[value_col].to_numpy(dtype="float64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0.0, (x - m) / sd, 0.0)
+        df = df.copy()
+        df[out_col] = np.round(z, round_to)
+        return df
+
+    return ds.map_batches(score, batch_format="pandas")

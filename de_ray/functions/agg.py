@@ -98,3 +98,42 @@ def adaptive_distinct(
     if col_list:
         out = out.select_columns(col_list)
     return out
+
+
+def rollup_grouped_agg(
+    ds: rd.Dataset,
+    keys: List[str],
+    value_col: str,
+    *,
+    total_label: str = "ALL",
+    limit: int = DRIVER_FINAL_LIMIT,
+) -> rd.Dataset:
+    """SQL ``GROUP BY ROLLUP(keys...)`` — count + sum at every prefix level
+    of ``keys`` plus the grand total, in ONE pass over the data.
+
+    The per-batch combiner emits partial rows for all ``len(keys)+1``
+    levels at once (rolled-up key columns filled with ``total_label``, the
+    COALESCE sentinel an SQL oracle can reproduce), so the final merge sees
+    ~(levels × distinct keys) rows regardless of input size — strictly
+    cheaper than running ``len(keys)+1`` separate groupbys, and no NULL
+    keys ever enter a shuffle."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lvl in range(len(keys), -1, -1):
+            grp = keys[:lvl]
+            if grp:
+                p = df.groupby(grp, as_index=False).agg(
+                    n_rows=(value_col, "size"), sum_value=(value_col, "sum")
+                )
+            else:
+                p = pd.DataFrame(
+                    {"n_rows": [len(df)], "sum_value": [df[value_col].sum()]}
+                )
+            for k in keys[lvl:]:
+                p[k] = total_label
+            outs.append(p[keys + ["n_rows", "sum_value"]])
+        return pd.concat(outs, ignore_index=True)
+
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=256 * 1024)
+    return adaptive_grouped_sum(part, keys, ["n_rows", "sum_value"], limit=limit)

@@ -2016,6 +2016,133 @@ def _sql_pii_scrub() -> str:
 SQL_PII_SCRUB = _sql_pii_scrub()
 
 
+def q_ntile_buckets(sf_dir: str):
+    """Exact NTILE(8) bucketing by document length: one range-partitioned
+    sort, driver-side block-count offsets (metadata only), zero-shuffle
+    rank/bucket attach (dataops/rank.py); per-bucket stats combiner after."""
+    from de_ray.dataops.rank import ntile
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    b = ntile(docs, ["n_chars", "doc_id"], 8, out_col="bucket")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", as_index=False).agg(
+            n_docs=("n_chars", "size"),
+            min_chars=("n_chars", "min"),
+            max_chars=("n_chars", "max"),
+        )
+
+    part = b.map_batches(partial, batch_format="pandas", batch_size=256 * 1024)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("bucket", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            min_chars=("min_chars", "min"),
+            max_chars=("max_chars", "max"),
+        )
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return adaptive_grouped_apply(part, "bucket", final)
+
+
+SQL_NTILE_BUCKETS = (
+    "SELECT bucket, count(*) AS n_docs, min(n_chars) AS min_chars, "
+    "max(n_chars) AS max_chars FROM (SELECT ntile(8) OVER "
+    "(ORDER BY n_chars, doc_id) AS bucket, n_chars FROM documents) "
+    "GROUP BY bucket"
+)
+
+
+def q_zscore_by_lang(sf_dir: str):
+    """Grouped standardization: per-lang moments from one combiner pass,
+    broadcast once, per-batch scoring — zero extra shuffle. The oracle
+    recomputes the SAME float64 formula (sum/sumsq, not STDDEV_POP's
+    Welford), so integer inputs round-trip bit-identically."""
+    from de_ray.dataops.stats import grouped_zscore
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    out = grouped_zscore(docs, "lang", "n_chars", out_col="z_chars")
+    return out.select_columns(["doc_id", "lang", "z_chars"])
+
+
+SQL_ZSCORE_BY_LANG = (
+    "WITH g AS (SELECT lang, count(*)::DOUBLE AS n, sum(n_chars)::DOUBLE AS s, "
+    "sum(n_chars::DOUBLE * n_chars::DOUBLE) AS ss FROM documents GROUP BY lang), "
+    "m AS (SELECT lang, s/n AS mu, sqrt(greatest(ss/n - (s/n)*(s/n), 0)) AS sd FROM g) "
+    "SELECT d.doc_id, d.lang, CASE WHEN m.sd > 0 THEN "
+    "round((d.n_chars - m.mu) / m.sd, 6) ELSE 0.0 END AS z_chars "
+    "FROM documents d JOIN m ON d.lang = m.lang"
+)
+
+
+def q_rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) in one pass: the combiner emits every
+    rollup level per batch (sentinel-filled), one tiny merged final."""
+    from de_ray.functions.agg import rollup_grouped_agg
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    out = rollup_grouped_agg(docs, ["lang", "source"], "n_chars")
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_rows"] = df["n_rows"].astype("int64")
+        df["sum_value"] = df["sum_value"].astype("int64")
+        return df
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_ROLLUP_COUNTS = (
+    "SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source, "
+    "count(*) AS n_rows, sum(n_chars) AS sum_value FROM documents "
+    "GROUP BY ROLLUP(lang, source)"
+)
+
+
+def q_left_join_counts(sf_dir: str):
+    """LEFT OUTER equi join with pre-aggregation pushed below the join:
+    orders shrink to per-custkey counts (combiner) BEFORE joining, so the
+    join's build side is |customers|-bounded; no-match customers keep 0."""
+    from de_ray.dataops.joins import equi_join
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    part = orders.map_batches(
+        lambda df: df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_custkey", "size")
+        ),
+        batch_format="pandas",
+        batch_size=256 * 1024,
+    )
+    counts = adaptive_grouped_sum(part, "o_custkey", "n_orders")
+    out = equi_join(cust, counts, on_left="c_custkey", on_right="o_custkey", how="left")
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "n_orders": df["n_orders"].fillna(0).astype("int64"),
+            }
+        )
+
+    return out.map_batches(fill, batch_format="pandas")
+
+
+SQL_LEFT_JOIN_COUNTS = (
+    "SELECT c.c_custkey, count(o.o_orderkey) AS n_orders FROM customer c "
+    "LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey"
+)
+
+
 REGISTRY = {
     # KG construction (north rule)
     "kg_extract_text": (q_kg_extract_text, SQL_KG_EXTRACT_TEXT),
@@ -2060,6 +2187,11 @@ REGISTRY = {
     "pack_chunks": (q_pack_chunks, None),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "left_join_counts": (q_left_join_counts, SQL_LEFT_JOIN_COUNTS),
+    # order-statistics / analytics extensions
+    "ntile_buckets": (q_ntile_buckets, SQL_NTILE_BUCKETS),
+    "zscore_by_lang": (q_zscore_by_lang, SQL_ZSCORE_BY_LANG),
+    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
     # training-data ops
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
