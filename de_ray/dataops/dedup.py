@@ -915,3 +915,36 @@ def dup_span_stats(
         )
 
     return per_doc.map_batches(finish, batch_format="pandas")
+
+
+def keep_best_dedup(
+    ds,
+    key_col: str = "text",
+    order_cols=("n_chars", "doc_id"),
+    ascending=(False, True),
+    driver_final_limit: int = 500_000,
+):
+    """Exact dedup with REPRESENTATIVE SELECTION: keep, per distinct
+    ``key_col``, the row that sorts first under ``order_cols/ascending``
+    (e.g. longest document, ties to the smallest id) — the "keep best"
+    policy real curation pipelines apply instead of keep-first.
+
+    Same shuffle shape as :func:`exact_dedup`: a per-batch local best
+    (combiner) bounds the exchange at one row per (batch, key); the final
+    runs through ``adaptive_grouped_apply`` (driver pandas below the
+    limit, stable-hash bucket groupby above it). SQL oracle:
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...) = 1``."""
+    import pandas as pd
+
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    order = list(order_cols)
+    asc = list(ascending)
+
+    def local_best(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order, ascending=asc, kind="mergesort").drop_duplicates(
+            subset=[key_col], keep="first"
+        )
+
+    part = ds.map_batches(local_best, batch_format="pandas", batch_size=64 * 1024)
+    return adaptive_grouped_apply(part, key_col, local_best, limit=driver_final_limit)

@@ -281,3 +281,27 @@ def grouped_zscore(
         return df
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def winsorize(
+    ds: rd.Dataset,
+    col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    out_col: str | None = None,
+) -> rd.Dataset:
+    """Clip ``col`` to its exact [lo_q, hi_q] discrete quantiles
+    (outlier winsorization before stats/training cuts). Composes the
+    3-pass histogram-refinement quantiles with a zero-shuffle per-batch
+    clip — the two cut values are plain floats in the task closure, never
+    a broadcast table. Oracle: DuckDB ``quantile_disc`` + least/greatest
+    (same discrete-quantile convention)."""
+    lo, hi = quantile_disc(ds, col, [lo_q, hi_q])
+    name = out_col or f"{col}_w"
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[name] = df[col].clip(lo, hi)
+        return df
+
+    return ds.map_batches(clip, batch_format="pandas")

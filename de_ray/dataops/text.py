@@ -423,3 +423,24 @@ def analyze_documents(ds, with_lang_id: bool = False, concurrency=(1, 4)):
             LangId, batch_format="pyarrow", batch_size=8192, concurrency=concurrency
         )
     return ds
+
+
+def normalize_text_batch(
+    batch: pa.Table, text_col: str = "text", out_col: str = "norm_text"
+) -> pa.Table:
+    """Canonical text normalization before hashing/dedup: lowercase →
+    Unicode NFC → collapse all whitespace runs to one space → strip.
+    Pure per-row column kernel (vectorized pandas string ops), zero
+    shuffle; order matches the SQL oracle
+    ``trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g'))``
+    exactly."""
+    import pandas as pd
+
+    s = pd.Series(batch.column(text_col).to_pandas())
+    norm = (
+        s.str.lower()
+        .str.normalize("NFC")
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+    )
+    return batch.append_column(out_col, pa.array(norm, pa.string()))

@@ -75,3 +75,49 @@ def blocklist_filter(
         return t.filter(pc.invert(pc.fill_null(hit, False)))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+# full URL split: scheme, optional userinfo@, host, rest-of-URL up to any
+# fragment. Groups are positional 1..4 for DuckDB regexp_extract parity.
+CANON_REGEX = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+    r"(?P<auth>[^/?#@]*@)?(?P<host>[^/?#]+)(?P<rest>[^#]*)"
+)
+
+
+def canonicalize_url(
+    ds: rd.Dataset, url_col: str = "url", out_col: str = "canon_url"
+) -> rd.Dataset:
+    """Append a canonical form of ``url_col``: lowercased scheme and host,
+    userinfo and fragment stripped, a bare ``/`` path dropped — the
+    normalization web-crawl dedup keys on (two crawls of ``HTTP://X.Com/``
+    and ``http://x.com`` are the same page). Deliberately RE2-only so an
+    ANSI-SQL oracle reproduces it verbatim (no IDN/punycode or query-param
+    reordering — those need tables/parsers SQL can't audit). One
+    vectorized ``extract_regex`` pass per batch, zero shuffle; null where
+    the URL has no ``scheme://``."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column(url_col), pattern=CANON_REGEX)
+        scheme = pc.ascii_lower(pc.struct_field(m, "scheme"))
+        host = pc.ascii_lower(pc.struct_field(m, "host"))
+        rest = pc.struct_field(m, "rest")
+        rest = pc.if_else(pc.equal(rest, "/"), "", rest)
+        out = pc.binary_join_element_wise(scheme, "://", host, rest, "")
+        return t.append_column(out_col, out)
+
+    return ds.map_batches(canon, batch_format="pyarrow")
+
+
+def url_dedup(
+    ds: rd.Dataset,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    out_col: str = "canon_url",
+) -> rd.Dataset:
+    """Exact dedup by canonical URL (keep the min-id row per canonical
+    form): :func:`canonicalize_url` then the combiner-bounded exact-dedup
+    shuffle from :mod:`de_ray.dataops.dedup`."""
+    from de_ray.dataops.dedup import exact_dedup
+
+    return exact_dedup(canonicalize_url(ds, url_col, out_col), key_col=out_col, id_col=id_col)

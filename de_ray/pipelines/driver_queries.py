@@ -2143,6 +2143,126 @@ SQL_LEFT_JOIN_COUNTS = (
 )
 
 
+def q_url_dedup(sf_dir: str):
+    """URL canonicalization + exact dedup by canonical form: three URL
+    variants per page (plain / '#fragment' / UPPERCASE scheme+host) are
+    rebuilt deterministically from doc_id so the SQL oracle constructs the
+    identical strings; the RE2 canonicalizer then runs verbatim on both
+    sides and the min-doc_id row survives per canonical URL."""
+    from de_ray.dataops.urlops import url_dedup
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def mk_url(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy()
+        pair = did // 2
+        base = pd.Series(pair % 50).astype(str)
+        page = pd.Series(pair).astype(str)
+        plain = "https://h" + base + ".example.com/p/" + page
+        frag = plain + "#frag"
+        upper = "HTTPS://H" + base + ".EXAMPLE.COM/p/" + page
+        v = did % 3
+        url = np.where(v == 0, plain, np.where(v == 1, frag, upper))
+        return pd.DataFrame({"doc_id": did, "url": url})
+
+    ds = docs.map_batches(mk_url, batch_format="pandas")
+    return url_dedup(ds, "url", "doc_id").select_columns(["doc_id", "canon_url"])
+
+
+def _sql_url_dedup() -> str:
+    from de_ray.dataops.urlops import CANON_REGEX as C
+
+    canon = (
+        f"lower(regexp_extract(url, '{C}', 1)) || '://' || "
+        f"lower(regexp_extract(url, '{C}', 3)) || "
+        f"(CASE WHEN regexp_extract(url, '{C}', 4) = '/' THEN '' "
+        f"ELSE regexp_extract(url, '{C}', 4) END)"
+    )
+    return (
+        "WITH u AS (SELECT doc_id, CASE doc_id % 3 "
+        "WHEN 0 THEN 'https://h' || ((doc_id // 2) % 50) || '.example.com/p/' || (doc_id // 2) "
+        "WHEN 1 THEN 'https://h' || ((doc_id // 2) % 50) || '.example.com/p/' || (doc_id // 2) || '#frag' "
+        "ELSE 'HTTPS://H' || ((doc_id // 2) % 50) || '.EXAMPLE.COM/p/' || (doc_id // 2) END AS url "
+        "FROM documents), "
+        f"c AS (SELECT doc_id, {canon} AS canon_url FROM u) "
+        "SELECT doc_id, canon_url FROM c QUALIFY "
+        "row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1"
+    )
+
+
+SQL_URL_DEDUP = _sql_url_dedup()
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Representative selection per group: keep the longest document (ties
+    to the smallest id) per source — the keep-best dedup policy. Combiner
+    bounds the shuffle at one row per (batch, source)."""
+    from de_ray.dataops.dedup import keep_best_dedup
+
+    docs = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+    out = keep_best_dedup(
+        docs, key_col="source", order_cols=("n_chars", "doc_id"), ascending=(False, True)
+    )
+    return out.select_columns(["doc_id", "source", "n_chars"])
+
+
+SQL_DEDUP_KEEP_BEST = (
+    "SELECT doc_id, source, n_chars FROM documents QUALIFY "
+    "row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) = 1"
+)
+
+
+def q_winsorize_chars(sf_dir: str):
+    """Outlier winsorization: clip n_chars to its exact [p5, p95] discrete
+    quantiles (3-pass histogram refinement, no sort) then a zero-shuffle
+    per-batch clip."""
+    from de_ray.dataops.stats import winsorize
+
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    out = winsorize(docs, "n_chars", 0.05, 0.95, out_col="clipped")
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "clipped": df["clipped"].astype("int64")}
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_WINSORIZE_CHARS = (
+    "WITH q AS (SELECT quantile_disc(n_chars, 0.05) AS lo, "
+    "quantile_disc(n_chars, 0.95) AS hi FROM documents) "
+    "SELECT doc_id, least(greatest(n_chars, lo), hi) AS clipped "
+    "FROM documents, q"
+)
+
+
+def q_normalize_text(sf_dir: str):
+    """Canonical text normalization (lowercase → NFC → whitespace collapse
+    → trim). The input is deterministically dirtied (leading spaces,
+    uppercase, trailing tab) so every normalization step does real work
+    and the SQL oracle applies the identical chain."""
+    from de_ray.dataops.text import normalize_text_batch
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def dirty(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "text": "  " + df["text"].str.upper() + "\t "}
+        )
+
+    ds = docs.map_batches(dirty, batch_format="pandas")
+    out = ds.map_batches(normalize_text_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "norm_text"])
+
+
+SQL_NORMALIZE_TEXT = (
+    "SELECT doc_id, trim(regexp_replace(nfc_normalize(lower("
+    "'  ' || upper(text) || chr(9) || ' ')), '\\s+', ' ', 'g')) AS norm_text "
+    "FROM documents"
+)
+
+
 REGISTRY = {
     # KG construction (north rule)
     "kg_extract_text": (q_kg_extract_text, SQL_KG_EXTRACT_TEXT),
@@ -2192,6 +2312,11 @@ REGISTRY = {
     "ntile_buckets": (q_ntile_buckets, SQL_NTILE_BUCKETS),
     "zscore_by_lang": (q_zscore_by_lang, SQL_ZSCORE_BY_LANG),
     "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
+    "winsorize_chars": (q_winsorize_chars, SQL_WINSORIZE_CHARS),
+    # web-curation extensions
+    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     # training-data ops
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),

@@ -1371,15 +1371,26 @@ def _static_vars(g: GroupPattern) -> List[str]:
 
 def _eval_graph(payload, source) -> Bindings:
     gterm, sub = payload
-    names = _graph_names(source)
+    named = getattr(source, "_dataset_named", None)
+    if named is not None:
+        # dataset clause present: GRAPH sees the FROM NAMED set, scanned
+        # against the UNRESTRICTED base (the FROM restriction scopes only
+        # default-graph patterns)
+        base = getattr(source, "_dataset_base", source)
+        allowed = set(_graph_names(base))
+        names = [g for g in named if g in allowed]
+        scan_src = base
+    else:
+        names = _graph_names(source)
+        scan_src = source
     if not isinstance(gterm, Var):
         if gterm not in names:
             sv = _static_vars(sub)
             return sv, rd.from_pandas(pd.DataFrame(columns=sv or ["__exists"]))
-        return _eval_group(sub, _restrict(source, [gterm]))
+        return _eval_group(sub, _restrict(scan_src, [gterm]))
     arms: List[Bindings] = []
     for gname in names:
-        v, ds = _eval_group(sub, _restrict(source, [gname]))
+        v, ds = _eval_group(sub, _restrict(scan_src, [gname]))
 
         def add_g(df: pd.DataFrame, _g=gname) -> pd.DataFrame:
             df = df.copy()
@@ -2081,9 +2092,36 @@ def _try_id_groupby_fastpath(q: Query, source):
     return _finish_aggregates(q, out, out_cols)
 
 
+def _apply_dataset_clause(q: Query, source):
+    """FROM / FROM NAMED (SPARQL 1.1 dataset clause, spareval parity):
+    when present, the query's dataset is EXACTLY what the clause names —
+    default graph = merge of the FROM graphs (empty if only FROM NAMED),
+    GRAPH-visible graphs = the FROM NAMED set. Implemented by graph
+    restriction (so a store-backed source stays a StoreSource and keeps
+    the integer-ID fastpaths); the unrestricted base + named set ride
+    along as attributes for ``_eval_graph``. A source already restricted
+    by protocol params keeps precedence (intersection)."""
+    if not (q.from_graphs or q.from_named):
+        return source
+    base = source
+    fg = list(dict.fromkeys(q.from_graphs))
+    cur = getattr(source, "graphs", None)
+    if cur is not None:
+        allowed = set(cur)
+        fg = [g for g in fg if g in allowed]
+    scoped = _restrict(base, fg)
+    try:
+        scoped._dataset_base = base
+        scoped._dataset_named = list(dict.fromkeys(q.from_named))
+    except AttributeError:
+        pass
+    return scoped
+
+
 def evaluate(q: Query, source):
     """Evaluate a parsed query against a TripleSource."""
     _rewrite_agg_refs(q)
+    source = _apply_dataset_clause(q, source)
     fast = _try_id_groupby_fastpath(q, source)
     if fast is None:
         fast = _try_id_distinct_fastpath(q, source)

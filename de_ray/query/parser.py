@@ -206,6 +206,10 @@ class Query:
     template: List[TriplePattern] = field(default_factory=list)  # CONSTRUCT
     describe_terms: List[PatTerm] = field(default_factory=list)  # DESCRIBE
     select_order: List[str] = field(default_factory=list)  # projection order (names)
+    # SPARQL 1.1 dataset clause: FROM <g> (default-graph merge) and
+    # FROM NAMED <g> (graphs visible to GRAPH); spareval surface parity
+    from_graphs: List[str] = field(default_factory=list)
+    from_named: List[str] = field(default_factory=list)
 
 
 _TOK = re.compile(
@@ -349,15 +353,18 @@ class Parser:
                     self._projection(tk, q)
                 else:
                     break
+            self._dataset_clauses(tk, q)
             tk.try_word("WHERE")
             q.where = self._group(tk)
         elif form == "ASK":
+            self._dataset_clauses(tk, q)
             tk.try_word("WHERE")
             q.where = self._group(tk)
         elif form == "CONSTRUCT":
             tk.expect("{")
             q.template = self._bgp_only(tk)
             tk.expect("}")
+            self._dataset_clauses(tk, q)
             tk.try_word("WHERE")
             q.where = self._group(tk)
         elif form == "DESCRIBE":
@@ -370,10 +377,20 @@ class Parser:
                     q.describe_terms.append(self._term(tk))
                 else:
                     break
+            self._dataset_clauses(tk, q)
             if tk.try_word("WHERE"):
                 q.where = self._group(tk)
         self._modifiers(tk, q)
         return q
+
+    def _dataset_clauses(self, tk: _T, q: Query) -> None:
+        """FROM <g> / FROM NAMED <g> dataset clauses (zero or more)."""
+        while tk.try_word("FROM"):
+            named = bool(tk.try_word("NAMED"))
+            t = self._term(tk)
+            if not isinstance(t, str):
+                raise ValueError("FROM requires an IRI")
+            (q.from_named if named else q.from_graphs).append(t)
 
     def _projection(self, tk: _T, q: Query) -> None:
         """Parse a parenthesized projection: aggregate or (expr AS ?v)."""

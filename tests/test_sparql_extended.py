@@ -341,3 +341,72 @@ def test_path_raw_equals_store(fruit_store, people):
     ).ds.take_all()
     store = evaluate(q, StoreSource(fruit_store)).ds.take_all()
     assert raw == store and len(raw) > 0
+
+
+# --- FROM / FROM NAMED dataset clause ----------------------------------------
+
+
+def test_from_restricts_default_graph(fruit_store):
+    q = parse_query(
+        EX + "SELECT ?f FROM <file:///apple.ttl> WHERE { ?f ex:hasColor ?c }"
+    )
+    assert [r["f"] for r in _rows(evaluate(q, StoreSource(fruit_store)))] == [
+        "http://example.org/Apple"
+    ]
+
+
+def test_from_merges_multiple_graphs(fruit_store):
+    q = parse_query(
+        EX + "SELECT ?f FROM <file:///apple.ttl> FROM <file:///pineapple.ttl> "
+        "WHERE { ?f ex:hasColor ?c } ORDER BY ?f"
+    )
+    assert [r["f"] for r in _rows(evaluate(q, StoreSource(fruit_store)))] == [
+        "http://example.org/Apple",
+        "http://example.org/Pineapple",
+    ]
+
+
+def test_from_unknown_graph_is_empty(fruit_store):
+    q = parse_query(
+        EX + "SELECT ?f FROM <file:///nope.ttl> WHERE { ?f ex:hasColor ?c }"
+    )
+    assert _rows(evaluate(q, StoreSource(fruit_store))) == []
+
+
+def test_from_named_only_empties_default_graph(fruit_store):
+    q = parse_query(
+        EX + "SELECT ?f FROM NAMED <file:///pineapple.ttl> "
+        "WHERE { ?f ex:hasColor ?c }"
+    )
+    assert _rows(evaluate(q, StoreSource(fruit_store))) == []
+
+
+def test_from_named_scopes_graph_enumeration(fruit_store):
+    q = parse_query(
+        EX + "SELECT ?g ?f FROM <file:///apple.ttl> "
+        "FROM NAMED <file:///pineapple.ttl> "
+        "WHERE { GRAPH ?g { ?f ex:hasColor ?c } }"
+    )
+    rows = _rows(evaluate(q, StoreSource(fruit_store)))
+    assert [(r["g"], r["f"]) for r in rows] == [
+        ("file:///pineapple.ttl", "http://example.org/Pineapple")
+    ]
+
+
+def test_from_named_constant_graph(fruit_store):
+    # GRAPH <iri> outside the FROM NAMED set matches nothing
+    q = parse_query(
+        EX + "SELECT ?f FROM NAMED <file:///pineapple.ttl> "
+        "WHERE { GRAPH <file:///apple.ttl> { ?f ex:hasColor ?c } }"
+    )
+    assert _rows(evaluate(q, StoreSource(fruit_store))) == []
+
+
+def test_from_with_distinct_fastpath(fruit_store):
+    # single-BGP DISTINCT goes through the integer-ID pushdown; the FROM
+    # restriction must survive into the id-scan
+    q = parse_query(
+        EX + "SELECT DISTINCT ?f FROM <file:///apple.ttl> WHERE { ?f ?p ?o }"
+    )
+    rows = sorted(r["f"] for r in _rows(evaluate(q, StoreSource(fruit_store))))
+    assert rows == ["http://example.org/Apple", "http://example.org/Fruit"]
