@@ -529,3 +529,46 @@ def ivf_topk_from_store(
         ds, query_vecs, k=k, nprobe=nprobe, centroids=centroids,
         id_col=id_col, emb_col=emb_col,
     )
+
+
+def grouped_mean_embedding(
+    ds,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+):
+    """Per-group centroid of an embedding column (class prototypes /
+    cluster statistics). One combiner pass: each batch contributes a
+    single ``(group, count, Σvec)`` row per group (vectorized
+    ``np.add.reduceat`` over the stacked matrix), the merged final divides
+    — the full corpus never shuffles. Output is EXPLODED to
+    ``(group, dim, centroid)`` rows (1-based dim) so an SQL oracle can
+    zip-unnest and aggregate the identical float64 sums."""
+    import pandas as pd
+    import ray.data as rd
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        order = np.argsort(df[group_col].to_numpy(), kind="stable")
+        g = df[group_col].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        sums = np.add.reduceat(m[order], starts, axis=0)
+        counts = np.diff(np.r_[starts, len(g)])
+        return pd.DataFrame(
+            {group_col: g[starts], "n": counts, "s": list(sums)}
+        )
+
+    partials = ds.map_batches(part, batch_format="pandas", batch_size=64 * 1024)
+    dfp = partials.to_pandas()  # one row per (block, group): tiny
+    rows = []
+    for gval, grp in dfp.groupby(group_col):
+        n = int(grp["n"].sum())
+        s = np.sum(np.stack([np.asarray(a, dtype=np.float64) for a in grp["s"]]), axis=0)
+        c = np.round(s / n, round_to)
+        rows.append(pd.DataFrame({
+            group_col: gval,
+            "dim": np.arange(1, len(c) + 1, dtype="int64"),
+            "centroid": c,
+        }))
+    out = pd.concat(rows, ignore_index=True)
+    return rd.from_pandas(out)

@@ -305,3 +305,49 @@ def winsorize(
         return df
 
     return ds.map_batches(clip, batch_format="pandas")
+
+
+def grouped_corr(
+    ds: rd.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Per-group Pearson correlation in ONE combiner pass: each batch emits
+    the six sufficient statistics ``(n, Σx, Σy, Σx², Σy², Σxy)`` per group,
+    the tiny merged final applies
+    ``r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²))`` — the same
+    float64 formula an SQL oracle can run over its own sums, avoiding
+    engine-specific Welford paths. Zero-variance groups yield NULL (SQL
+    corr() convention)."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].astype("float64")
+        y = df[y_col].astype("float64")
+        t = pd.DataFrame({group_col: df[group_col], "x": x, "y": y,
+                          "xx": x * x, "yy": y * y, "xy": x * y})
+        g = t.groupby(group_col, as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"))
+        return g
+
+    partials = ds.map_batches(part, batch_format="pandas", batch_size=256 * 1024)
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    m = adaptive_grouped_sum(
+        partials, group_col, ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    ).to_pandas()
+    n = m["n"].to_numpy(dtype="float64")
+    cov = n * m["sxy"].to_numpy() - m["sx"].to_numpy() * m["sy"].to_numpy()
+    vx = n * m["sxx"].to_numpy() - m["sx"].to_numpy() ** 2
+    vy = n * m["syy"].to_numpy() - m["sy"].to_numpy() ** 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = cov / np.sqrt(vx * vy)
+    out = pd.DataFrame({
+        group_col: m[group_col],
+        "n": m["n"].astype("int64"),
+        "r": np.round(r, round_to),
+    })
+    return rd.from_pandas(out)

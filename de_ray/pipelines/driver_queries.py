@@ -2263,6 +2263,56 @@ SQL_NORMALIZE_TEXT = (
 )
 
 
+def q_corr_by_lang(sf_dir: str):
+    """Per-lang Pearson correlation between doc length and token count:
+    six sufficient statistics per (batch, lang) combiner row, formula
+    applied once in the tiny final — identical float64 algebra to the
+    oracle (no Welford divergence)."""
+    from de_ray.dataops.stats import grouped_corr
+    from de_ray.dataops.text import token_count_batch
+
+    docs = _docs(sf_dir, columns=["lang", "text", "n_chars"])
+    ds = docs.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
+        ["lang", "n_chars", "n_tokens"]
+    )
+    return grouped_corr(ds, "lang", "n_chars", "n_tokens")
+
+
+SQL_CORR_BY_LANG = (
+    "WITH t AS (SELECT lang, n_chars::DOUBLE AS x, "
+    "len(string_split(text,' '))::DOUBLE AS y FROM documents), "
+    "g AS (SELECT lang, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy, "
+    "sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM t GROUP BY lang) "
+    "SELECT lang, n::BIGINT AS n, round((n*sxy - sx*sy) / "
+    "sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r FROM g"
+)
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (class prototypes): one combiner pass
+    of (label, count, Σvec) rows, merged final divides; exploded
+    (label, dim, centroid) output zip-unnested identically by the oracle."""
+    from de_ray.dataops.similarity import grouped_mean_embedding
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    out = grouped_mean_embedding(emb, "label", "embedding")
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["label"] = df["label"].astype("int64")
+        return df
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_LABEL_CENTROIDS = (
+    "WITH e AS (SELECT label, unnest(embedding)::DOUBLE AS v, "
+    "unnest(range(1, len(embedding)+1)) AS dim FROM embeddings) "
+    "SELECT label::BIGINT AS label, dim::BIGINT AS dim, "
+    "round(sum(v)/count(*), 6) AS centroid FROM e GROUP BY label, dim"
+)
+
+
 REGISTRY = {
     # KG construction (north rule)
     "kg_extract_text": (q_kg_extract_text, SQL_KG_EXTRACT_TEXT),
@@ -2313,6 +2363,8 @@ REGISTRY = {
     "zscore_by_lang": (q_zscore_by_lang, SQL_ZSCORE_BY_LANG),
     "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
     "winsorize_chars": (q_winsorize_chars, SQL_WINSORIZE_CHARS),
+    "corr_by_lang": (q_corr_by_lang, SQL_CORR_BY_LANG),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     # web-curation extensions
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),

@@ -153,3 +153,35 @@ def test_rollup_forced_distributed_final():
     b = b.sort_values(key).reset_index(drop=True)
     assert a[key].equals(b[key])
     assert a["n_rows"].astype("int64").equals(b["n_rows"].astype("int64"))
+
+
+def test_grouped_corr_zero_variance_is_nan():
+    from de_ray.dataops.stats import grouped_corr
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 3 + ["b"] * 3, "x": [1, 1, 1, 1, 2, 3], "y": [1, 2, 3, 2, 4, 6]}
+    )
+    out = grouped_corr(rd.from_pandas(df), "g", "x", "y").to_pandas()
+    out = out.sort_values("g").reset_index(drop=True)
+    assert np.isnan(out.loc[0, "r"])  # constant x in group a
+    assert out.loc[1, "r"] == 1.0     # perfectly linear in group b
+
+
+def test_grouped_mean_embedding_partitioning_invariant():
+    from de_ray.dataops.similarity import grouped_mean_embedding
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "label": rng.randint(0, 4, 300),
+            "embedding": list(rng.rand(300, 8).astype("float32")),
+        }
+    )
+    a = grouped_mean_embedding(rd.from_pandas(df), "label", "embedding").to_pandas()
+    b = grouped_mean_embedding(
+        rd.from_pandas(df).repartition(11), "label", "embedding"
+    ).to_pandas()
+    key = ["label", "dim"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert np.allclose(a["centroid"], b["centroid"], atol=1e-9)
