@@ -149,6 +149,69 @@ def quota_sample(
     return adaptive_grouped_apply(pruned, strata_col, final, **kw)
 
 
+def temperature_rates(
+    counts: Dict[str, int], coeff: float
+) -> Dict[str, float]:
+    """Per-stratum keep rates for τ = 0.5 temperature sampling:
+    ``rate_s = min(1, coeff / sqrt(n_s))`` — the multilingual-corpus
+    rebalancing rule (sample stratum s proportionally to n_s^τ, i.e. keep
+    each row with rate ∝ n_s^(τ-1)); τ is fixed at 0.5 because sqrt and
+    division are IEEE correctly-rounded, so ANY engine recomputing the
+    rate from the same counts lands on the bit-identical float64 (pow()
+    for general τ is not correctly rounded and may differ across libms).
+    """
+    import math
+
+    if coeff < 0:
+        raise ValueError(f"coeff must be >= 0, got {coeff}")
+    return {s: min(1.0, coeff / math.sqrt(n)) for s, n in counts.items() if n}
+
+
+def temperature_sample(
+    ds: rd.Dataset,
+    key: str,
+    strata_col: str,
+    coeff: float,
+    salt: int = 0,
+) -> rd.Dataset:
+    """Data-derived mixture rebalancing (XLM-R-style temperature τ = 0.5):
+    down-sample large strata and keep small ones, with per-stratum rate
+    ``min(1, coeff / sqrt(n_s))`` computed from the corpus itself.
+
+    Two passes: (A) per-stratum counts via a per-batch combiner — the
+    merge handles one row per (block, stratum), so the driver only ever
+    sees n_blocks × |strata| rows, never data rows; (B) the same pure
+    per-row hash predicate as :func:`stratified_sample` with the derived
+    rates — zero shuffle, reproducible across runs and cluster sizes.
+    """
+
+    def partial(df):
+        return df.groupby(strata_col, as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = ds.select_columns([strata_col]).map_batches(
+        partial, batch_format="pandas", batch_size=256 * 1024
+    )
+    cdf = parts.to_pandas().groupby(strata_col)["n"].sum()
+    rates = temperature_rates(cdf.to_dict(), coeff)
+    return stratified_sample(ds, key, strata_col, rates, salt=salt)
+
+
+def sql_temperature_predicate(
+    key: str, strata_count_col: str, coeff: float, salt: int = 0
+) -> str:
+    """ANSI-SQL form of the temperature keep predicate, recomputing the
+    rate from a per-stratum count column (bit-identical float64: sqrt,
+    divide and least are all correctly rounded; the threshold truncates
+    exactly like ``_threshold``'s int())."""
+    return (
+        f"(({key} + {salt}) * {KNUTH}) % 4294967296 < CAST(floor("
+        f"LEAST(1.0, {coeff!r} / sqrt({strata_count_col})) * 4294967296.0"
+        ") AS BIGINT)"
+    )
+
+
 def sql_predicate(key: str, rate: float, salt: int = 0) -> str:
     """The ANSI-SQL form of the keep predicate (test-scale audit oracle)."""
     return f"(({key} + {salt}) * {KNUTH}) % 4294967296 < {_threshold(rate)}"

@@ -1702,6 +1702,28 @@ def _sql_quota_sample() -> str:
     )
 
 
+def q_temperature_sample(sf_dir: str):
+    """Data-derived mixture rebalancing (XLM-R-style temperature τ = 0.5):
+    per-language keep rate min(1, 6/sqrt(n_lang)) computed FROM the corpus
+    (counts pass = per-batch combiner, tiny merge), then the pure per-row
+    hash predicate — dominant 'en' is down-sampled hardest, zero shuffle."""
+    from de_ray.dataops.sample import temperature_sample
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    return temperature_sample(ds, "doc_id", "lang", coeff=6.0, salt=13)
+
+
+def _sql_temperature_sample() -> str:
+    from de_ray.dataops.sample import sql_temperature_predicate
+
+    pred = sql_temperature_predicate("doc_id", "n", 6.0, salt=13)
+    return (
+        "WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang) "
+        "SELECT doc_id, lang FROM documents JOIN cnt USING (lang) "
+        f"WHERE {pred}"
+    )
+
+
 def q_domain_blocklist(sf_dir: str):
     """URL-host extraction + domain blocklist (C4/RefinedWeb-style
     curation): per-doc URLs are rebuilt from the corpus's deterministic
@@ -1749,6 +1771,7 @@ def _sql_domain_blocklist() -> str:
 SQL_SAMPLE_DOCS = _sql_sample_docs()
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 SQL_QUOTA_SAMPLE = _sql_quota_sample()
+SQL_TEMPERATURE_SAMPLE = _sql_temperature_sample()
 SQL_DOMAIN_BLOCKLIST = _sql_domain_blocklist()
 
 
@@ -2388,6 +2411,7 @@ REGISTRY = {
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "quota_sample": (q_quota_sample, SQL_QUOTA_SAMPLE),
+    "temperature_sample": (q_temperature_sample, SQL_TEMPERATURE_SAMPLE),
     "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "lang_token_quantiles": (q_lang_token_quantiles, SQL_LANG_TOKEN_QUANTILES),

@@ -71,6 +71,34 @@ def test_stratified_sample_rates():
     assert (out["lang"] == "de").sum() == n_de  # rate 1.0 keeps every row
 
 
+def test_temperature_rates_shape():
+    from de_ray.dataops.sample import temperature_rates
+
+    rates = temperature_rates({"big": 10_000, "small": 4, "tiny": 1}, coeff=2.0)
+    assert rates["big"] == 2.0 / 100.0  # exact: sqrt(10000) == 100
+    assert rates["small"] == rates["tiny"] == 1.0  # capped
+    assert rates["big"] < 1.0
+    # monotone: larger stratum, lower keep rate
+    ordered = [rates[k] for k in ("big", "small")]
+    assert ordered == sorted(ordered)
+
+
+def test_temperature_sample_rebalances_and_is_partition_invariant():
+    from de_ray.dataops.sample import temperature_rates, temperature_sample
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    out = temperature_sample(ds, "doc_id", "lang", coeff=6.0, salt=13).to_pandas()
+    out2 = temperature_sample(
+        ds.repartition(7), "doc_id", "lang", coeff=6.0, salt=13
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # expected kept per stratum ≈ coeff·sqrt(n): the dominant stratum no
+    # longer dominates proportionally — its keep RATE is the smallest
+    counts = ds.to_pandas()["lang"].value_counts()
+    rates = temperature_rates(counts.to_dict(), coeff=6.0)
+    assert rates[counts.idxmax()] == min(rates.values())
+
+
 QUOTAS = {"en": 5, "de": 1000, "fr": 3}
 
 
