@@ -425,6 +425,57 @@ def analyze_documents(ds, with_lang_id: bool = False, concurrency=(1, 4)):
     return ds
 
 
+def lm_quality_buckets(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    qs=(0.35, 0.7),
+    labels=("tail", "middle", "head"),
+):
+    """CCNet-style head/middle/tail corpus split: score every document with
+    the corpus-fitted unigram LM (:func:`unigram_logprob_score`), compute
+    per-stratum EXACT discrete score quantiles (``grouped_quantile_disc`` —
+    bucket-vectorized, no global sort), then label each doc by which side
+    of its own language's thresholds it falls (score ≤ q_lo → tail,
+    ≤ q_hi → middle, else head).
+
+    Scale shape: the only wide ops are the scorer's vocabulary reduce and
+    the per-stratum quantile resolve (|strata| rows); the final labeling
+    pass is a zero-shuffle per-batch kernel against the tiny threshold
+    table (|strata| × 2 floats, shipped in the task closure).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from de_ray.dataops.joins import equi_join
+    from de_ray.dataops.stats import grouped_quantile_disc
+
+    if len(qs) != 2 or not (0 < qs[0] < qs[1] <= 1):
+        raise ValueError(f"qs must be two increasing quantiles in (0,1], got {qs}")
+
+    scores = unigram_logprob_score(ds, id_col=id_col, text_col=text_col)
+    scored = equi_join(
+        scores,
+        ds.select_columns([id_col, strata_col]),
+        on_left=id_col,
+        on_right=id_col,
+    )
+    qlo, qhi = (f"q{int(q * 100)}" for q in qs)
+    thr = grouped_quantile_disc(scored, strata_col, "lm_score", list(qs)).to_pandas()
+    lo = dict(zip(thr[strata_col], thr[qlo]))
+    hi = dict(zip(thr[strata_col], thr[qhi]))
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["lm_score"].to_numpy()
+        lo_v = df[strata_col].map(lo).to_numpy(dtype=float)
+        hi_v = df[strata_col].map(hi).to_numpy(dtype=float)
+        b = np.where(s <= lo_v, labels[0], np.where(s <= hi_v, labels[1], labels[2]))
+        return df.assign(bucket=b)[[id_col, strata_col, "lm_score", "bucket"]]
+
+    return scored.map_batches(label, batch_format="pandas")
+
+
 def normalize_text_batch(
     batch: pa.Table, text_col: str = "text", out_col: str = "norm_text"
 ) -> pa.Table:

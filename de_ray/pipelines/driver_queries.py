@@ -1857,6 +1857,40 @@ SQL_UNIGRAM_LM_SCORE = (
 )
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail split: per-language exact quantile
+    thresholds over the corpus-fitted unigram LM score, zero-shuffle
+    labeling pass (threshold table is |langs|×2 floats)."""
+    from de_ray.dataops.text import lm_quality_buckets
+
+    return lm_quality_buckets(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
+# Same lm_score CTE as SQL_UNIGRAM_LM_SCORE, then DuckDB's quantile_disc
+# (same sorted[ceil(q·n)−1] convention as stats.grouped_quantile_disc, the
+# equivalence the token_quantiles oracle already locks) per language, then
+# the identical <=-threshold CASE — comparisons run on the same round(6)
+# float64 scores both sides.
+SQL_CCNET_BUCKETS = (
+    f"WITH {_TOKS_CTE}, "
+    "t AS (SELECT doc_id, w FROM toks, unnest(ws) AS u(w)), "
+    "tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2), "
+    "f AS (SELECT w, count(*) AS n FROM t GROUP BY w), "
+    "tot AS (SELECT count(*) AS T FROM t), "
+    "score AS (SELECT tf.doc_id, round(sum(tf.tf * ln(f.n * 1.0 / tot.T)) "
+    "/ sum(tf.tf), 6) AS lm_score FROM tf JOIN f USING (w), tot "
+    "GROUP BY tf.doc_id), "
+    "sl AS (SELECT s.doc_id, d.lang, s.lm_score FROM score s "
+    "JOIN documents d USING (doc_id)), "
+    "thr AS (SELECT lang, quantile_disc(lm_score, 0.35) AS q35, "
+    "quantile_disc(lm_score, 0.7) AS q70 FROM sl GROUP BY lang) "
+    "SELECT sl.doc_id, sl.lang, sl.lm_score, "
+    "CASE WHEN sl.lm_score <= thr.q35 THEN 'tail' "
+    "WHEN sl.lm_score <= thr.q70 THEN 'middle' ELSE 'head' END AS bucket "
+    "FROM sl JOIN thr USING (lang)"
+)
+
+
 def q_token_quantiles(sf_dir: str):
     """Distributed EXACT discrete quantiles of per-doc token counts —
     histogram refinement (3 passes), no global sort."""
@@ -2412,6 +2446,7 @@ REGISTRY = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "quota_sample": (q_quota_sample, SQL_QUOTA_SAMPLE),
     "temperature_sample": (q_temperature_sample, SQL_TEMPERATURE_SAMPLE),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "lang_token_quantiles": (q_lang_token_quantiles, SQL_LANG_TOKEN_QUANTILES),

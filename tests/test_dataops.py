@@ -575,3 +575,18 @@ def test_dup_span_stats_vs_bruteforce():
         assert row["n_windows"] == nw
         assert row["n_dup_windows"] == nd
         assert row["dup_frac"] == pytest.approx(nd / nw)
+
+
+def test_lm_quality_buckets_invariants():
+    from de_ray.dataops.text import lm_quality_buckets
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+    out = lm_quality_buckets(ds).to_pandas()
+    assert len(out) == ds.count()
+    assert set(out["bucket"]) <= {"tail", "middle", "head"}
+    # per-language tercile-ish split: tail share is ceil(0.35·n)/n by the
+    # discrete-quantile convention (ties can only grow a bucket)
+    for lang, g in out.groupby("lang"):
+        n = len(g)
+        assert (g["bucket"] == "tail").sum() >= int(np.ceil(0.35 * n)) - 1
+        assert (g["bucket"] == "head").sum() >= 1
