@@ -425,6 +425,82 @@ def analyze_documents(ds, with_lang_id: bool = False, concurrency=(1, 4)):
     return ds
 
 
+def bm25_topk(
+    ds,
+    query_terms,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 retrieval over the corpus for a constant term list:
+    top-k documents by ``Σ_t idf_t · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``
+    with the Lucene idf ``ln((N−df+0.5)/(df+0.5)+1)``.
+
+    Two passes, both zero-shuffle: (A) corpus statistics — each batch
+    emits ONE row (doc count, token count, per-query-term doc frequency),
+    merged on the driver (n_blocks rows, never data rows); (B) each batch
+    scores its own docs vectorized (one token explode, one bincount per
+    query term) and keeps its local top-k, so the driver merge sees at
+    most k·n_blocks rows. Scores round to 6 dp BEFORE the cut; ties break
+    on the id — the deterministic, SQL-replicable convention.
+    """
+    import numpy as np
+    import pandas as pd
+
+    terms = list(query_terms)
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("query_terms must be a non-empty list of distinct terms")
+
+    def _explode(t: pa.Table):
+        toks = pc.split_pattern(t.column(text_col), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t)), lens)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        dl = np.bincount(doc_idx, minlength=len(t)).astype(np.int64)
+        tf = np.empty((len(t), len(terms)), dtype=np.int64)
+        for i, w in enumerate(terms):
+            tf[:, i] = np.bincount(doc_idx[flat == w], minlength=len(t))
+        return dl, tf
+
+    def stats_partial(t: pa.Table) -> pd.DataFrame:
+        dl, tf = _explode(t)
+        row = {"n_docs": len(t), "n_tokens": int(dl.sum())}
+        for i in range(len(terms)):
+            row[f"df{i}"] = int((tf[:, i] > 0).sum())
+        return pd.DataFrame([row])
+
+    st = (
+        ds.select_columns([text_col])
+        .map_batches(stats_partial, batch_format="pyarrow", batch_size=64 * 1024)
+        .to_pandas()
+        .sum()
+    )
+    n_docs, avgdl = int(st["n_docs"]), st["n_tokens"] / st["n_docs"]
+    df = np.array([int(st[f"df{i}"]) for i in range(len(terms))], dtype=np.float64)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        dl, tf = _explode(t)
+        denom = tf + k1 * (1.0 - b + b * (dl / avgdl))[:, None]
+        s = np.round((idf * (tf * (k1 + 1.0)) / denom).sum(axis=1), 6)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        hit = tf.sum(axis=1) > 0
+        out = pd.DataFrame({id_col: ids[hit], "bm25": s[hit]})
+        return out.sort_values(
+            ["bm25", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    parts = ds.map_batches(score, batch_format="pyarrow", batch_size=64 * 1024)
+    final = parts.to_pandas().sort_values(
+        ["bm25", id_col], ascending=[False, True], kind="mergesort"
+    )
+    return final.head(k).reset_index(drop=True)
+
+
 def lm_quality_buckets(
     ds,
     id_col: str = "doc_id",

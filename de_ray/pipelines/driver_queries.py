@@ -1891,6 +1891,38 @@ SQL_CCNET_BUCKETS = (
 )
 
 
+def q_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-20 for a constant query: per-batch vectorized scoring
+    against driver-merged corpus stats (one row per block), partial top-k
+    per batch — the driver merge sees ≤ k·n_blocks rows, zero shuffle."""
+    from de_ray.dataops.text import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir, ["doc_id", "text"]), ["hash", "join", "vector"], k=20
+    )
+
+
+# Formula-identical SQL (same op order / associativity as the numpy kernel:
+# Lucene idf, k1=1.2, b=0.75, round(6) BEFORE the cut, ties on doc_id).
+SQL_BM25_TOPK = (
+    f"WITH {_TOKS_CTE}, "
+    "t AS (SELECT doc_id, w FROM toks, unnest(ws) AS u(w)), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id), "
+    "st AS (SELECT (SELECT count(*) FROM documents) AS N, "
+    "(SELECT count(*) FROM t) AS TT), "
+    "df AS (SELECT w, count(DISTINCT doc_id) AS df FROM t "
+    "WHERE w IN ('hash','join','vector') GROUP BY w), "
+    "tf AS (SELECT doc_id, w, count(*) AS tf FROM t "
+    "WHERE w IN ('hash','join','vector') GROUP BY doc_id, w), "
+    "sc AS (SELECT tf.doc_id, round(sum("
+    "ln((st.N - df.df + 0.5) / (df.df + 0.5) + 1.0) * (tf.tf * (1.2 + 1.0)) "
+    "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / (st.TT / st.N))))"
+    "), 6) AS bm25 FROM tf JOIN df USING (w) JOIN dl USING (doc_id), st "
+    "GROUP BY tf.doc_id) "
+    "SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20"
+)
+
+
 def q_token_quantiles(sf_dir: str):
     """Distributed EXACT discrete quantiles of per-doc token counts —
     histogram refinement (3 passes), no global sort."""
@@ -2447,6 +2479,7 @@ REGISTRY = {
     "quota_sample": (q_quota_sample, SQL_QUOTA_SAMPLE),
     "temperature_sample": (q_temperature_sample, SQL_TEMPERATURE_SAMPLE),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "lang_token_quantiles": (q_lang_token_quantiles, SQL_LANG_TOKEN_QUANTILES),

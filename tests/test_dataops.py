@@ -590,3 +590,31 @@ def test_lm_quality_buckets_invariants():
         n = len(g)
         assert (g["bucket"] == "tail").sum() >= int(np.ceil(0.35 * n)) - 1
         assert (g["bucket"] == "head").sum() >= 1
+
+
+def test_bm25_topk_invariants():
+    from de_ray.dataops.text import bm25_topk
+
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "hash join hash join hash",
+                "hash join",
+                "scan filter sort merge window table row",
+                "hash",
+            ],
+        }
+    )
+    ds = rd.from_pandas(df)
+    out = bm25_topk(ds, ["hash", "join"], k=3)
+    # doc 3 has no query terms: excluded; doc 1 saturates tf highest
+    assert list(out["doc_id"])[0] == 1
+    assert 3 not in set(out["doc_id"])
+    assert len(out) == 3
+    # partition invariance
+    out7 = bm25_topk(rd.from_pandas(df).repartition(3), ["hash", "join"], k=3)
+    assert list(out["doc_id"]) == list(out7["doc_id"])
+    assert list(out["bm25"]) == list(out7["bm25"])
