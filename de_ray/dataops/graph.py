@@ -1,0 +1,152 @@
+"""Distributed graph algorithms over edge Datasets.
+
+The KG-construction pipeline ends with a graph (documents mentioning
+entities, entities linked to entities); ranking and clustering that graph
+are first-class corpus-curation steps (page/entity importance for
+sampling weights, component grouping for leakage-safe train/test splits).
+
+Both operators take a plain edge ``Dataset`` and stay distributed:
+per-iteration work is one size-adaptive equi-join plus one combiner-first
+grouped sum keyed on the destination — no driver-side adjacency, no
+per-node Python. Reference semantics: the graph the reference serves is
+queried with SPARQL (``/root/reference/src/sparql.rs``); these operators
+are the scale-out analytics extension over the same triple data.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from de_ray.dataops.joins import equi_join
+from de_ray.functions.agg import adaptive_distinct, adaptive_grouped_sum
+
+
+def _sum_by(ds: rd.Dataset, key: str, val: str) -> rd.Dataset:
+    """Combiner-first grouped float sum: per-batch partials (one row per
+    (block, key)) then the size-adaptive final merge."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key, as_index=False)[val].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=256 * 1024)
+    return adaptive_grouped_sum(parts, key, val)
+
+
+def pagerank(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 3,
+    node_col: str = "v",
+    rank_col: str = "rank",
+) -> rd.Dataset:
+    """PageRank with a FIXED iteration count (deterministic, so any SQL
+    engine can replay it by unrolling the same number of rounds):
+
+        r_0(v) = 1;   r_{i+1}(v) = (1 − d) + d · Σ_{u→v} r_i(u) / outdeg(u)
+
+    — the original non-normalized formulation; dangling nodes simply stop
+    contributing (no global mass redistribution term, which would add a
+    cross-node barrier per round for no semantic gain at curation scale).
+
+    Scale shape per iteration: one size-adaptive equi-join of the edge set
+    against the node-sized weight table (broadcast below the limit, hash
+    join above) and one combiner-first grouped sum keyed on ``dst`` — the
+    only all-to-all is that sum, and its input is already one row per
+    (block, dst). State (one row per node) is materialized per round so
+    the plan does not re-execute prior rounds. Edges are assumed distinct;
+    pass ``adaptive_distinct(edges, [src, dst])`` first if they are not.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    base = 1.0 - damping
+
+    srcs = edges.map_batches(
+        lambda df: df[[src]].rename(columns={src: node_col}),
+        batch_format="pandas",
+    )
+    dsts = edges.map_batches(
+        lambda df: df[[dst]].rename(columns={dst: node_col}),
+        batch_format="pandas",
+    )
+    nodes = adaptive_distinct(srcs.union(dsts), node_col)
+
+    deg = _sum_by(
+        edges.map_batches(
+            lambda df: df[[src]].rename(columns={src: node_col}).assign(d=1),
+            batch_format="pandas",
+        ),
+        node_col,
+        "d",
+    )
+    state = equi_join(
+        nodes, deg, on_left=node_col, on_right=node_col, how="left"
+    ).map_batches(
+        lambda df: df.assign(d=df["d"].fillna(0).astype("int64"), r=1.0),
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(iterations):
+        w = state.map_batches(
+            lambda df: df[df["d"] > 0].assign(w=df["r"] / df["d"])[[node_col, "w"]],
+            batch_format="pandas",
+        )
+        contrib = equi_join(
+            edges, w, on_left=src, on_right=node_col
+        ).map_batches(
+            lambda df: df[[dst, "w"]].rename(columns={dst: node_col}),
+            batch_format="pandas",
+        )
+        sums = _sum_by(contrib, node_col, "w")
+        state = equi_join(
+            state.select_columns([node_col, "d"]),
+            sums,
+            on_left=node_col,
+            on_right=node_col,
+            how="left",
+        ).map_batches(
+            lambda df: df.assign(r=base + damping * df["w"].fillna(0.0)).drop(
+                columns=["w"]
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+    return state.map_batches(
+        lambda df: df.assign(**{rank_col: df["r"].round(6)})[[node_col, rank_col]],
+        batch_format="pandas",
+    )
+
+
+def connected_components(
+    edges: rd.Dataset,
+    node_a: str = "doc_a",
+    node_b: str = "doc_b",
+    node_col: str = "node",
+    label_col: str = "cluster",
+    driver_limit: int = 2_000_000,
+) -> rd.Dataset:
+    """Connected components of an undirected edge set → one row per node
+    with its component label (the minimum member id). Size-adaptive:
+    driver union-find below ``driver_limit`` edges, iterative distributed
+    min-label propagation above it (the machinery minhash near-dup
+    clustering uses, exposed as a first-class graph operator)."""
+    from de_ray.dataops.dedup import _connected_components
+
+    renamed = edges.map_batches(
+        lambda df: df[[node_a, node_b]].rename(
+            columns={node_a: "doc_a", node_b: "doc_b"}
+        ),
+        batch_format="pandas",
+    )
+    labels = _connected_components(renamed, driver_limit=driver_limit)
+    if isinstance(labels, dict):
+        out = pd.DataFrame(
+            {node_col: list(labels.keys()), label_col: list(labels.values())}
+        ).sort_values(node_col, kind="mergesort")
+        return rd.from_pandas(out.reset_index(drop=True))
+    return labels.map_batches(
+        lambda df: df.rename(columns={"node": node_col, "label": label_col}),
+        batch_format="pandas",
+    )

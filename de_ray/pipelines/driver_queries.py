@@ -183,6 +183,69 @@ SQL_KG_ENTITY_DEGREE = (
 )
 
 
+def q_pagerank_entities(sf_dir: str):
+    """PageRank over the doc→entity mention graph, 3 fixed iterations
+    (deterministic — the oracle unrolls the identical rounds in SQL):
+    entity importance weights for curation/sampling. Per round: one
+    size-adaptive equi-join + one combiner-first grouped sum."""
+    from de_ray.dataops.graph import pagerank
+
+    return pagerank(
+        q_kg_mentions(sf_dir), src="subj", dst="obj", iterations=3, rank_col="pr"
+    )
+
+
+def _sql_pagerank() -> str:
+    head = (
+        f"WITH {_TOKS_CTE}, "
+        f"m AS (SELECT DISTINCT '{DOC}'||doc_id AS subj, '{ENT}'||w AS obj "
+        f"FROM toks, unnest(ws) AS t(w) WHERE w NOT IN ({_STOP_SQL})), "
+        "nodes AS (SELECT subj AS v FROM m UNION SELECT obj FROM m), "
+        "deg AS (SELECT subj AS v, count(*) AS d FROM m GROUP BY subj), "
+        "r0 AS (SELECT v, 1.0 AS r FROM nodes), "
+    )
+    rounds = []
+    for i in range(3):
+        rounds.append(
+            f"c{i} AS (SELECT m.obj AS v, sum(r{i}.r / deg.d) AS s FROM m "
+            f"JOIN r{i} ON r{i}.v = m.subj JOIN deg ON deg.v = m.subj "
+            f"GROUP BY m.obj), "
+            f"r{i + 1} AS (SELECT n.v, (1.0 - 0.85) + 0.85 * "
+            f"coalesce(c{i}.s, 0.0) AS r FROM nodes n "
+            f"LEFT JOIN c{i} ON c{i}.v = n.v)"
+        )
+    return head + ", ".join(rounds) + " SELECT v, round(r, 6) AS pr FROM r3"
+
+
+SQL_PAGERANK_ENTITIES = _sql_pagerank()
+
+
+def q_graph_components(sf_dir: str):
+    """Connected components as a first-class graph operator (the minhash
+    clustering machinery exposed): deterministic chain edges built from
+    doc ids so a recursive-CTE oracle can replay them; labels = min member
+    id per component."""
+    from de_ray.dataops.graph import connected_components
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] % 10 < 3]
+        return pd.DataFrame({"a": d["doc_id"], "b": d["doc_id"] + 1})
+
+    edges = _docs(sf_dir, ["doc_id"]).map_batches(mk, batch_format="pandas")
+    return connected_components(edges, "a", "b")
+
+
+SQL_GRAPH_COMPONENTS = (
+    "WITH RECURSIVE e AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents "
+    "WHERE doc_id % 10 < 3), "
+    "u AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+    "reach(n, m) AS (SELECT a, b FROM u "
+    "UNION SELECT reach.n, u.b FROM reach JOIN u ON reach.m = u.a "
+    "WHERE u.b <> reach.n) "
+    "SELECT n AS node, least(n, min(m)) AS cluster FROM reach GROUP BY n"
+)
+
+
 def q_kg_header_stats(sf_dir: str):
     from de_ray.hdt.dictionary import (
         SECTION_OBJECT,
@@ -2409,6 +2472,8 @@ REGISTRY = {
     "kg_linked_triples": (q_kg_linked_triples, SQL_KG_LINKED_TRIPLES),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
     "kg_entity_degree": (q_kg_entity_degree, SQL_KG_ENTITY_DEGREE),
+    "pagerank_entities": (q_pagerank_entities, SQL_PAGERANK_ENTITIES),
+    "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "kg_header_stats": (q_kg_header_stats, SQL_KG_HEADER_STATS),
     "sparql_mentions": (q_sparql_mentions, SQL_SPARQL_MENTIONS),
     "sparql_arith": (q_sparql_arith, SQL_SPARQL_ARITH),

@@ -1,0 +1,63 @@
+"""Graph operators: PageRank (fixed-iteration) and connected components."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+def _pagerank_reference(edges, iters=3, d=0.85):
+    """Dense numpy replay of the same fixed-iteration formula."""
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    deg = edges.groupby("src").size()
+    r = np.ones(len(nodes))
+    for _ in range(iters):
+        s = np.zeros(len(nodes))
+        w = {u: r[idx[u]] / deg[u] for u in deg.index}
+        for u, v in zip(edges["src"], edges["dst"]):
+            s[idx[v]] += w[u]
+        r = (1.0 - d) + d * s
+    return {v: round(r[idx[v]], 6) for v in nodes}
+
+
+def test_pagerank_matches_dense_replay():
+    from de_ray.dataops.graph import pagerank
+
+    edges = pd.DataFrame(
+        {
+            "src": ["a", "a", "b", "c", "c", "d"],
+            "dst": ["b", "c", "c", "a", "d", "a"],
+        }
+    )
+    got = pagerank(rd.from_pandas(edges), iterations=3).to_pandas()
+    want = _pagerank_reference(edges)
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert row["rank"] == pytest.approx(want[row["v"]], abs=2e-6)
+
+
+def test_pagerank_dangling_and_sources():
+    from de_ray.dataops.graph import pagerank
+
+    # x -> y only: y is dangling (no out-edges), x has no in-edges
+    edges = rd.from_pandas(pd.DataFrame({"src": ["x"], "dst": ["y"]}))
+    got = pagerank(edges, iterations=2).to_pandas().set_index("v")["rank"]
+    assert got["x"] == pytest.approx(0.15, abs=1e-9)
+    # y: 0.15 + 0.85 * (r_x / 1) with r_x = 0.15 after round 1
+    assert got["y"] == pytest.approx(0.15 + 0.85 * 0.15, abs=1e-6)
+
+
+def test_connected_components_both_paths():
+    from de_ray.dataops.graph import connected_components
+
+    edges = pd.DataFrame(
+        {"doc_a": [1, 2, 10, 20, 21], "doc_b": [2, 3, 11, 21, 22]}
+    )
+    ds = rd.from_pandas(edges)
+    drv = connected_components(ds).to_pandas()
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert dict(zip(drv["node"], drv["cluster"])) == want
+    # force the distributed min-label propagation path
+    dist = connected_components(ds, driver_limit=0).to_pandas()
+    assert dict(zip(dist["node"], dist["cluster"])) == want
