@@ -572,3 +572,69 @@ def grouped_mean_embedding(
         }))
     out = pd.concat(rows, ignore_index=True)
     return rd.from_pandas(out)
+
+
+def semdedup(
+    ds,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    nlist: int = 64,
+    threshold: float = 0.95,
+    sample_size: int = 65536,
+    group_limit: int = 500_000,
+):
+    """SemDeDup-style semantic deduplication: cluster the embedding space
+    (deterministic spherical k-means, :func:`train_ivf_centroids`), then
+    remove within-cluster near-duplicates (cosine ≥ ``threshold``),
+    keeping the minimum id of every duplicate group. Returns the SURVIVOR
+    ids as a one-column Dataset.
+
+    Scale shape: centroid training reads a corpus-prefix sample once;
+    assignment is one broadcast matmul per batch; the quadratic pairwise
+    step runs per CLUSTER (size ≈ n/nlist — pick nlist so clusters fit a
+    bucket) via ``adaptive_grouped_apply``, never across the corpus. The
+    unclustered O(n²) equivalent is ``cosine_near_dup_exact``; this is
+    its scale path, trading cross-cluster recall for locality exactly as
+    the SemDeDup recipe does."""
+    import pandas as pd
+
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    centroids = train_ivf_centroids(
+        ds, nlist=nlist, sample_size=sample_size, emb_col=emb_col
+    )
+    tagged = assign_ivf_lists(ds, centroids, emb_col=emb_col).select_columns(
+        [id_col, emb_col, "ivf_list"]
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        keep_ids = []
+        for _, grp in df.groupby("ivf_list", sort=False):
+            ids = grp[id_col].to_numpy()
+            if len(ids) == 1:
+                keep_ids.append(ids)
+                continue
+            m = _normalize(np.stack(grp[emb_col].to_numpy()).astype(np.float64))
+            g = m @ m.T
+            ii, jj = np.nonzero(np.triu(g >= threshold, k=1))
+            if len(ii) == 0:
+                keep_ids.append(ids)
+                continue
+            # union-find over the sparse near-dup pairs only
+            parent = {}
+
+            def find(x):
+                while parent.get(x, x) != x:
+                    parent[x] = parent.get(parent[x], parent[x])
+                    x = parent[x]
+                return x
+
+            for a, b in zip(ids[ii], ids[jj]):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            labels = np.array([find(x) for x in ids])
+            keep_ids.append(ids[labels == ids])
+        return pd.DataFrame({id_col: np.concatenate(keep_ids)})
+
+    return adaptive_grouped_apply(tagged, "ivf_list", kernel, limit=group_limit)

@@ -792,6 +792,41 @@ SQL_NGRAM_JACCARD = (
 _CLONE_OFF = 1 << 30
 
 
+def q_semdedup_property(sf_dir: str):
+    """Property oracle for SemDeDup (cluster-then-dedup semantic dedup):
+    clone every 7th embedding under vec_id+2^30 and run the full pipeline
+    (deterministic k-means → broadcast assignment → per-cluster pairwise
+    cosine → min-id survivor). Identical vectors land in the same cluster
+    with cosine 1.0, so exactly the clones must be removed — the survivor
+    set equals the original ids (max off-diagonal cosine in the synthetic
+    corpus is ≈0.6, far under the 0.95 threshold). Any break in training
+    determinism, assignment, the pairwise kernel or the union step changes
+    the set."""
+    from de_ray.dataops.similarity import semdedup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def clone(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        sub = t.take(pa.array(np.nonzero(ids % 7 == 0)[0]))
+        return sub.set_column(
+            sub.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(sub.column("vec_id"), pa.scalar(_CLONE_OFF, pa.int64())),
+        )
+
+    aug = ds.union(ds.map_batches(clone, batch_format="pyarrow"))
+    return semdedup(aug, threshold=0.95)
+
+
+SQL_SEMDEDUP_PROPERTY = "SELECT vec_id FROM embeddings"
+
+
 def q_minhash_dup_property(sf_dir: str):
     """Property oracle for the MinHash sketch (VERDICT r2 #8): clone every
     document under doc_id+2^30, run the full minhash_dedup pipeline on the
@@ -2539,6 +2574,7 @@ REGISTRY = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dup_ngram_spans": (q_dup_spans, SQL_DUP_SPANS),
     "minhash_dup_property": (q_minhash_dup_property, SQL_MINHASH_DUP_PROPERTY),
+    "semdedup_property": (q_semdedup_property, SQL_SEMDEDUP_PROPERTY),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "quota_sample": (q_quota_sample, SQL_QUOTA_SAMPLE),

@@ -618,3 +618,31 @@ def test_bm25_topk_invariants():
     out7 = bm25_topk(rd.from_pandas(df).repartition(3), ["hash", "join"], k=3)
     assert list(out["doc_id"]) == list(out7["doc_id"])
     assert list(out["bm25"]) == list(out7["bm25"])
+
+
+def test_semdedup_removes_planted_near_dups():
+    from de_ray.dataops.similarity import semdedup
+
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 16)
+    # rows 40..44 (appended) are tiny perturbations of rows 0..4 (near-dups, not exact)
+    near = base[:5] + 1e-4 * rng.randn(5, 16)
+    m = np.vstack([base, near])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(45), pa.int64()),
+            "embedding": pa.array(
+                [list(r) for r in m.astype("float32")], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = semdedup(rd.from_arrow(tbl), nlist=4, threshold=0.99).to_pandas()
+    kept = set(out["vec_id"])
+    assert kept == set(range(40))  # the 5 perturbed clones are removed
+    # forced bucketed (distributed) final: identical survivors
+    out2 = semdedup(
+        rd.from_arrow(tbl).repartition(5), nlist=4, threshold=0.99, group_limit=0
+    ).to_pandas()
+    assert set(out2["vec_id"]) == kept
