@@ -92,3 +92,72 @@ def pack_token_chunks(
         )
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def chunk_token_windows(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> rd.Dataset:
+    """RAG-style per-document chunking: overlapping token windows of
+    ``window`` tokens every ``stride`` tokens (window starts 0, stride,
+    2·stride, … while start < n_tokens — the last windows shrink rather
+    than pad). Output rows: ``(doc_id, chunk_id, n_tokens, chunk_text)``
+    with ``chunk_text`` the single-space join of the window's non-empty
+    whitespace tokens.
+
+    Pure per-batch kernel, zero shuffle. Vectorized throughout: one token
+    explode, cumsum char offsets into each doc's normalized join, numpy
+    repeat/arange chunk enumeration — the only Python-level loop builds
+    the output strings themselves by slicing (O(output bytes), the
+    minimum possible string work; no per-token join calls)."""
+    if window < 1 or stride < 1:
+        raise ValueError(f"window and stride must be >= 1, got {window}/{stride}")
+
+    def kern(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t.column(text_col), pattern=" ")
+        lens_all = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t)), lens_all)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        n_per_doc = np.bincount(doc_idx, minlength=len(t)).astype(np.int64)
+        tok_len = pd.Series(flat).str.len().to_numpy(dtype=np.int64)
+
+        # char offsets of each token inside its doc's ' '-joined clean text
+        gc = np.concatenate([[0], np.cumsum(tok_len + 1)])  # global starts
+        doc_tok0 = np.concatenate([[0], np.cumsum(n_per_doc)])  # first token per doc
+        base = gc[doc_tok0[:-1]]
+        clean = (
+            pd.Series(flat)
+            .groupby(doc_idx)
+            .agg(" ".join)
+            .reindex(np.arange(len(t)), fill_value="")
+            .to_numpy()
+        )
+
+        n_chunks = -(-n_per_doc // stride)  # ceil; 0 tokens -> 0 chunks
+        cdoc = np.repeat(np.arange(len(t)), n_chunks)
+        offs = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        within = np.arange(len(cdoc)) - offs
+        starts = within * stride
+        ends = np.minimum(starts + window, n_per_doc[cdoc])
+        g0 = doc_tok0[cdoc] + starts
+        g1 = doc_tok0[cdoc] + ends
+        cs = gc[g0] - base[cdoc]
+        ce = gc[g1] - 1 - base[cdoc]
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)[cdoc]
+        texts = [clean[d][a:b] for d, a, b in zip(cdoc, cs, ce)]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "chunk_id": within.astype("int64"),
+                "n_tokens": (ends - starts).astype("int64"),
+                "chunk_text": texts,
+            }
+        )
+
+    return ds.map_batches(kern, batch_format="pyarrow", batch_size=16 * 1024)

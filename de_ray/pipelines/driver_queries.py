@@ -2021,6 +2021,26 @@ SQL_BM25_TOPK = (
 )
 
 
+def q_chunk_windows(sf_dir: str):
+    """RAG-style overlapping token windows (32-token chunks every 24):
+    one vectorized per-batch kernel, zero shuffle; the oracle replays the
+    same start grid with generate_series + list_slice."""
+    from de_ray.dataops.pack import chunk_token_windows
+
+    return chunk_token_windows(
+        _docs(sf_dir, ["doc_id", "text"]), window=32, stride=24
+    )
+
+
+SQL_CHUNK_WINDOWS = (
+    f"WITH {_TOKS_CTE}, "
+    "n AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0) "
+    "SELECT doc_id, s // 24 AS chunk_id, least(s + 32, n) - s AS n_tokens, "
+    "array_to_string(list_slice(ws, s + 1, least(s + 32, n)), ' ') AS chunk_text "
+    "FROM n, unnest(generate_series(0, n - 1, 24)) AS g(s)"
+)
+
+
 def q_token_quantiles(sf_dir: str):
     """Distributed EXACT discrete quantiles of per-doc token counts —
     histogram refinement (3 passes), no global sort."""
@@ -2581,6 +2601,7 @@ REGISTRY = {
     "temperature_sample": (q_temperature_sample, SQL_TEMPERATURE_SAMPLE),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
     "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "lang_token_quantiles": (q_lang_token_quantiles, SQL_LANG_TOKEN_QUANTILES),

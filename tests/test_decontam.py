@@ -117,3 +117,40 @@ def test_pack_token_chunks_single_block_exact():
     assert out["first_doc"].tolist() == [10, 11, 12]
     assert out["last_doc"].tolist() == [11, 12, 12]
     assert out["n_docs"].tolist() == [2, 2, 1]
+
+
+def test_chunk_token_windows_invariants():
+    from de_ray.dataops.pack import chunk_token_windows
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                " ".join(f"t{i}" for i in range(10)),  # 10 tokens
+                "a  b   c",  # empty tokens dropped -> 3 tokens
+                "",  # no tokens -> no chunks
+                "solo",
+            ],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(docs))
+    out = chunk_token_windows(ds, window=4, stride=3).to_pandas()
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_id")
+    # starts 0,3,6,9 -> sizes 4,4,4,1
+    assert d1["n_tokens"].tolist() == [4, 4, 4, 1]
+    assert d1["chunk_text"].tolist()[0] == "t0 t1 t2 t3"
+    assert d1["chunk_text"].tolist()[-1] == "t9"
+    # overlap property: consecutive chunks share window - stride tokens
+    assert d1["chunk_text"].tolist()[1].split()[0] == "t3"
+    d2 = out[out["doc_id"] == 2]
+    assert d2["chunk_text"].tolist() == ["a b c"]
+    assert (out["doc_id"] == 3).sum() == 0
+    assert out[out["doc_id"] == 4]["chunk_text"].tolist() == ["solo"]
+    # stride == window -> exact reconstruction of the clean join
+    full = chunk_token_windows(ds, window=3, stride=3).to_pandas()
+    rec = " ".join(full[full["doc_id"] == 1].sort_values("chunk_id")["chunk_text"])
+    assert rec == " ".join(f"t{i}" for i in range(10))
