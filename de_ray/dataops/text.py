@@ -571,3 +571,52 @@ def normalize_text_batch(
         .str.strip()
     )
     return batch.append_column(out_col, pa.array(norm, pa.string()))
+
+
+def corpus_report(ds, text_col: str = "text", strata_col: str = "lang"):
+    """One-row corpus health report: doc/token counts, mean char length,
+    stratum count and the Shannon entropy (nats) of the stratum
+    distribution — the summary a curation run logs per snapshot. One
+    combiner pass (a row per (block, stratum)); the driver final touches
+    |strata| rows."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t.column(text_col), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy()
+        nonempty = pc.not_equal(pc.list_flatten(toks), "").to_numpy(
+            zero_copy_only=False
+        )
+        doc_idx = np.repeat(np.arange(len(t)), lens)
+        per_doc_toks = np.bincount(doc_idx[nonempty], minlength=len(t))
+        df = pd.DataFrame(
+            {
+                strata_col: t.column(strata_col).to_pandas(),
+                "chars": pc.utf8_length(t.column(text_col)).to_numpy(
+                    zero_copy_only=False
+                ),
+                "toks": per_doc_toks,
+            }
+        )
+        return df.groupby(strata_col, as_index=False).agg(
+            n=(strata_col, "size"), chars=("chars", "sum"), toks=("toks", "sum")
+        )
+
+    parts = ds.select_columns([strata_col, text_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=64 * 1024
+    )
+    dfp = parts.to_pandas().groupby(strata_col, as_index=False).sum()
+    N, C, T = int(dfp["n"].sum()), int(dfp["chars"].sum()), int(dfp["toks"].sum())
+    p = dfp["n"].to_numpy() / N
+    entropy = round(-float(np.sum(p * np.log(p))), 6)
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": N,
+                "n_tokens": T,
+                "avg_chars": round(C / N, 6),
+                "n_strata": len(dfp),
+                "strata_entropy": entropy,
+            }
+        ]
+    )

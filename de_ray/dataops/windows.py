@@ -136,3 +136,71 @@ def topk_per_group(
     # the final is the same many-key vectorized kernel as the combiner,
     # applied over whole key groups (size-adaptive bucket shuffle)
     return adaptive_grouped_apply(part, key, partial)
+
+
+def funnel_counts(
+    ds,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Ordered funnel on FIRST occurrences: a user converts through step i
+    iff their first step-i event is strictly later than their first
+    step-(i−1) event (the standard product-analytics funnel over min
+    timestamps — deterministic and exactly SQL-replicable, unlike
+    sequence-scan funnels). Returns one row per step:
+    ``(step, event_type, users)``.
+
+    Scale shape: per-batch combiner collapses to one (user, step) min-ts
+    row per block, complete user groups resolve in bucket-vectorized
+    kernels (``adaptive_grouped_apply``), and each bucket emits just
+    |steps| count rows — the driver merge sums a few hundred integers.
+    """
+    import pandas as pd
+
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    steps = list(steps)
+    if len(steps) < 1 or len(set(steps)) != len(steps):
+        raise ValueError("steps must be a non-empty list of distinct event types")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[type_col].isin(steps)]
+        return d.groupby([user_col, type_col], as_index=False)[ts_col].min()
+
+    parts = ds.select_columns([user_col, type_col, ts_col]).map_batches(
+        partial, batch_format="pandas", batch_size=256 * 1024
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.groupby([user_col, type_col])[ts_col].min().unstack()
+        counts = []
+        ok = None
+        prev = None
+        for i, s in enumerate(steps):
+            col = p[s] if s in p.columns else pd.Series(pd.NaT, index=p.index)
+            if i == 0:
+                ok = col.notna()
+            else:
+                ok = ok & col.notna() & (col > prev)
+            prev = col
+            counts.append(int(ok.sum()))
+        return pd.DataFrame(
+            {
+                "step": range(1, len(steps) + 1),
+                "event_type": steps,
+                "users": counts,
+            }
+        )
+
+    per_bucket = adaptive_grouped_apply(parts, user_col, kernel)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["step", "event_type"], as_index=False)["users"].sum()
+        out["users"] = out["users"].astype("int64")
+        return out.sort_values("step", kind="mergesort")
+
+    import ray.data as rd
+
+    return rd.from_pandas(merge(per_bucket.to_pandas()))

@@ -2021,6 +2021,52 @@ SQL_BM25_TOPK = (
 )
 
 
+def q_funnel_steps(sf_dir: str):
+    """Ordered funnel on first occurrences (view → click → purchase):
+    combiner min-ts per (user, step), bucket-vectorized per-user resolve,
+    |steps| count rows out."""
+    from de_ray.dataops.windows import funnel_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return funnel_counts(ds, ["view", "click", "purchase"])
+
+
+SQL_FUNNEL_STEPS = (
+    "WITH f AS (SELECT user_id, "
+    "min(CASE WHEN event_type = 'view' THEN ts END) AS t1, "
+    "min(CASE WHEN event_type = 'click' THEN ts END) AS t2, "
+    "min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3 "
+    "FROM events GROUP BY user_id) "
+    "SELECT 1 AS step, 'view' AS event_type, count(*) AS users FROM f "
+    "WHERE t1 IS NOT NULL "
+    "UNION ALL SELECT 2, 'click', count(*) FROM f WHERE t2 > t1 "
+    "UNION ALL SELECT 3, 'purchase', count(*) FROM f WHERE t2 > t1 AND t3 > t2"
+)
+
+
+def q_corpus_report(sf_dir: str):
+    """Single-row corpus snapshot report (docs, tokens, mean chars, language
+    count + entropy): one combiner pass, |langs|-row driver final."""
+    from de_ray.dataops.text import corpus_report
+
+    return corpus_report(_docs(sf_dir, ["text", "lang"]))
+
+
+SQL_CORPUS_REPORT = (
+    "WITH l AS (SELECT lang, count(*) AS n, sum(len(text)) AS chars, "
+    "sum(len([x for x in string_split(text, ' ') if x <> ''])) AS toks "
+    "FROM documents GROUP BY lang), "
+    "t AS (SELECT CAST(sum(n) AS BIGINT) AS N, CAST(sum(chars) AS BIGINT) AS C, "
+    "CAST(sum(toks) AS BIGINT) AS T, CAST(count(*) AS BIGINT) AS L FROM l) "
+    "SELECT t.N AS n_docs, t.T AS n_tokens, round(t.C / t.N, 6) AS avg_chars, "
+    "t.L AS n_strata, "
+    "round(-(SELECT sum((l.n / t.N) * ln(l.n / t.N)) FROM l), 6) "
+    "AS strata_entropy FROM t"
+)
+
+
 def q_chunk_windows(sf_dir: str):
     """RAG-style overlapping token windows (32-token chunks every 24):
     one vectorized per-batch kernel, zero shuffle; the oracle replays the
@@ -2602,6 +2648,8 @@ REGISTRY = {
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
+    "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
+    "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
     "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "lang_token_quantiles": (q_lang_token_quantiles, SQL_LANG_TOKEN_QUANTILES),

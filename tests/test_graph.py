@@ -61,3 +61,35 @@ def test_connected_components_both_paths():
     # force the distributed min-label propagation path
     dist = connected_components(ds, driver_limit=0).to_pandas()
     assert dict(zip(dist["node"], dist["cluster"])) == want
+
+
+def test_funnel_counts_hand_case():
+    from de_ray.dataops.windows import funnel_counts
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3, 3, 3, 4],
+            "event_type": [
+                "view", "click", "purchase",          # u1 full funnel
+                "click", "view",                      # u2 clicked BEFORE viewing
+                "view", "purchase", "click",          # u3 purchase before click
+                "purchase",                           # u4 never viewed
+            ],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+                    "2024-01-01 00:00", "2024-01-01 01:00",
+                    "2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+                    "2024-01-01 00:00",
+                ]
+            ),
+        }
+    )
+    out = (
+        funnel_counts(rd.from_pandas(rows), ["view", "click", "purchase"])
+        .to_pandas()
+        .set_index("step")["users"]
+    )
+    assert out[1] == 3  # u1, u2, u3 viewed
+    assert out[2] == 2  # u1 and u3 clicked after first view
+    assert out[3] == 1  # only u1 purchased after the click
