@@ -2021,6 +2021,43 @@ SQL_BM25_TOPK = (
 )
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Snapshot-over-snapshot ingestion dedup: drop new documents whose
+    content fingerprint already exists in the previous snapshot (here:
+    snapshot = doc_id % 3 == 0). Composition of the md5 fingerprint stage
+    and the broadcast anti-join — the new side streams with zero shuffle;
+    only the snapshot's fingerprint column moves (once, via the object
+    store; bucketed fallback above the broadcast limit)."""
+    import pyarrow.compute as pc
+
+    from de_ray.dataops.joins import anti_join
+    from de_ray.dataops.text import fingerprint_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def part(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 3 == 0) if keep_old else (ids % 3 != 0)
+            return fingerprint_batch(t.take(pa.array(np.nonzero(mask)[0])))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    old_fp = part(True).select_columns(["fingerprint"])
+    new = part(False)
+    out = anti_join(new, old_fp, on_left="fingerprint", on_right="fingerprint")
+    return out.select_columns(["doc_id"])
+
+
+SQL_INCREMENTAL_DEDUP = (
+    "WITH fp AS (SELECT doc_id, md5(text) AS f FROM documents) "
+    "SELECT doc_id FROM fp WHERE doc_id % 3 <> 0 "
+    "AND f NOT IN (SELECT f FROM fp WHERE doc_id % 3 = 0)"
+)
+
+
 def q_funnel_steps(sf_dir: str):
     """Ordered funnel on first occurrences (view → click → purchase):
     combiner min-ts per (user, step), bucket-vectorized per-user resolve,
@@ -2649,6 +2686,7 @@ REGISTRY = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
     "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
