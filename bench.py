@@ -229,6 +229,12 @@ def run_bench() -> dict:
         "quota_sample",
         "domain_blocklist",
         "local_supplier_revenue",
+        "bm25_topk",
+        "pagerank_entities",
+        "ccnet_buckets",
+        "funnel_steps",
+        "semdedup_property",
+        "chunk_windows",
     ]
     q_trials = int(os.environ.get("GRAFT_QUERY_TRIALS", "2"))
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":
