@@ -948,3 +948,132 @@ def keep_best_dedup(
 
     part = ds.map_batches(local_best, batch_format="pandas", batch_size=64 * 1024)
     return adaptive_grouped_apply(part, key_col, local_best, limit=driver_final_limit)
+
+
+def remove_dup_spans(
+    ds,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int = 50_000_000,
+):
+    """Exact cross-document substring DEDUP TRANSFORM at window granularity
+    (the remove step of Lee et al. 2021-style exact substring dedup):
+    delete every token covered by a full word ``n``-gram window whose gram
+    also occurs in another document. Output rows:
+    ``(doc_id, clean_text, n_removed)`` — ``clean_text`` is the
+    single-space join of surviving tokens (possibly empty).
+
+    Pass A finds the global duplicated-gram set with the same RLE'd
+    (gram, doc) explode ``dup_span_stats`` uses (rows are globally
+    distinct per (gram, doc) because a doc lives in one batch row), a
+    combiner-first count per gram and an ``ndocs >= 2`` filter; the
+    sorted gram array then broadcasts ONCE (decontaminate's probe
+    pattern). Pass B re-streams the corpus, marks covered token positions
+    with one vectorized cumsum window-sum, and rebuilds texts — zero
+    shuffle. Above ``broadcast_limit`` duplicated grams the probe no
+    longer fits a broadcast: fail loudly and name the alternative (join
+    the exploded positions against the dup-gram set on the gram key)
+    rather than silently collecting.
+    """
+    import ray
+
+    from de_ray.dataops.decontam import _batch_ngrams
+    from de_ray.functions.agg import adaptive_grouped_sum
+    from de_ray.state.broadcast import get_broadcast
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = np.asarray(
+            batch.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        vals, offsets = _batch_ngrams(texts, n)
+        doc_rep = np.repeat(ids, np.diff(offsets))
+        if len(vals):
+            order = np.lexsort((vals, doc_rep))
+            sv, sd = vals[order], doc_rep[order]
+            bound = np.empty(len(sv), dtype=bool)
+            bound[0] = True
+            bound[1:] = (sv[1:] != sv[:-1]) | (sd[1:] != sd[:-1])
+            grams = sv[bound]
+        else:
+            grams = np.empty(0, dtype=np.uint64)
+        g63 = (grams & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "gram": pa.array(g63, pa.int64()),
+                "ndocs": pa.array(np.ones(len(g63), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    counts = adaptive_grouped_sum(
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=4096),
+        "gram",
+        "ndocs",
+    )
+    dup = counts.filter(expr="ndocs >= 2").select_columns(["gram"]).materialize()
+    n_dup = dup.count()
+    if n_dup > broadcast_limit:
+        raise ValueError(
+            f"{n_dup} duplicated {n}-grams exceed broadcast_limit="
+            f"{broadcast_limit}; switch to the distributed path (join the "
+            "exploded (gram, doc, position) rows against the dup-gram set "
+            "on the gram key) for this corpus."
+        )
+    arr = np.sort(dup.to_pandas()["gram"].to_numpy(dtype=np.int64))
+    ref = ray.put(arr)
+
+    def scrub(batch: pa.Table) -> pd.DataFrame:
+        dup_grams = get_broadcast(ref)
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        vals, offsets = _batch_ngrams(texts, n)
+        v63 = (vals & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        if len(dup_grams) and len(v63):
+            pos = np.searchsorted(dup_grams, v63)
+            pos[pos == len(dup_grams)] = 0
+            hit = dup_grams[pos] == v63
+        else:
+            hit = np.zeros(len(v63), dtype=bool)
+
+        tok_lists = [t.split() for t in texts]
+        L = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(texts))
+        total = int(L.sum())
+        flat = np.empty(total, dtype=object)
+        p = 0
+        for tl in tok_lists:
+            flat[p : p + len(tl)] = tl
+            p += len(tl)
+        tok0 = np.concatenate([[0], np.cumsum(L)])
+        W = np.diff(offsets)  # windows per doc
+        win0 = offsets[:-1]
+        cs = np.concatenate([[0], np.cumsum(hit)])
+
+        doc_of_tok = np.repeat(np.arange(len(texts)), L)
+        local = np.arange(total) - tok0[doc_of_tok]
+        Wd = W[doc_of_tok]
+        a = np.maximum(local - n + 1, 0) + win0[doc_of_tok]
+        b = np.minimum(local, Wd - 1) + win0[doc_of_tok]
+        valid = Wd > 0
+        covered = np.zeros(total, dtype=bool)
+        if total:
+            covered[valid] = (cs[b[valid] + 1] - cs[a[valid]]) > 0
+
+        kept = ~covered
+        clean = (
+            pd.Series(flat[kept])
+            .groupby(doc_of_tok[kept])
+            .agg(" ".join)
+            .reindex(np.arange(len(texts)), fill_value="")
+            .to_numpy()
+        )
+        removed = np.bincount(doc_of_tok[covered], minlength=len(texts))
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "clean_text": clean,
+                "n_removed": removed.astype("int64"),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow", batch_size=4096)

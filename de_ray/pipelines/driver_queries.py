@@ -1601,6 +1601,37 @@ SQL_DUP_SPANS = (
 )
 
 
+def q_remove_dup_spans(sf_dir: str):
+    """Exact substring dedup TRANSFORM (Lee-et-al remove step at window
+    granularity): tokens covered by a cross-document duplicated 8-gram are
+    deleted; output is the rebuilt text + removal count per doc."""
+    from de_ray.dataops.dedup import remove_dup_spans
+
+    return remove_dup_spans(_docs(sf_dir, ["doc_id", "text"]), n=8)
+
+
+SQL_REMOVE_DUP_SPANS = (
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "grams AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g "
+    "FROM toks, unnest(generate_series(1, len(t)-7)) AS s(i)), "
+    "dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2), "
+    "cov AS (SELECT DISTINCT h.doc_id, c.p FROM (SELECT grams.doc_id, grams.i "
+    "FROM grams JOIN dup USING (g)) h, "
+    "unnest(generate_series(h.i, h.i + 7)) AS c(p)), "
+    "tok AS (SELECT toks.doc_id, x.p, t[x.p] AS w FROM toks, "
+    "unnest(generate_series(1, len(t))) AS x(p)), "
+    "kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok LEFT JOIN cov "
+    "ON cov.doc_id = tok.doc_id AND cov.p = tok.p WHERE cov.p IS NULL) "
+    "SELECT toks.doc_id, "
+    "coalesce((SELECT string_agg(k.w, ' ' ORDER BY k.p) FROM kept k "
+    "WHERE k.doc_id = toks.doc_id), '') AS clean_text, "
+    "len(t) - (SELECT count(*) FROM kept k WHERE k.doc_id = toks.doc_id) "
+    "AS n_removed FROM toks"
+)
+
+
 def q_curate_corpus(sf_dir: str):
     """End-to-end curation composition: quality filter → decontaminate
     (docs 0-49 are the held-out set) → exact dedup → LM score fitted on
@@ -2676,6 +2707,7 @@ REGISTRY = {
     "ivf_topk_exact": (q_ivf_topk_exact, SQL_IVF_TOPK_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dup_ngram_spans": (q_dup_spans, SQL_DUP_SPANS),
+    "remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
     "minhash_dup_property": (q_minhash_dup_property, SQL_MINHASH_DUP_PROPERTY),
     "semdedup_property": (q_semdedup_property, SQL_SEMDEDUP_PROPERTY),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),

@@ -646,3 +646,37 @@ def test_semdedup_removes_planted_near_dups():
         rd.from_arrow(tbl).repartition(5), nlist=4, threshold=0.99, group_limit=0
     ).to_pandas()
     assert set(out2["vec_id"]) == kept
+
+
+def test_remove_dup_spans_hand_case():
+    from de_ray.dataops.dedup import remove_dup_spans
+
+    import pandas as pd
+
+    shared = "one two three four"  # the 4-gram duplicated across docs 1 and 2
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"alpha beta {shared} gamma",
+                f"start {shared} end tail",
+                "unrelated words only here now",
+            ],
+        }
+    )
+    out = (
+        remove_dup_spans(rd.from_pandas(rows), n=4)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # docs 1/2: exactly the shared window's 4 tokens are removed
+    assert out.loc[1, "clean_text"] == "alpha beta gamma"
+    assert out.loc[1, "n_removed"] == 4
+    assert out.loc[2, "clean_text"] == "start end tail"
+    assert out.loc[2, "n_removed"] == 4
+    # doc 3 untouched
+    assert out.loc[3, "clean_text"] == rows.loc[2, "text"]
+    assert out.loc[3, "n_removed"] == 0
+    # broadcast_limit guard fails loudly
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        remove_dup_spans(rd.from_pandas(rows), n=4, broadcast_limit=0)
