@@ -150,3 +150,47 @@ def connected_components(
         lambda df: df.rename(columns={"node": node_col, "label": label_col}),
         batch_format="pandas",
     )
+
+
+def triangle_count(
+    edges: rd.Dataset,
+    node_a: str = "a",
+    node_b: str = "b",
+) -> int:
+    """Exact triangle count of an undirected simple graph. Edges are
+    canonicalized to ``a < b`` and deduplicated, so every triangle
+    ``a < b < c`` is counted exactly once: wedge generation is one
+    size-adaptive equi-join (edges ⋈ edges on the middle node), closure
+    testing one broadcast semi-join of the wedge's (a, c) key against the
+    edge set — the standard two-round distributed algorithm; no step
+    collects the graph to the driver."""
+    import pandas as pd
+
+    from de_ray.dataops.joins import equi_join, semi_join
+    from de_ray.functions.agg import adaptive_distinct
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df[node_a], df[node_b]
+        out = pd.DataFrame({"a": a.where(a < b, b), "b": b.where(a < b, a)})
+        return out[out["a"] != out["b"]]
+
+    e = adaptive_distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"]
+    ).materialize()
+
+    right = e.map_batches(
+        lambda df: df.rename(columns={"a": "b", "b": "c"}), batch_format="pandas"
+    )
+    wedges = equi_join(e, right, on_left="b", on_right="b")
+
+    def key(df: pd.DataFrame, x: str, y: str) -> pd.Series:
+        return df[x].astype(str) + "\x1f" + df[y].astype(str)
+
+    wk = wedges.map_batches(
+        lambda df: pd.DataFrame({"k": key(df, "a", "c")}), batch_format="pandas"
+    )
+    ek = e.map_batches(
+        lambda df: pd.DataFrame({"k": key(df, "a", "b")}), batch_format="pandas"
+    )
+    closed = semi_join(wk, ek, on_left="k", on_right="k")
+    return closed.count()

@@ -351,3 +351,45 @@ def grouped_corr(
         "r": np.round(r, round_to),
     })
     return rd.from_pandas(out)
+
+
+def value_histogram(
+    ds: rd.Dataset,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> rd.Dataset:
+    """Exact fixed-width histogram: ``bin = clamp(floor((x − lo)/width),
+    0, bins−1)`` (out-of-range values land in the edge bins; NULLs are
+    dropped). One vectorized bincount per batch — the shuffle carries at
+    most ``bins`` rows per block; the final is a tiny grouped sum. Output
+    rows ``(bin, bin_lo, n)`` for non-empty bins, matching an ANSI-SQL
+    replay of the identical float64 arithmetic."""
+    import pandas as pd
+
+    if bins < 1 or not hi > lo:
+        raise ValueError(f"need bins >= 1 and hi > lo, got {bins}, [{lo}, {hi})")
+    width = (hi - lo) / bins
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].dropna().to_numpy(dtype=np.float64)
+        b = np.clip(np.floor((v - lo) / width), 0, bins - 1).astype(np.int64)
+        c = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(c)
+        return pd.DataFrame({"bin": nz, "n": c[nz]})
+
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas", batch_size=256 * 1024
+    )
+    out = adaptive_grouped_sum(parts, "bin", "n")
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bin", kind="mergesort")
+        df["bin_lo"] = lo + df["bin"].to_numpy(dtype=np.float64) * width
+        df["n"] = df["n"].astype("int64")
+        return df[["bin", "bin_lo", "n"]]
+
+    return out.map_batches(edges, batch_format="pandas")

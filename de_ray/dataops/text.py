@@ -620,3 +620,69 @@ def corpus_report(ds, text_col: str = "text", strata_col: str = "lang"):
             }
         ]
     )
+
+
+def top_pmi_bigrams(
+    ds,
+    text_col: str = "text",
+    k: int = 25,
+    min_count: int = 5,
+):
+    """Collocation mining: top-k adjacent-token bigrams by pointwise
+    mutual information ``ln((c_ab/N_bi) / ((c_a/N_uni)·(c_b/N_uni)))``
+    among bigrams with count ≥ ``min_count``. Two combiner-first counting
+    passes (bigrams, unigrams) — only distinct (pair, count) partials
+    shuffle; the PMI formula runs on the ≥min_count survivors (a small
+    set by construction) with the same float64 op order the SQL oracle
+    uses; ties break on the pair. Output: (a, b, n, pmi)."""
+    import pandas as pd
+
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    def bi_partial(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t.column(text_col), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t)), lens)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        if len(flat) < 2:
+            return pd.DataFrame({"a": [], "b": [], "n": []})
+        same = doc_idx[1:] == doc_idx[:-1]
+        return (
+            pd.DataFrame({"a": flat[:-1][same], "b": flat[1:][same]})
+            .groupby(["a", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    bi = adaptive_grouped_sum(
+        ds.map_batches(bi_partial, batch_format="pyarrow", batch_size=32 * 1024),
+        ["a", "b"],
+        "n",
+    ).materialize()
+    uni = term_frequencies(ds, text_col=text_col).materialize()
+    n_uni = int(uni.sum("n"))
+    n_bi = int(bi.sum("n"))
+
+    cand = bi.filter(expr=f"n >= {min_count}").to_pandas()
+    # prune the (possibly huge) vocabulary to the candidate terms BEFORE
+    # collecting — the survivor set is small by the min_count cut
+    terms = sorted(set(cand["a"]) | set(cand["b"]))
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["w"].isin(terms)]
+
+    udf = (
+        uni.map_batches(prune, batch_format="pandas")
+        .to_pandas()
+        .rename(columns={"n": "cn"})
+    )
+    m = cand.merge(udf.rename(columns={"w": "a", "cn": "ca"}), on="a").merge(
+        udf.rename(columns={"w": "b", "cn": "cb"}), on="b"
+    )
+    m["pmi"] = np.round(
+        np.log((m["n"] / n_bi) / ((m["ca"] / n_uni) * (m["cb"] / n_uni))), 6
+    )
+    m = m.sort_values(["pmi", "a", "b"], ascending=[False, True, True], kind="mergesort")
+    return m[["a", "b", "n", "pmi"]].head(k).reset_index(drop=True)

@@ -2089,6 +2089,83 @@ SQL_INCREMENTAL_DEDUP = (
 )
 
 
+def q_value_histogram(sf_dir: str):
+    """Exact fixed-width histogram of event values (20 bins over [0, 20);
+    out-of-range clamps to the edge bins). One bincount per block."""
+    from de_ray.dataops.stats import value_histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return value_histogram(ds, "value", lo=0.0, hi=20.0, bins=20)
+
+
+SQL_VALUE_HISTOGRAM = (
+    "WITH b AS (SELECT CAST(least(greatest(floor((value - 0.0) / 1.0), 0), 19) "
+    "AS BIGINT) AS bin FROM events WHERE value IS NOT NULL) "
+    "SELECT bin, 0.0 + bin * 1.0 AS bin_lo, count(*) AS n FROM b GROUP BY bin"
+)
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Collocation mining: top-25 adjacent bigrams by PMI among those with
+    count ≥ 5 (two combiner counting passes; vocabulary pruned to the
+    survivors before the driver-side formula)."""
+    from de_ray.dataops.text import top_pmi_bigrams
+
+    return top_pmi_bigrams(_docs(sf_dir, ["text"]), k=25, min_count=5)
+
+
+SQL_PMI_BIGRAMS = (
+    f"WITH {_TOKS_CTE}, "
+    "bi AS (SELECT t[i] AS a, t[i+1] AS b, count(*) AS n FROM "
+    "(SELECT ws AS t FROM toks) s, unnest(generate_series(1, len(t)-1)) g(i) "
+    "GROUP BY 1, 2), "
+    "uni AS (SELECT w, count(*) AS cn FROM toks, unnest(ws) u(w) GROUP BY w), "
+    "tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM bi) AS NB, "
+    "(SELECT CAST(sum(cn) AS BIGINT) FROM uni) AS NU) "
+    "SELECT bi.a, bi.b, bi.n, round(ln((bi.n / tot.NB) / "
+    "((ua.cn / tot.NU) * (ub.cn / tot.NU))), 6) AS pmi "
+    "FROM bi JOIN uni ua ON ua.w = bi.a JOIN uni ub ON ub.w = bi.b, tot "
+    "WHERE bi.n >= 5 ORDER BY pmi DESC, bi.a, bi.b LIMIT 25"
+)
+
+
+def q_entity_triangles(sf_dir: str):
+    """Entity co-occurrence triangles: entities are connected when they
+    co-occur in a document; triangles counted once per a<b<c via one
+    wedge join + one closure semi-join. Single-row output."""
+    from de_ray.dataops.graph import triangle_count
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    mentions = q_kg_mentions(sf_dir)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in df.groupby("subj", sort=False):
+            ents = np.unique(grp["obj"].to_numpy())
+            if len(ents) > 1:
+                ii, jj = np.triu_indices(len(ents), k=1)
+                out_a.append(ents[ii])
+                out_b.append(ents[jj])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=str), "b": pd.Series([], dtype=str)})
+        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+
+    edges = adaptive_grouped_apply(mentions, "subj", pairs)
+    n = triangle_count(edges)
+    return pd.DataFrame([{"triangles": np.int64(n)}])
+
+
+SQL_ENTITY_TRIANGLES = (
+    f"WITH {_TOKS_CTE}, "
+    f"m AS (SELECT DISTINCT '{DOC}'||doc_id AS subj, '{ENT}'||w AS obj "
+    f"FROM toks, unnest(ws) AS t(w) WHERE w NOT IN ({_STOP_SQL})), "
+    "e AS (SELECT DISTINCT m1.obj AS a, m2.obj AS b FROM m m1 "
+    "JOIN m m2 ON m1.subj = m2.subj AND m1.obj < m2.obj) "
+    "SELECT count(*) AS triangles FROM e e1 "
+    "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
+)
+
+
 def q_funnel_steps(sf_dir: str):
     """Ordered funnel on first occurrences (view → click → purchase):
     combiner min-ts per (user, step), bucket-vectorized per-user resolve,
@@ -2719,6 +2796,9 @@ REGISTRY = {
     "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
+    "entity_triangles": (q_entity_triangles, SQL_ENTITY_TRIANGLES),
     "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
     "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),

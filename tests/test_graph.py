@@ -93,3 +93,32 @@ def test_funnel_counts_hand_case():
     assert out[1] == 3  # u1, u2, u3 viewed
     assert out[2] == 2  # u1 and u3 clicked after first view
     assert out[3] == 1  # only u1 purchased after the click
+
+
+def test_triangle_count_hand_graph():
+    from de_ray.dataops.graph import triangle_count
+
+    # K4 on {1,2,3,4} has 4 triangles; edge (5,6) adds none; duplicate and
+    # reversed edges must not double-count
+    edges = pd.DataFrame(
+        {
+            "a": [1, 1, 1, 2, 2, 3, 5, 3, 2],
+            "b": [2, 3, 4, 3, 4, 4, 6, 1, 1],
+        }
+    )
+    assert triangle_count(rd.from_pandas(edges)) == 4
+
+
+def test_value_histogram_edges():
+    from de_ray.dataops.stats import value_histogram
+
+    df = pd.DataFrame({"v": [-5.0, 0.0, 0.99, 1.0, 9.99, 10.0, 25.0, None]})
+    out = (
+        value_histogram(rd.from_pandas(df), "v", lo=0.0, hi=10.0, bins=10)
+        .to_pandas()
+        .set_index("bin")["n"]
+    )
+    assert out[0] == 3  # -5 clamps in, 0.0 and 0.99 fall in bin 0
+    assert out[1] == 1
+    assert out[9] == 3  # 9.99 + 10.0 and 25.0 clamp to the last bin
+    assert out.sum() == 7  # the NULL is dropped
