@@ -686,3 +686,20 @@ def top_pmi_bigrams(
     )
     m = m.sort_values(["pmi", "a", "b"], ascending=[False, True, True], kind="mergesort")
     return m[["a", "b", "n", "pmi"]].head(k).reset_index(drop=True)
+
+
+# BPE-ish pretokenizer (GPT-2-style split classes, RE2-safe: no lookahead —
+# pyarrow and DuckDB both run RE2, so the oracle counts the SAME matches):
+# optional-space word | optional-space number | optional-space punct run |
+# whitespace run.
+BPE_SPLIT_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count_batch(
+    batch: pa.Table, text_col: str = "text", out_col: str = "n_bpe_tokens"
+) -> pa.Table:
+    """Sub-word-ish token count: matches of the BPE pretokenizer split
+    regex (the cost model LLM pipelines budget with, vs whitespace words).
+    One vectorized RE2 pass per batch."""
+    n = pc.count_substring_regex(batch.column(text_col), pattern=BPE_SPLIT_RE)
+    return batch.append_column(out_col, n.cast(pa.int64()))

@@ -2089,6 +2089,29 @@ SQL_INCREMENTAL_DEDUP = (
 )
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """BPE-ish pretokenizer token counts (the whitespace counter's
+    sub-word sibling): one vectorized RE2 pass; DuckDB counts the same
+    RE2 matches."""
+    from de_ray.dataops.text import bpe_token_count_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bpe_token_count_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def _sql_bpe_token_counts() -> str:
+    from de_ray.dataops.text import BPE_SPLIT_RE
+
+    return (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        f"'{BPE_SPLIT_RE}')) AS BIGINT) AS n_bpe_tokens FROM documents"
+    )
+
+
+SQL_BPE_TOKEN_COUNTS = _sql_bpe_token_counts()
+
+
 def q_value_histogram(sf_dir: str):
     """Exact fixed-width histogram of event values (20 bins over [0, 20);
     out-of-range clamps to the edge bins). One bincount per block."""
@@ -2797,6 +2820,7 @@ REGISTRY = {
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "entity_triangles": (q_entity_triangles, SQL_ENTITY_TRIANGLES),
     "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
