@@ -2089,6 +2089,38 @@ SQL_INCREMENTAL_DEDUP = (
 )
 
 
+def q_lang_vocab_size(sf_dir: str):
+    """Exact distinct-token count per language: per-batch DISTINCT
+    (lang, token) combiner (only each block's unique pairs shuffle),
+    exact distinct, then a tiny grouped count."""
+    from de_ray.functions.agg import adaptive_distinct
+
+    def explode(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(t.column("text"), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        rep = np.repeat(langs, lens)
+        keep = flat != ""
+        df = pd.DataFrame({"lang": rep[keep], "w": flat[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = _docs(sf_dir, ["lang", "text"]).map_batches(
+        explode, batch_format="pyarrow", batch_size=32 * 1024
+    )
+    distinct = adaptive_distinct(pairs, ["lang", "w"])
+    return grouped_count(distinct, ["lang"], alias="vocab")
+
+
+SQL_LANG_VOCAB_SIZE = (
+    f"WITH {_TOKS_CTE} SELECT lang, count(DISTINCT w) AS vocab "
+    "FROM toks, unnest(ws) AS u(w) GROUP BY lang"
+)
+
+
 def q_bpe_token_counts(sf_dir: str):
     """BPE-ish pretokenizer token counts (the whitespace counter's
     sub-word sibling): one vectorized RE2 pass; DuckDB counts the same
@@ -2821,6 +2853,7 @@ REGISTRY = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
+    "lang_vocab_size": (q_lang_vocab_size, SQL_LANG_VOCAB_SIZE),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "entity_triangles": (q_entity_triangles, SQL_ENTITY_TRIANGLES),
     "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
