@@ -2221,6 +2221,54 @@ SQL_ENTITY_TRIANGLES = (
 )
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Classic retention matrix: users grouped by first-active day
+    (cohort), counted per day-offset of later activity. Combiner-first
+    throughout: distinct (user, day) pairs per block, bucket-vectorized
+    per-user first-day resolve, one size-adaptive join back, tiny
+    (cohort, offset) count final."""
+    from de_ray.dataops.joins import equi_join
+    from de_ray.functions.agg import adaptive_distinct, adaptive_grouped_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def days(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "day": df["ts"].dt.floor("D")}
+        ).drop_duplicates()
+
+    a = adaptive_distinct(
+        ev.map_batches(days, batch_format="pandas"), ["user_id", "day"]
+    )
+
+    def first_day(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False)["day"].min().rename(
+            columns={"day": "d0"}
+        )
+
+    f = adaptive_grouped_apply(a, "user_id", first_day)
+    j = equi_join(a, f, on_left="user_id", on_right="user_id")
+
+    def offsets(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cohort_day": df["d0"],
+                "day_offset": (df["day"] - df["d0"]).dt.days.astype("int64"),
+            }
+        )
+
+    pairs = j.map_batches(offsets, batch_format="pandas")
+    return grouped_count(pairs, ["cohort_day", "day_offset"], alias="users")
+
+
+SQL_RETENTION_COHORTS = (
+    "WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), "
+    "f AS (SELECT user_id, min(day) AS d0 FROM a GROUP BY user_id) "
+    "SELECT f.d0 AS cohort_day, date_diff('day', f.d0, a.day) AS day_offset, "
+    "count(*) AS users FROM a JOIN f USING (user_id) GROUP BY 1, 2"
+)
+
+
 def q_funnel_steps(sf_dir: str):
     """Ordered funnel on first occurrences (view → click → purchase):
     combiner min-ts per (user, step), bucket-vectorized per-user resolve,
@@ -2850,6 +2898,7 @@ REGISTRY = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
