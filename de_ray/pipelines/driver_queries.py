@@ -1003,6 +1003,29 @@ SQL_SPARQL_MENTIONS = (
 )
 
 
+def q_sparql_construct(sf_dir: str):
+    """CONSTRUCT form: derive a new graph (mentions of English docs
+    rewritten to a de:cites predicate) — vectorized template application,
+    distinct triples out."""
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    triples = _doc_triples(sf_dir, linked=False)
+    q = parse_query(
+        f"CONSTRUCT {{ ?d <{DE}cites> ?e }} WHERE "
+        f'{{ ?d <{DE}mentions> ?e . ?d <{DE}lang> "en" }}'
+    )
+    return evaluate(q, DatasetSource(triples)).ds
+
+
+SQL_SPARQL_CONSTRUCT = (
+    f"WITH {_TOKS_CTE} SELECT DISTINCT '{DOC}'||doc_id AS subj, "
+    f"'{DE}cites' AS pred, '{ENT}'||w AS obj "
+    f"FROM toks, unnest(ws) AS t(w) WHERE w NOT IN ({_STOP_SQL}) "
+    "AND lang = 'en'"
+)
+
+
 def q_sparql_arith(sf_dir: str):
     """Round-2 SPARQL surface: arithmetic in BIND + FILTER (spareval parity,
     reference src/sparql.rs:511-521)."""
@@ -2221,6 +2244,23 @@ SQL_ENTITY_TRIANGLES = (
 )
 
 
+def q_pack_conservation(sf_dir: str):
+    """Token-conservation oracle for the GPT-style packer (upgrades the
+    rows-only pack_chunks evidence): the summed chunk sizes must equal the
+    corpus's exact non-empty-token count, which SQL computes directly."""
+    from de_ray.dataops.pack import pack_token_chunks
+
+    chunks = pack_token_chunks(_docs(sf_dir, ["doc_id", "text"]), max_tokens=512)
+    total = int(chunks.sum("n_tokens"))
+    return pd.DataFrame([{"total_tokens": np.int64(total)}])
+
+
+SQL_PACK_CONSERVATION = (
+    f"WITH {_TOKS_CTE} "
+    "SELECT CAST(sum(len(ws)) AS BIGINT) AS total_tokens FROM toks"
+)
+
+
 def q_retention_cohorts(sf_dir: str):
     """Classic retention matrix: users grouped by first-active day
     (cohort), counted per day-offset of later activity. Combiner-first
@@ -2825,6 +2865,7 @@ REGISTRY = {
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "kg_header_stats": (q_kg_header_stats, SQL_KG_HEADER_STATS),
     "sparql_mentions": (q_sparql_mentions, SQL_SPARQL_MENTIONS),
+    "sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
     "sparql_arith": (q_sparql_arith, SQL_SPARQL_ARITH),
     "sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
     "sparql_negpath": (q_sparql_negpath, SQL_SPARQL_NEGPATH),
@@ -2899,6 +2940,7 @@ REGISTRY = {
     "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "pack_conservation": (q_pack_conservation, SQL_PACK_CONSERVATION),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
