@@ -1026,6 +1026,52 @@ SQL_SPARQL_CONSTRUCT = (
 )
 
 
+def q_sparql_ask(sf_dir: str):
+    """ASK form: boolean existence probe, surfaced as a one-row frame so
+    the driver compare can hash it; the oracle runs the same EXISTS."""
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    triples = _doc_triples(sf_dir, linked=False)
+    hit = evaluate(
+        parse_query(f"ASK {{ ?d <{DE}mentions> <{ENT}merge> }}"),
+        DatasetSource(triples),
+    )
+    miss = evaluate(
+        parse_query(f"ASK {{ ?d <{DE}mentions> <{ENT}nosuchtoken> }}"),
+        DatasetSource(triples),
+    )
+    return pd.DataFrame(
+        [{"ask_hit": bool(hit.value), "ask_miss": bool(miss.value)}]
+    )
+
+
+SQL_SPARQL_ASK = (
+    f"WITH {_TOKS_CTE} SELECT "
+    "EXISTS(SELECT 1 FROM toks, unnest(ws) AS t(w) WHERE w = 'merge') AS ask_hit, "
+    "EXISTS(SELECT 1 FROM toks, unnest(ws) AS t(w) WHERE w = 'nosuchtoken') "
+    "AS ask_miss"
+)
+
+
+def q_sparql_describe(sf_dir: str):
+    """DESCRIBE form: every triple about one document IRI."""
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    triples = _doc_triples(sf_dir, linked=False)
+    res = evaluate(
+        parse_query(f"DESCRIBE <{DOC}7>"), DatasetSource(triples)
+    )
+    return res.ds
+
+
+SQL_SPARQL_DESCRIBE = (
+    _tr_cte(linked=False)
+    + f" SELECT DISTINCT subj, pred, obj FROM tr WHERE subj = '{DOC}7'"
+)
+
+
 def q_sparql_arith(sf_dir: str):
     """Round-2 SPARQL surface: arithmetic in BIND + FILTER (spareval parity,
     reference src/sparql.rs:511-521)."""
@@ -2866,6 +2912,8 @@ REGISTRY = {
     "kg_header_stats": (q_kg_header_stats, SQL_KG_HEADER_STATS),
     "sparql_mentions": (q_sparql_mentions, SQL_SPARQL_MENTIONS),
     "sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
+    "sparql_ask": (q_sparql_ask, SQL_SPARQL_ASK),
+    "sparql_describe": (q_sparql_describe, SQL_SPARQL_DESCRIBE),
     "sparql_arith": (q_sparql_arith, SQL_SPARQL_ARITH),
     "sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
     "sparql_negpath": (q_sparql_negpath, SQL_SPARQL_NEGPATH),
