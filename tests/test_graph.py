@@ -35,6 +35,10 @@ def test_pagerank_matches_dense_replay():
     assert len(got) == len(want)
     for _, row in got.iterrows():
         assert row["rank"] == pytest.approx(want[row["v"]], abs=2e-6)
+    # forced distributed path must agree with the driver fast path
+    dist = pagerank(rd.from_pandas(edges), iterations=3, driver_limit=0).to_pandas()
+    for _, row in dist.iterrows():
+        assert row["rank"] == pytest.approx(want[row["v"]], abs=2e-6)
 
 
 def test_pagerank_dangling_and_sources():
