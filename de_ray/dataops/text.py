@@ -665,27 +665,41 @@ def top_pmi_bigrams(
     n_uni = int(uni.sum("n"))
     n_bi = int(bi.sum("n"))
 
-    cand = bi.filter(expr=f"n >= {min_count}").to_pandas()
-    # prune the (possibly huge) vocabulary to the candidate terms BEFORE
-    # collecting — the survivor set is small by the min_count cut
-    terms = sorted(set(cand["a"]) | set(cand["b"]))
+    # scale shape: the ≥min_count candidates and the vocabulary both stay
+    # Datasets — two size-adaptive joins attach the unigram counts, the
+    # PMI formula runs per batch, and only k rows per block reach the
+    # driver (partial top-k), never the candidate set itself
+    from de_ray.dataops.joins import equi_join
 
-    def prune(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["w"].isin(terms)]
+    cand = bi.filter(expr=f"n >= {min_count}")
+    ca = uni.map_batches(
+        lambda df: df.rename(columns={"w": "a", "n": "ca"}), batch_format="pandas"
+    )
+    cb = uni.map_batches(
+        lambda df: df.rename(columns={"w": "b", "n": "cb"}), batch_format="pandas"
+    )
+    joined = equi_join(
+        equi_join(cand, ca, on_left="a", on_right="a"), cb, on_left="b", on_right="b"
+    )
 
-    udf = (
-        uni.map_batches(prune, batch_format="pandas")
-        .to_pandas()
-        .rename(columns={"n": "cn"})
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            pmi=np.round(
+                np.log(
+                    (df["n"] / n_bi) / ((df["ca"] / n_uni) * (df["cb"] / n_uni))
+                ),
+                6,
+            )
+        )
+        return df.sort_values(
+            ["pmi", "a", "b"], ascending=[False, True, True], kind="mergesort"
+        )[["a", "b", "n", "pmi"]].head(k)
+
+    parts = joined.map_batches(score_topk, batch_format="pandas").to_pandas()
+    out = parts.sort_values(
+        ["pmi", "a", "b"], ascending=[False, True, True], kind="mergesort"
     )
-    m = cand.merge(udf.rename(columns={"w": "a", "cn": "ca"}), on="a").merge(
-        udf.rename(columns={"w": "b", "cn": "cb"}), on="b"
-    )
-    m["pmi"] = np.round(
-        np.log((m["n"] / n_bi) / ((m["ca"] / n_uni) * (m["cb"] / n_uni))), 6
-    )
-    m = m.sort_values(["pmi", "a", "b"], ascending=[False, True, True], kind="mergesort")
-    return m[["a", "b", "n", "pmi"]].head(k).reset_index(drop=True)
+    return out.head(k).reset_index(drop=True)
 
 
 # BPE-ish pretokenizer (GPT-2-style split classes, RE2-safe: no lookahead —
