@@ -184,13 +184,16 @@ def triangle_count(
     node_a: str = "a",
     node_b: str = "b",
 ) -> int:
-    """Exact triangle count of an undirected simple graph. Edges are
-    canonicalized to ``a < b`` and deduplicated, so every triangle
-    ``a < b < c`` is counted exactly once: wedge generation is one
-    size-adaptive equi-join (edges ⋈ edges on the middle node), closure
-    testing one broadcast semi-join of the wedge's (a, c) key against the
-    edge set — the standard two-round distributed algorithm; no step
-    collects the graph to the driver."""
+    """Exact triangle count of an undirected simple graph — the standard
+    two-round distributed algorithm with DEGREE ORIENTATION for hub
+    safety: every edge is directed toward its higher-(degree, id)
+    endpoint, so each node's out-degree is O(√m) regardless of hubs and
+    the wedge join (edges ⋈ edges on the middle node = each wedge's
+    minimum-order vertex) cannot explode on a celebrity node. Each
+    triangle is generated exactly once, at its minimum vertex; closure
+    testing is one semi-join of the wedge's outer pair (ordered by the
+    same total order) against the oriented edge set. No step collects the
+    graph to the driver."""
     import pandas as pd
 
     from de_ray.dataops.joins import equi_join, semi_join
@@ -205,19 +208,55 @@ def triangle_count(
         edges.map_batches(canon, batch_format="pandas"), ["a", "b"]
     ).materialize()
 
-    right = e.map_batches(
-        lambda df: df.rename(columns={"a": "b", "b": "c"}), batch_format="pandas"
+    # degree per node over the canonical edge set
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = pd.concat([df["a"], df["b"]], ignore_index=True)
+        return v.value_counts().rename_axis("v").reset_index(name="d")
+
+    deg = adaptive_grouped_sum(
+        e.map_batches(deg_partial, batch_format="pandas"), "v", "d"
     )
-    wedges = equi_join(e, right, on_left="b", on_right="b")
+
+    # orient toward the higher-(degree, id) endpoint
+    da = deg.map_batches(
+        lambda df: df.rename(columns={"v": "a", "d": "da"}), batch_format="pandas"
+    )
+    db = deg.map_batches(
+        lambda df: df.rename(columns={"v": "b", "d": "db"}), batch_format="pandas"
+    )
+    ed = equi_join(
+        equi_join(e, da, on_left="a", on_right="a"), db, on_left="b", on_right="b"
+    )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = (df["da"] < df["db"]) | ((df["da"] == df["db"]) & (df["a"] < df["b"]))
+        lo = df["a"].where(fwd, df["b"])
+        hi = df["b"].where(fwd, df["a"])
+        dlo = df["da"].where(fwd, df["db"])
+        dhi = df["db"].where(fwd, df["da"])
+        return pd.DataFrame({"u": lo, "v": hi, "du": dlo, "dv": dhi})
+
+    o = ed.map_batches(orient, batch_format="pandas").materialize()
+
+    # wedges at the minimum-order vertex: join u's out-edges pairwise,
+    # keeping the outer pair ordered by the same (degree, id) order
+    right = o.map_batches(
+        lambda df: df.rename(columns={"u": "u", "v": "w", "du": "du2", "dv": "dw"}),
+        batch_format="pandas",
+    )
+    wedges = equi_join(o, right, on_left="u", on_right="u")
 
     def key(df: pd.DataFrame, x: str, y: str) -> pd.Series:
         return df[x].astype(str) + "\x1f" + df[y].astype(str)
 
-    wk = wedges.map_batches(
-        lambda df: pd.DataFrame({"k": key(df, "a", "c")}), batch_format="pandas"
-    )
-    ek = e.map_batches(
-        lambda df: pd.DataFrame({"k": key(df, "a", "b")}), batch_format="pandas"
+    def wedge_keys(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["dv"] < df["dw"]) | ((df["dv"] == df["dw"]) & (df["v"] < df["w"]))
+        d = df[keep]
+        return pd.DataFrame({"k": key(d, "v", "w")})
+
+    wk = wedges.map_batches(wedge_keys, batch_format="pandas")
+    ek = o.map_batches(
+        lambda df: pd.DataFrame({"k": key(df, "u", "v")}), batch_format="pandas"
     )
     closed = semi_join(wk, ek, on_left="k", on_right="k")
     return closed.count()
