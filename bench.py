@@ -235,6 +235,10 @@ def run_bench() -> dict:
         "funnel_steps",
         "semdedup_property",
         "chunk_windows",
+        "remove_dup_spans",
+        "pmi_bigrams",
+        "retention_cohorts",
+        "incremental_dedup",
     ]
     q_trials = int(os.environ.get("GRAFT_QUERY_TRIALS", "2"))
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":
