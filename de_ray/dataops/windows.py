@@ -204,3 +204,54 @@ def funnel_counts(
     import ray.data as rd
 
     return rd.from_pandas(merge(per_bucket.to_pandas()))
+
+
+def event_transitions(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    k: int | None = None,
+):
+    """Markov-style transition counts over per-user event sequences:
+    order each user's events by (ts, tiebreak), count consecutive
+    (from_type → to_type) pairs corpus-wide, optionally return the top-k
+    by count (ties on the pair). The deterministic tiebreak column makes
+    the sequence — and therefore the counts — partitioning-independent.
+
+    Scale shape: complete user groups resolve in bucket-vectorized kernels
+    (``adaptive_grouped_apply``) that emit per-bucket PAIR COUNTS, not
+    pairs — the merge sums |type|² rows per bucket; no global sort."""
+    import pandas as pd
+
+    from de_ray.functions.agg import adaptive_grouped_apply, adaptive_grouped_sum
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        srt = df.sort_values([user_col, ts_col, tiebreak_col], kind="mergesort")
+        same = srt[user_col].to_numpy()[1:] == srt[user_col].to_numpy()[:-1]
+        a = srt[type_col].to_numpy()[:-1][same]
+        b = srt[type_col].to_numpy()[1:][same]
+        out = (
+            pd.DataFrame({"a": a, "b": b})
+            .groupby(["a", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out
+
+    cols = [user_col, ts_col, type_col, tiebreak_col]
+    per_bucket = adaptive_grouped_apply(ds.select_columns(cols), user_col, kernel)
+    counts = adaptive_grouped_sum(per_bucket, ["a", "b"], "n")
+
+    def as_int(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype("int64")
+        return df
+
+    counts = counts.map_batches(as_int, batch_format="pandas")
+    if k is None:
+        return counts
+    head = counts.to_pandas().sort_values(
+        ["n", "a", "b"], ascending=[False, True, True], kind="mergesort"
+    )
+    return head.head(k).reset_index(drop=True)

@@ -2307,6 +2307,27 @@ SQL_PACK_CONSERVATION = (
 )
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event sequences, top-15
+    pairs (bucket-vectorized per-user ordering; only per-bucket pair
+    COUNTS shuffle)."""
+    from de_ray.dataops.windows import event_transitions
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return event_transitions(ds, k=15)
+
+
+SQL_EVENT_TRANSITIONS = (
+    "WITH o AS (SELECT user_id, event_type, lead(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+    "SELECT event_type AS a, nxt AS b, count(*) AS n FROM o "
+    "WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 15"
+)
+
+
 def q_retention_cohorts(sf_dir: str):
     """Classic retention matrix: users grouped by first-active day
     (cohort), counted per day-offset of later activity. Combiner-first
@@ -2988,6 +3009,7 @@ REGISTRY = {
     "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "pack_conservation": (q_pack_conservation, SQL_PACK_CONSERVATION),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
