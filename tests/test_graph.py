@@ -126,3 +126,30 @@ def test_value_histogram_edges():
     assert out[1] == 1
     assert out[9] == 3  # 9.99 + 10.0 and 25.0 clamp to the last bin
     assert out.sum() == 7  # the NULL is dropped
+
+
+def test_event_transitions_hand_case():
+    from de_ray.dataops.windows import event_transitions
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+                    "2024-01-01 00:30", "2024-01-01 00:45",
+                    "2024-01-01 05:00",
+                ]
+            ),
+            "event_type": ["view", "click", "view", "view", "click", "view"],
+            "event_id": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    ds = rd.from_pandas(rows)
+    out = event_transitions(ds, k=10)
+    got = {(r["a"], r["b"]): r["n"] for _, r in out.iterrows()}
+    # u1: view->click, click->view; u2: view->click; u3 has no pair
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
+    # partitioning invariance
+    out2 = event_transitions(ds.repartition(4), k=10)
+    assert {(r["a"], r["b"]): r["n"] for _, r in out2.iterrows()} == got
