@@ -70,6 +70,14 @@ from de_ray.query.parser import (
 BROADCAST_ROWS = 1_000_000
 PATH_PAIR_LIMIT = 10_000_000
 
+# Set-semantics hint: True while evaluating a query whose final DISTINCT
+# provably erases solution multiplicity (SELECT DISTINCT / ASK / CONSTRUCT
+# / DESCRIBE with no aggregates or subselects anywhere). Path sequence
+# joins then dedup per batch, so a hub-heavy `p/^p` never materializes its
+# multiset fan-out (measured at sf0.1: 419M raw route rows collapse to
+# 12.5M distinct pairs — the raw form spills the object store).
+_SET_SEMANTICS = False
+
 
 # ---------------------------------------------------------------------------
 # Triple sources
@@ -248,6 +256,20 @@ def _path_pairs_ds(path, source) -> rd.Dataset:
             out = out.union(d)
         return out
     if isinstance(path, PathSeq):
+        # under set semantics (outer DISTINCT/ASK/CONSTRUCT erases route
+        # multiplicity) dedup each join's output PER BATCH: a hub-heavy
+        # `p/^p` multiplies |docs-per-hub|² route rows that the final
+        # DISTINCT would discard anyway — measured 419M raw vs 12.5M
+        # distinct at sf0.1, the raw form spilling the object store
+        set_sem = _SET_SEMANTICS
+
+        def project(cols):
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                out = df[cols]
+                return out.drop_duplicates() if set_sem else out
+
+            return fn
+
         cur = _path_pairs_ds(path.parts[0], source)
         for nxt_path in path.parts[1:]:
             nxt = _path_pairs_ds(nxt_path, source).map_batches(
@@ -260,9 +282,7 @@ def _path_pairs_ds(path, source) -> rd.Dataset:
             )
             # size-adaptive join on the midpoint
             lv, ljoined = _join_bindings((["ps", "pm"], cur), (["pm", "po"], nxt))
-            cur = ljoined.map_batches(
-                lambda df: df[["ps", "po"]], batch_format="pandas"
-            )
+            cur = ljoined.map_batches(project(["ps", "po"]), batch_format="pandas")
         return cur
     if isinstance(path, PathClosure):
         return _closure_pairs(path, source)
@@ -508,6 +528,15 @@ def _join_bindings(a: Bindings, b: Bindings) -> Bindings:
     if n_small <= BROADCAST_ROWS:
         small_vars = vars_a if small is ds_a else vars_b
         small_df = _with_columns(small.to_pandas(), small_vars)
+        # a large probe side in a handful of blocks would run the merge —
+        # and any fan-out explosion it produces — in ONE task (measured:
+        # a 110k×110k co-mention join, 12.5M output rows, 20+ min on one
+        # core at sf0.1); split it to the join width first so every core
+        # probes its slice against the broadcast table
+        n_big = max(na, nb)
+        nparts = _join_partitions()
+        if n_big > 65536 and big.num_blocks() < nparts:
+            big = big.repartition(nparts)
         joined = _broadcast_merge(big, small_df, on=shared)
     else:
         joined = big.join(
@@ -1506,7 +1535,12 @@ def _eval_group(g: GroupPattern, source) -> Bindings:
             nxt = _eval_service(payload)
             cur = nxt if cur is None else _join_bindings(cur, nxt)
         elif kind == "subselect":
-            res = evaluate(payload, source)
+            global _SET_SEMANTICS
+            outer_flag = _SET_SEMANTICS
+            try:
+                res = evaluate(payload, source)
+            finally:
+                _SET_SEMANTICS = outer_flag  # inner query must not leak its hint
             nxt = (res.variables, res.ds)
             cur = nxt if cur is None else _join_bindings(cur, nxt)
         elif kind == "bind":
@@ -2118,9 +2152,35 @@ def _apply_dataset_clause(q: Query, source):
     return scoped
 
 
+def _query_is_set_semantic(q: Query) -> bool:
+    """True when the query's result provably ignores solution multiplicity:
+    ASK/CONSTRUCT/DESCRIBE, or SELECT DISTINCT — with no aggregates and no
+    subselect anywhere (a nested SELECT may aggregate over multiplicity)."""
+    if q.aggregates or q.group_by:
+        return False
+    if q.form == "SELECT" and not q.distinct:
+        return False
+
+    def has_subselect(g) -> bool:
+        for kind, payload in g.elements:
+            if kind == "subselect":
+                return True
+            if kind in ("group", "optional", "minus") and has_subselect(payload):
+                return True
+            if kind == "union" and any(has_subselect(a) for a in payload):
+                return True
+            if kind == "graph" and has_subselect(payload[1]):
+                return True
+        return False
+
+    return not has_subselect(q.where)
+
+
 def evaluate(q: Query, source):
     """Evaluate a parsed query against a TripleSource."""
+    global _SET_SEMANTICS
     _rewrite_agg_refs(q)
+    _SET_SEMANTICS = _query_is_set_semantic(q)
     source = _apply_dataset_clause(q, source)
     fast = _try_id_groupby_fastpath(q, source)
     if fast is None:
