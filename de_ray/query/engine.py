@@ -2013,8 +2013,8 @@ def _try_id_distinct_fastpath(q: Query, source):
     elif q.variables:
         sel = [v.name for v in q.variables]
     else:
-        sel = list(var_col)
-    if any(n not in var_col for n in sel):
+        sel = [n for n in var_col if not n.startswith("__b")]
+    if not sel or any(n not in var_col for n in sel):
         return None
     store = source.store
     extra = _order_extra_cols(q, sel, list(var_col))
@@ -2206,7 +2206,9 @@ def evaluate(q: Query, source):
         elif q.variables:
             sel = [v.name for v in q.variables]
         else:
-            sel = vars_out
+            # SELECT *: blank-node pattern vars (__b*) are existential —
+            # never projected (SPARQL 1.1 §4.1.4)
+            sel = [n for n in vars_out if not n.startswith("__b")]
         extra = _order_extra_cols(q, sel, vars_out)
         ds = _align_columns(ds, vars_out, sel + extra)
         if q.distinct:
@@ -2220,15 +2222,36 @@ def evaluate(q: Query, source):
 
         def build(df: pd.DataFrame) -> pd.DataFrame:
             # vectorized template application: one column-select/broadcast
-            # per template slot, rows with any unbound slot dropped
+            # per template slot, rows with any unbound slot dropped.
+            # Template blank nodes (hidden __b* vars with no binding) mint a
+            # FRESH bnode per distinct solution (SPARQL 1.1 §16.2.1): label =
+            # slot id + solution hash, so identical solutions in different
+            # batches agree and the final triple-distinct dedups them.
             frames = []
+            sol_hash = None
             for pat in template:
                 cols = {}
                 for name, t in (("subj", pat.s), ("pred", pat.p), ("obj", pat.o)):
-                    if isinstance(t, Var):
-                        cols[name] = df[t.name] if t.name in df.columns else pd.Series(
-                            [None] * len(df), index=df.index
+                    if isinstance(t, Var) and t.name in df.columns:
+                        cols[name] = df[t.name]
+                    elif isinstance(t, Var) and t.name.startswith("__b"):
+                        import numpy as np
+
+                        if sol_hash is None:
+                            sol_hash = (
+                                pd.util.hash_pandas_object(df, index=False)
+                                .to_numpy()
+                                .astype("uint64")
+                            )
+                        cols[name] = pd.Series(
+                            np.char.add(
+                                f"_:c{t.name[3:]}x",
+                                np.char.mod("%x", sol_hash),
+                            ),
+                            index=df.index,
                         )
+                    elif isinstance(t, Var):
+                        cols[name] = pd.Series([None] * len(df), index=df.index)
                     else:
                         cols[name] = pd.Series([t] * len(df), index=df.index)
                 frames.append(pd.DataFrame(cols).dropna())

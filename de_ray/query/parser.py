@@ -221,7 +221,7 @@ _TOK = re.compile(
   | (?P<langtag>@[a-zA-Z][a-zA-Z0-9-]*)
   | (?P<dtype>\^\^)
   | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<op><=|>=|!=|&&|\|\||[=<>!(){};,.*+/|?^-])
+  | (?P<op><=|>=|!=|&&|\|\||[=<>!(){};,.*+/|?^\[\]-])
   | (?P<pname>[A-Za-z_][\w-]*)?:(?P<local>[\w.\-%]*)
   | (?P<word>[A-Za-z_][\w-]*)
   | (?P<ws>\s+)
@@ -313,11 +313,26 @@ class _T:
 class Parser:
     def __init__(self) -> None:
         self.prefixes: dict[str, str] = {}
+        # blank nodes in patterns are existential variables (SPARQL 1.1
+        # §4.1.4): same label → same hidden var, scoped to one parse; the
+        # "__b" prefix keeps them out of SELECT * projections
+        self._bn_n = 0
+        self._bn_map: dict[str, Var] = {}
 
     def parse(self, text: str) -> Query:
+        self._bn_n = 0
+        self._bn_map = {}
         tk = _T(text)
         q = self._parse_query(tk)
         return q
+
+    def _bnode_var(self, label: Optional[str] = None) -> Var:
+        if label is not None:
+            if label not in self._bn_map:
+                self._bn_map[label] = Var(f"__b_{label}")
+            return self._bn_map[label]
+        self._bn_n += 1
+        return Var(f"__banon{self._bn_n}")
 
     def _parse_query(self, tk: _T, subquery: bool = False) -> Query:
         while True:
@@ -534,11 +549,26 @@ class Parser:
                 tk.next()
 
     def _triples_same_subject(self, tk: _T, g: GroupPattern) -> None:
-        s = self._term(tk)
+        s = self._term(tk, sink=g)
+        # TriplesNode subjects ([ props ] / collections) may stand alone:
+        # grammar allows an empty PropertyList after them (§19.8 [75])
+        k, v = tk.peek()
+        if (
+            isinstance(s, Var)
+            and s.name.startswith("__b")
+            and v in (".", "}", None)
+        ):
+            return
+        self._property_list(tk, s, g)
+
+    def _property_list(self, tk: _T, s: PatTerm, g: GroupPattern) -> None:
+        """``p o (, o)* (; p o ...)*`` with subject ``s``, stopping at
+        ``.`` ``}`` ``]`` — shared by top-level triples and ``[...]``
+        blank-node property lists."""
         while True:
             p = self._path(tk)
             while True:
-                o = self._term(tk)
+                o = self._term(tk, sink=g)
                 g._add_triple(TriplePattern(s, p, o))
                 k, v = tk.peek()
                 if v == ",":
@@ -549,7 +579,7 @@ class Parser:
             if v == ";":
                 tk.next()
                 k2, v2 = tk.peek()
-                if v2 in (".", "}", ";"):
+                if v2 in (".", "}", ";", "]"):
                     return
                 continue
             return
@@ -659,13 +689,51 @@ class Parser:
             return RDF + "type"
         raise ValueError(f"bad negated-property-set member {v!r}")
 
-    def _term(self, tk: _T, predicate: bool = False) -> PatTerm:
+    def _term(
+        self, tk: _T, predicate: bool = False, sink: Optional[GroupPattern] = None
+    ) -> PatTerm:
+        k0, v0 = tk.peek()
+        if v0 == "[" and not predicate:
+            # [ ] anonymous blank node / [ p o ; ... ] property list —
+            # expands to a hidden existential var + extra triples in `sink`
+            tk.next()
+            if sink is None:
+                raise ValueError("blank node [...] not allowed in this position")
+            b = self._bnode_var()
+            if tk.peek()[1] == "]":
+                tk.next()
+                return b
+            self._property_list(tk, b, sink)
+            tk.expect("]")
+            return b
+        if v0 == "(" and sink is not None and not predicate:
+            # RDF collection ( e1 e2 ... ) → rdf:first/rdf:rest chain of
+            # hidden blank vars; () is rdf:nil
+            tk.next()
+            if tk.peek()[1] == ")":
+                tk.next()
+                return RDF + "nil"
+            elems: List[PatTerm] = []
+            while tk.peek()[1] != ")":
+                elems.append(self._term(tk, sink=sink))
+            tk.next()
+            nodes = [self._bnode_var() for _ in elems]
+            for i, (n, e) in enumerate(zip(nodes, elems)):
+                sink._add_triple(TriplePattern(n, RDF + "first", e))
+                rest: PatTerm = nodes[i + 1] if i + 1 < len(nodes) else RDF + "nil"
+                sink._add_triple(TriplePattern(n, RDF + "rest", rest))
+            return nodes[0]
         k, v = tk.next()
         if k == "var":
             return Var(v[1:])
         if k == "iri":
             return v[1:-1]
         if k == "pname":
+            if v.startswith("_:"):
+                # labeled blank node: existential var scoped to the query
+                if sink is None:
+                    raise ValueError(f"blank node {v!r} not allowed in this position")
+                return self._bnode_var(v[2:])
             pfx, _, local = v.partition(":")
             if pfx not in self.prefixes:
                 raise ValueError(f"undefined prefix {pfx!r}")
