@@ -123,6 +123,13 @@ def main(argv=None) -> int:
     )
     v = sub.add_parser("view", help="show store header/metadata")
     v.add_argument("target")
+    m = sub.add_parser(
+        "merge",
+        help="catenate finished stores (HDTCat-style; extension — the "
+        "reference re-parses everything instead)",
+    )
+    m.add_argument("-o", "--output", required=True)
+    m.add_argument("-d", "--data", nargs="+", required=True, help="input store dirs")
     s = sub.add_parser("serve", help="SPARQL protocol + graph store HTTP endpoint")
     s.add_argument("-l", "--load", required=True, help="directory of stores/.hdt files")
     s.add_argument("--bind", default="127.0.0.1:7878")
@@ -134,6 +141,12 @@ def main(argv=None) -> int:
             do_query(args.data, args.source, args.output)
         elif args.cmd == "view":
             do_view(args.target)
+        elif args.cmd == "merge":
+            _ensure_ray()
+            from de_ray.hdt.merge import merge_stores
+
+            hdr = merge_stores(args.data, args.output)
+            print(f"merged {len(args.data)} stores: {hdr['void:triples']} triples")
         elif args.cmd == "serve":
             _ensure_ray()
             from de_ray.serve import serve as _serve

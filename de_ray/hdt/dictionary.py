@@ -343,10 +343,22 @@ def _driver_final_dictionary(roles: rd.Dataset) -> DictionaryBuild:
     # shared-memory on a node, so ray.get of Arrow refs is near-zero-copy
     # and parallel — measurably cheaper than the iter_batches stream (which
     # re-batches and deserializes through the iterator machinery)
-    tbl = pa.concat_tables(
-        [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-         for t in ray.get(roles.to_arrow_refs())]
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in ray.get(roles.to_arrow_refs())
+    ]
+    # Ray emits SCHEMA-LESS empty blocks from some operators (same quirk as
+    # _block_section_counts guards) — they poison concat_tables; drop them
+    parts = [t for t in parts if t.num_rows and t.schema.names]
+    empty = pa.table(
+        {
+            "term": pa.array([], pa.large_string()),
+            "is_subj": pa.array([], pa.int32()),
+            "is_pred": pa.array([], pa.int32()),
+            "is_obj": pa.array([], pa.int32()),
+        }
     )
+    tbl = pa.concat_tables(parts) if parts else empty
     return _final_from_table(tbl)
 
 

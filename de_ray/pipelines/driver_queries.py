@@ -137,6 +137,44 @@ def q_kg_triples(sf_dir: str):
 SQL_KG_TRIPLES = _tr_cte(linked=False) + " SELECT subj, pred, obj FROM tr"
 
 
+def q_kg_store_merge(sf_dir: str):
+    """Incremental KG construction (HDTCat-style, ``hdt/merge.py``): the
+    corpus split into two "crawls" by doc parity, each built into its own
+    finished store, then CATENATED — merged dictionary from the input
+    dictionaries, integer-LUT triple remap, one re-sort — without touching
+    the documents again. The decoded merged store must equal the one-shot
+    build, i.e. the distinct triple set of the whole corpus."""
+    import tempfile
+
+    from de_ray.hdt.merge import merge_stores
+    from de_ray.hdt.store import Store, write_store
+
+    tri = _doc_triples(sf_dir, linked=False)
+    L = len(DOC)
+
+    def split(df: pd.DataFrame, keep: int) -> pd.DataFrame:
+        return df[df["subj"].str[L:].astype("int64") % 2 == keep]
+
+    root = tempfile.mkdtemp(prefix="de_ray_kg_merge_")
+    write_store(
+        tri.map_batches(lambda df: split(df, 0), batch_format="pandas"),
+        f"{root}/even",
+    )
+    write_store(
+        tri.map_batches(lambda df: split(df, 1), batch_format="pandas"),
+        f"{root}/odd",
+    )
+    merge_stores([f"{root}/even", f"{root}/odd"], f"{root}/merged")
+    return (
+        Store(f"{root}/merged")
+        .pattern_scan()
+        .map_batches(lambda t: t.select(["subj", "pred", "obj"]), batch_format="pyarrow")
+    )
+
+
+SQL_KG_STORE_MERGE = _tr_cte(linked=False) + " SELECT DISTINCT subj, pred, obj FROM tr"
+
+
 def q_kg_linked_triples(sf_dir: str):
     return _doc_triples(sf_dir, linked=True)
 
@@ -1115,6 +1153,33 @@ SQL_SPARQL_PATH = (
     f"unnest(ws) AS t(w) WHERE w NOT IN ({_STOP_SQL})) "
     f"SELECT DISTINCT '{DOC}'||x.doc_id AS a, '{DOC}'||y.doc_id AS b "
     f"FROM m x JOIN m y USING (w) WHERE '{DOC}'||x.doc_id < '{DOC}'||y.doc_id"
+)
+
+
+def q_sparql_bnode(sf_dir: str):
+    """SPARQL 1.1 blank-node property list (grammar [99]) + inverse path:
+    documents sharing a mentioned entity with doc 7, written as
+    ``?a de:mentions [ ^de:mentions <doc7> ]`` — the ``[...]`` expands to a
+    hidden existential var joined across both arcs (§4.1.4); never
+    projected by SELECT *. The reference parses this via spargebra
+    (src/sparql.rs:511-521)."""
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    triples = _doc_triples(sf_dir, linked=False)
+    q = parse_query(
+        f"SELECT DISTINCT ?a WHERE {{ "
+        f"?a <{DE}mentions> [ ^<{DE}mentions> <{DOC}7> ] "
+        f"FILTER(?a != <{DOC}7>) }}"
+    )
+    return evaluate(q, DatasetSource(triples)).ds
+
+
+SQL_SPARQL_BNODE = (
+    f"WITH {_TOKS_CTE}, m AS (SELECT DISTINCT doc_id, w FROM toks, "
+    f"unnest(ws) AS t(w) WHERE w NOT IN ({_STOP_SQL})) "
+    f"SELECT DISTINCT '{DOC}'||x.doc_id AS a "
+    f"FROM m x JOIN m y USING (w) WHERE y.doc_id = 7 AND x.doc_id <> 7"
 )
 
 
@@ -2931,12 +2996,14 @@ REGISTRY = {
     "pagerank_entities": (q_pagerank_entities, SQL_PAGERANK_ENTITIES),
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "kg_header_stats": (q_kg_header_stats, SQL_KG_HEADER_STATS),
+    "kg_store_merge": (q_kg_store_merge, SQL_KG_STORE_MERGE),
     "sparql_mentions": (q_sparql_mentions, SQL_SPARQL_MENTIONS),
     "sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
     "sparql_ask": (q_sparql_ask, SQL_SPARQL_ASK),
     "sparql_describe": (q_sparql_describe, SQL_SPARQL_DESCRIBE),
     "sparql_arith": (q_sparql_arith, SQL_SPARQL_ARITH),
     "sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
+    "sparql_bnode": (q_sparql_bnode, SQL_SPARQL_BNODE),
     "sparql_negpath": (q_sparql_negpath, SQL_SPARQL_NEGPATH),
     "sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),
     "sparql_datetime": (q_sparql_datetime, SQL_SPARQL_DATETIME),

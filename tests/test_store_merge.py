@@ -1,0 +1,94 @@
+"""Distributed store catenation (HDTCat-style, de_ray/hdt/merge.py):
+merging two finished stores must equal building one store from the union
+of their inputs — dictionary, header stats and decoded triples alike."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from de_ray.hdt.merge import merge_stores
+from de_ray.hdt.store import Store, write_store
+from de_ray.rdfio import read_rdf
+
+RES = "/root/reference/tests/resources"
+
+STAT_KEYS = (
+    "void:triples",
+    "void:properties",
+    "void:distinctSubjects",
+    "void:distinctObjects",
+    "numSharedSubjectObject",
+    "dictionarysizeStrings",
+    "originalSize",
+)
+
+
+def _decoded(path):
+    rows = Store(path).pattern_scan().take_all()
+    return sorted((r["subj"], r["pred"], r["obj"], r.get("graph", "")) for r in rows)
+
+
+def _dict_rows(path):
+    t = pq.read_table(f"{path}/dictionary", columns=["term", "section", "id"])
+    return sorted(zip(*[t.column(c).to_pylist() for c in ("term", "section", "id")]))
+
+
+@pytest.fixture(scope="module")
+def stores(tmp_path_factory, ray_session):
+    root = str(tmp_path_factory.mktemp("merge"))
+    write_store(read_rdf([f"{RES}/apple.ttl"]), f"{root}/a")
+    write_store(read_rdf([f"{RES}/banana.nt", f"{RES}/pineapple.ttl"]), f"{root}/b")
+    write_store(
+        read_rdf([f"{RES}/apple.ttl", f"{RES}/banana.nt", f"{RES}/pineapple.ttl"]),
+        f"{root}/direct",
+    )
+    return root
+
+
+def test_merge_equals_direct_build(stores):
+    hdr = merge_stores([f"{stores}/a", f"{stores}/b"], f"{stores}/m")
+    direct = Store(f"{stores}/direct").header
+    for k in STAT_KEYS:
+        assert hdr[k] == direct[k], k
+    assert _dict_rows(f"{stores}/m") == _dict_rows(f"{stores}/direct")
+    assert _decoded(f"{stores}/m") == _decoded(f"{stores}/direct")
+
+
+def test_merge_is_idempotent(stores):
+    """A ∪ A = A: cross-store duplicate (s,p,o,g) rows collapse in the
+    adjacent-equality dedup after the merged sort."""
+    merge_stores([f"{stores}/a", f"{stores}/a"], f"{stores}/aa")
+    assert _decoded(f"{stores}/aa") == _decoded(f"{stores}/a")
+    assert (
+        Store(f"{stores}/aa").header["void:triples"]
+        == Store(f"{stores}/a").header["void:triples"]
+    )
+
+
+def test_merge_distributed_remap_path(stores):
+    """lut_limit=0 forces the three-equi-join remap (the 10^12-doc path);
+    output must be identical to the broadcast-LUT path."""
+    merge_stores([f"{stores}/a", f"{stores}/b"], f"{stores}/mdist", lut_limit=0)
+    assert _decoded(f"{stores}/mdist") == _decoded(f"{stores}/direct")
+    assert _dict_rows(f"{stores}/mdist") == _dict_rows(f"{stores}/direct")
+
+
+def test_merge_promotes_section(stores, tmp_path):
+    """A term that is subject-only in one store and object-only in the
+    other must land in the SHARED section of the merged dictionary (the
+    role-union step HDTCat's dictionary merge performs)."""
+    import ray.data as rd
+
+    a = rd.from_items(
+        [{"subj": "http://x/s1", "pred": "http://x/p", "obj": '"v1"'}]
+    )
+    b = rd.from_items(
+        [{"subj": "http://x/s2", "pred": "http://x/p", "obj": "http://x/s1"}]
+    )
+    write_store(a, f"{tmp_path}/pa")
+    write_store(b, f"{tmp_path}/pb")
+    merge_stores([f"{tmp_path}/pa", f"{tmp_path}/pb"], f"{tmp_path}/pm")
+    hdr = Store(f"{tmp_path}/pm").header
+    assert hdr["numSharedSubjectObject"] == 1  # s1 promoted
+    assert hdr["void:triples"] == 2
+    rows = {r for r in map(tuple, ( (r["subj"], r["pred"], r["obj"]) for r in Store(f"{tmp_path}/pm").pattern_scan().take_all()))}
+    assert ("http://x/s2", "http://x/p", "http://x/s1") in rows
