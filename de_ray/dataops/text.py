@@ -178,6 +178,123 @@ def term_frequencies(ds, text_col: str = "text", top_k: int | None = None):
     return out
 
 
+def heavy_hitters(
+    ds,
+    text_col: str = "text",
+    k: int = 25,
+    capacity: int = 4096,
+    driver_limit: int = 2_000_000,
+):
+    """Exact top-k terms with BOUNDED per-block state (the 10^12-doc path
+    ``term_frequencies`` lacks: its combiner ships every block's full
+    vocabulary, so the merged key space is the whole corpus vocabulary).
+
+    Pass 1 keeps at most ``capacity`` counters per block — a Misra-Gries
+    summary (exact block counts decremented by the (capacity+1)-th
+    largest; summaries of this shape merge soundly by plain summation,
+    Agarwal et al., "Mergeable Summaries", PODS 2012) — so every term with
+    true count > N/capacity is guaranteed to survive as a candidate.
+    Pass 2 recounts ONLY the candidates exactly (one broadcast ``is_in``
+    filter per batch, grouped-sum combiner). The returned top-k is exact
+    whenever the k-th exact count clears the N/capacity bound; checked at
+    runtime and a loud ValueError (raise ``capacity``) otherwise —
+    never a silently-approximate answer."""
+    import ray
+
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t.column(text_col), pattern=" "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        words = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(counts.sum())
+        if len(counts) > capacity:
+            thr = np.partition(counts, -capacity - 1)[-capacity - 1]
+            adj = counts - thr
+            keep = adj > 0
+            words, counts = words.filter(pa.array(keep)), adj[keep]
+        # sentinel row (empty term — tokens are filtered non-empty, so no
+        # collision) carries the block's token total so the final can
+        # evaluate the N/capacity guarantee without another pass
+        return pa.table(
+            {
+                "w": pa.concat_arrays(
+                    [words.cast(pa.large_string()), pa.array([""], pa.large_string())]
+                ),
+                "n": pa.array(np.concatenate([counts, [total]]), pa.int64()),
+            }
+        )
+
+    part = ds.map_batches(
+        mg_partial, batch_format="pyarrow", batch_size=64 * 1024
+    ).materialize()
+    merged = adaptive_grouped_sum(part, "w", "n", limit=driver_limit).materialize()
+
+    _empty = pa.table(
+        {"w": pa.array([], pa.large_string()), "n": pa.array([], pa.int64())}
+    )
+
+    def _sel(t: pa.Table, sentinel: bool) -> pa.Table:
+        if t.num_rows == 0 or "w" not in t.schema.names:  # schema-less empties
+            return _empty
+        m = pc.equal(t.column("w"), "") if sentinel else pc.not_equal(t.column("w"), "")
+        return t.filter(m)
+
+    n_total = sum(
+        r["n"]
+        for r in merged.map_batches(
+            lambda t: _sel(t, True), batch_format="pyarrow"
+        ).take_all()
+    )
+    cand_tbl = pa.concat_tables(
+        [
+            tb if isinstance(tb, pa.Table) else pa.Table.from_batches([tb])
+            for tb in ray.get(
+                merged.map_batches(lambda t: _sel(t, False), batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            )
+        ]
+        or [_empty]
+    )
+    cand = pa.array(
+        cand_tbl.column("w").to_pylist(), pa.large_string()
+    )  # one plain Array for pc.is_in's value_set
+    cand_ref = ray.put(cand)
+
+    def recount(t: pa.Table, _ref=cand_ref) -> pa.Table:
+        cands = ray.get(_ref)
+        flat = pc.list_flatten(pc.split_pattern(t.column(text_col), pattern=" "))
+        flat = flat.filter(pc.is_in(flat, value_set=cands))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "w": vc.field("values").cast(pa.large_string()),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    exact = adaptive_grouped_sum(
+        ds.map_batches(recount, batch_format="pyarrow", batch_size=64 * 1024),
+        "w",
+        "n",
+        limit=driver_limit,
+    )
+    head = exact.sort(key=["n", "w"], descending=[True, False]).limit(k).take_all()
+    bound = n_total / capacity
+    if head and head[-1]["n"] <= bound:
+        raise ValueError(
+            f"heavy_hitters: k-th count {head[-1]['n']} does not clear the "
+            f"Misra-Gries guarantee N/capacity = {bound:.1f} — result would "
+            f"not be provably exact; raise capacity (= {capacity})"
+        )
+    import ray.data as _rd
+
+    return _rd.from_items(head) if head else exact.limit(0)
+
+
 def doc_frequencies(ds, id_col: str = "doc_id", text_col: str = "text"):
     """(term, df) — number of DOCS containing each term. Combiner shape:
     each batch counts its per-doc-unique terms vectorized, partials merge

@@ -2053,6 +2053,21 @@ SQL_TOP_TERMS = (
 )
 
 
+def q_heavy_hitter_terms(sf_dir: str):
+    """Bounded-memory exact top-25 terms: Misra-Gries candidate pass
+    (≤ capacity counters per block — the 10^12-doc path where the full
+    per-block vocabulary combiner of ``top_terms`` would not fit) + exact
+    recount of the candidates, runtime-checked against the N/capacity
+    guarantee. Same answer as ``top_terms``, different scaling shape."""
+    from de_ray.dataops.text import heavy_hitters
+
+    ds = _docs(sf_dir, columns=["text"])
+    return heavy_hitters(ds, k=25, capacity=2048)
+
+
+SQL_HEAVY_HITTERS = SQL_TOP_TERMS
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Top-3 TF-IDF terms per doc: global df vocabulary broadcast once,
     per-batch local scoring (zero shuffle in the scoring pass)."""
@@ -3089,6 +3104,7 @@ REGISTRY = {
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "lang_token_quantiles": (q_lang_token_quantiles, SQL_LANG_TOKEN_QUANTILES),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
+    "heavy_hitter_terms": (q_heavy_hitter_terms, SQL_HEAVY_HITTERS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "simhash_dup_property": (q_simhash_dup_property, SQL_SIMHASH_DUP_PROPERTY),
     # rows-only (non-SQL-expressible: model/sketch/stateful ops)
