@@ -159,6 +159,130 @@ def _read_id_triples(store_path: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(store_path, "triples"))
 
 
+def _pack_from_header(h: dict):
+    """PackSpec for a FINISHED store's ID widths (from its header) — the
+    diff packs both sides' keys into one int64 so the anti-join key is a
+    single integer column. None when the combined widths exceed 63 bits."""
+    from de_ray.hdt.triples import PackSpec
+
+    sb = int(h.get("void:distinctSubjects", 0)).bit_length()
+    pb = int(h.get("void:properties", 0)).bit_length()
+    ob = int(h.get("void:distinctObjects", 0)).bit_length()
+    gb = max(0, (len(h.get("graph_list", [])) - 1).bit_length())
+    if sb + pb + ob + gb > 63:
+        return None
+    return PackSpec(
+        s_shift=pb + ob + gb,
+        p_shift=ob + gb,
+        o_shift=gb,
+        p_mask=(1 << pb) - 1,
+        o_mask=(1 << ob) - 1,
+        g_mask=(1 << gb) - 1,
+    )
+
+
+def diff_stores(a_dir: str, b_dir: str, lut_limit: int = LUT_LIMIT) -> rd.Dataset:
+    """Triples of store A absent from store B, decoded — the snapshot
+    delta between two crawls' finished stores, computed WITHOUT decoding
+    either store's full triple set to strings.
+
+    B's integer triples are remapped into A's ID space through a per-space
+    (term → a_id) join over the two dictionaries (dictionary-scale work;
+    B terms absent from A's dictionary cannot match any A row and drop
+    out). Both sides then pack (s,p,o,g) into one int64 and a
+    size-adaptive distributed anti-join (broadcast key set below the
+    limit, hash-bucketed above — ``dataops/joins.py::anti_join``) keeps
+    the A rows with no B counterpart; only the surviving delta decodes.
+    """
+    import pyarrow.compute as pc
+
+    from de_ray.dataops.joins import anti_join
+
+    A, B = Store(a_dir), Store(b_dir)
+    pack = _pack_from_header(A.header)
+
+    a_frames = _space_frames(
+        pq.read_table(os.path.join(a_dir, "dictionary"), columns=["term", "section", "id"])
+    )
+    b_dict = pq.read_table(
+        os.path.join(b_dir, "dictionary"), columns=["term", "section", "id"]
+    )
+    b_frames = _space_frames(b_dict)
+    # per-space LUT: b_id → a_id, 0 = term not in A (row can't match)
+    luts = {}
+    for sp in ("s", "p", "o"):
+        j = b_frames[sp].merge(a_frames[sp], on="term", how="left", suffixes=("_b", "_a"))
+        size = int(j["id_b"].max()) + 1 if len(j) else 1
+        lut = np.zeros(size, dtype=np.int64)
+        hit = j["id_a"].notna()
+        lut[j["id_b"][hit].to_numpy(dtype=np.int64)] = j["id_a"][hit].to_numpy(
+            dtype=np.int64
+        )
+        luts[sp] = lut
+    a_graphs = {g: i for i, g in enumerate(A.header["graph_list"])}
+    g_lut = np.array(
+        [a_graphs.get(g, -1) for g in B.header["graph_list"]], dtype=np.int64
+    )
+    ref = ray.put((luts["s"], luts["p"], luts["o"], g_lut))
+
+    def pack_cols(tbl: pa.Table) -> pa.Table:
+        if pack is not None:
+            return _pack_table(tbl, pack)
+        # >63-bit fallback: composite string key (rare, wide-ID regime)
+        key = pc.binary_join_element_wise(
+            *(pc.cast(tbl.column(c), pa.large_string()) for c in ("s_id", "p_id", "o_id", "g_id")),
+            ":",
+        )
+        return tbl.append_column("spog", key)
+
+    def remap_b(tbl: pa.Table) -> pa.Table:
+        ls, lp, lo, lg = ray.get(ref)
+        s = ls[tbl.column("s_id").to_numpy(zero_copy_only=False)]
+        p = lp[tbl.column("p_id").to_numpy(zero_copy_only=False)]
+        o = lo[tbl.column("o_id").to_numpy(zero_copy_only=False)]
+        g = lg[tbl.column("g_id").to_numpy(zero_copy_only=False)]
+        keep = (s > 0) & (p > 0) & (o > 0) & (g >= 0)
+        out = pa.table(
+            {
+                "s_id": pa.array(s[keep]),
+                "p_id": pa.array(p[keep]),
+                "o_id": pa.array(o[keep]),
+                "g_id": pa.array(g[keep]),
+            }
+        )
+        return pack_cols(out)
+
+    a_keys = _read_id_triples(a_dir).map_batches(
+        lambda t: pack_cols(
+            pa.table({c: t.column(c) for c in ("s_id", "p_id", "o_id", "g_id")})
+        ),
+        batch_format="pyarrow",
+    )
+    b_keys = _read_id_triples(b_dir).map_batches(remap_b, batch_format="pyarrow")
+    if pack is not None:
+        # packed path: spog is the only column; carry it through the anti
+        # join then unpack back to ids for the decode
+        survivors = anti_join(a_keys, b_keys, on_left="spog", on_right="spog")
+
+        def unpack(t: pa.Table) -> pa.Table:
+            k = t.column("spog").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "s_id": pa.array(k >> pack.s_shift),
+                    "p_id": pa.array((k >> pack.p_shift) & pack.p_mask),
+                    "o_id": pa.array((k >> pack.o_shift) & pack.o_mask),
+                    "g_id": pa.array((k & pack.g_mask).astype(np.int32)),
+                }
+            )
+
+        ids = survivors.map_batches(unpack, batch_format="pyarrow")
+    else:
+        ids = anti_join(a_keys, b_keys, on_left="spog", on_right="spog").drop_columns(
+            ["spog"]
+        )
+    return A.decode(ids)
+
+
 def merge_stores(
     in_dirs: List[str],
     out_dir: str,

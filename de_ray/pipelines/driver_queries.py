@@ -175,6 +175,42 @@ def q_kg_store_merge(sf_dir: str):
 SQL_KG_STORE_MERGE = _tr_cte(linked=False) + " SELECT DISTINCT subj, pred, obj FROM tr"
 
 
+def q_kg_store_diff(sf_dir: str):
+    """Snapshot delta between two finished stores (``hdt/merge.py::
+    diff_stores``): full-corpus store minus the even-doc store = the
+    triple set exclusive to odd docs, computed by remapping the
+    subtrahend's INTEGER triples into the minuend's ID space (term-level
+    dictionary join) and one packed-key anti-join — neither store's full
+    triple set is ever decoded; only the surviving delta is."""
+    import tempfile
+
+    from de_ray.hdt.merge import diff_stores
+    from de_ray.hdt.store import write_store
+
+    tri = _doc_triples(sf_dir, linked=False)
+    L = len(DOC)
+
+    def even(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["subj"].str[L:].astype("int64") % 2 == 0]
+
+    root = tempfile.mkdtemp(prefix="de_ray_kg_diff_")
+    write_store(tri, f"{root}/full")
+    write_store(
+        tri.map_batches(even, batch_format="pandas"), f"{root}/even"
+    )
+    return diff_stores(f"{root}/full", f"{root}/even").map_batches(
+        lambda t: t.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+    )
+
+
+SQL_KG_STORE_DIFF = (
+    _tr_cte(linked=False)
+    + " SELECT DISTINCT subj, pred, obj FROM tr "
+    f"EXCEPT SELECT DISTINCT subj, pred, obj FROM tr "
+    f"WHERE CAST(substr(subj, {len(DOC) + 1}) AS BIGINT) % 2 = 0"
+)
+
+
 def q_kg_linked_triples(sf_dir: str):
     return _doc_triples(sf_dir, linked=True)
 
@@ -3012,6 +3048,7 @@ REGISTRY = {
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "kg_header_stats": (q_kg_header_stats, SQL_KG_HEADER_STATS),
     "kg_store_merge": (q_kg_store_merge, SQL_KG_STORE_MERGE),
+    "kg_store_diff": (q_kg_store_diff, SQL_KG_STORE_DIFF),
     "sparql_mentions": (q_sparql_mentions, SQL_SPARQL_MENTIONS),
     "sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
     "sparql_ask": (q_sparql_ask, SQL_SPARQL_ASK),

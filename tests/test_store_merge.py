@@ -72,6 +72,26 @@ def test_merge_distributed_remap_path(stores):
     assert _dict_rows(f"{stores}/mdist") == _dict_rows(f"{stores}/direct")
 
 
+def _decoded_ds(ds):
+    rows = ds.take_all()
+    return sorted((r["subj"], r["pred"], r["obj"], r.get("graph", "")) for r in rows)
+
+
+def test_diff_recovers_other_half(stores):
+    """direct \\ a = b (the fixtures are disjoint): the snapshot delta
+    computed purely on remapped integer keys matches b's decoded triples."""
+    from de_ray.hdt.merge import diff_stores
+
+    delta = _decoded_ds(diff_stores(f"{stores}/direct", f"{stores}/a"))
+    assert delta == _decoded(f"{stores}/b")
+
+
+def test_diff_self_is_empty(stores):
+    from de_ray.hdt.merge import diff_stores
+
+    assert diff_stores(f"{stores}/a", f"{stores}/a").count() == 0
+
+
 def test_merge_promotes_section(stores, tmp_path):
     """A term that is subject-only in one store and object-only in the
     other must land in the SHARED section of the merged dictionary (the
