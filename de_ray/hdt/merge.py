@@ -200,30 +200,10 @@ def diff_stores(a_dir: str, b_dir: str, lut_limit: int = LUT_LIMIT) -> rd.Datase
 
     A, B = Store(a_dir), Store(b_dir)
     pack = _pack_from_header(A.header)
-
-    a_frames = _space_frames(
-        pq.read_table(os.path.join(a_dir, "dictionary"), columns=["term", "section", "id"])
-    )
-    b_dict = pq.read_table(
-        os.path.join(b_dir, "dictionary"), columns=["term", "section", "id"]
-    )
-    b_frames = _space_frames(b_dict)
-    # per-space LUT: b_id → a_id, 0 = term not in A (row can't match)
-    luts = {}
-    for sp in ("s", "p", "o"):
-        j = b_frames[sp].merge(a_frames[sp], on="term", how="left", suffixes=("_b", "_a"))
-        size = int(j["id_b"].max()) + 1 if len(j) else 1
-        lut = np.zeros(size, dtype=np.int64)
-        hit = j["id_a"].notna()
-        lut[j["id_b"][hit].to_numpy(dtype=np.int64)] = j["id_a"][hit].to_numpy(
-            dtype=np.int64
-        )
-        luts[sp] = lut
     a_graphs = {g: i for i, g in enumerate(A.header["graph_list"])}
     g_lut = np.array(
         [a_graphs.get(g, -1) for g in B.header["graph_list"]], dtype=np.int64
     )
-    ref = ray.put((luts["s"], luts["p"], luts["o"], g_lut))
 
     def pack_cols(tbl: pa.Table) -> pa.Table:
         if pack is not None:
@@ -235,22 +215,119 @@ def diff_stores(a_dir: str, b_dir: str, lut_limit: int = LUT_LIMIT) -> rd.Datase
         )
         return tbl.append_column("spog", key)
 
-    def remap_b(tbl: pa.Table) -> pa.Table:
-        ls, lp, lo, lg = ray.get(ref)
-        s = ls[tbl.column("s_id").to_numpy(zero_copy_only=False)]
-        p = lp[tbl.column("p_id").to_numpy(zero_copy_only=False)]
-        o = lo[tbl.column("o_id").to_numpy(zero_copy_only=False)]
-        g = lg[tbl.column("g_id").to_numpy(zero_copy_only=False)]
-        keep = (s > 0) & (p > 0) & (o > 0) & (g >= 0)
-        out = pa.table(
-            {
-                "s_id": pa.array(s[keep]),
-                "p_id": pa.array(p[keep]),
-                "o_id": pa.array(o[keep]),
-                "g_id": pa.array(g[keep]),
-            }
+    n_terms_total = A._total_terms() + B._total_terms()
+    if n_terms_total <= lut_limit:
+        # per-space LUT: b_id → a_id, 0 = term not in A (row can't match)
+        a_frames = _space_frames(
+            pq.read_table(
+                os.path.join(a_dir, "dictionary"), columns=["term", "section", "id"]
+            )
         )
-        return pack_cols(out)
+        b_frames = _space_frames(
+            pq.read_table(
+                os.path.join(b_dir, "dictionary"), columns=["term", "section", "id"]
+            )
+        )
+        luts = {}
+        for sp in ("s", "p", "o"):
+            j = b_frames[sp].merge(
+                a_frames[sp], on="term", how="left", suffixes=("_b", "_a")
+            )
+            size = int(j["id_b"].max()) + 1 if len(j) else 1
+            lut = np.zeros(size, dtype=np.int64)
+            hit = j["id_a"].notna()
+            lut[j["id_b"][hit].to_numpy(dtype=np.int64)] = j["id_a"][hit].to_numpy(
+                dtype=np.int64
+            )
+            luts[sp] = lut
+        ref = ray.put((luts["s"], luts["p"], luts["o"], g_lut))
+
+        def remap_b(tbl: pa.Table) -> pa.Table:
+            ls, lp, lo, lg = ray.get(ref)
+            s = ls[tbl.column("s_id").to_numpy(zero_copy_only=False)]
+            p = lp[tbl.column("p_id").to_numpy(zero_copy_only=False)]
+            o = lo[tbl.column("o_id").to_numpy(zero_copy_only=False)]
+            g = lg[tbl.column("g_id").to_numpy(zero_copy_only=False)]
+            keep = (s > 0) & (p > 0) & (o > 0) & (g >= 0)
+            out = pa.table(
+                {
+                    "s_id": pa.array(s[keep]),
+                    "p_id": pa.array(p[keep]),
+                    "o_id": pa.array(o[keep]),
+                    "g_id": pa.array(g[keep]),
+                }
+            )
+            return pack_cols(out)
+
+        b_keys = _read_id_triples(b_dir).map_batches(remap_b, batch_format="pyarrow")
+    else:
+        # dictionaries too large for driver frames / a broadcast LUT: remap
+        # through three size-adaptive distributed equi-joins on the term key
+        # (inner joins drop B rows whose term is absent from A — those can
+        # never match an A triple). No driver-side dictionary state.
+        from de_ray.dataops.joins import equi_join
+
+        b_ids = _read_id_triples(b_dir)
+        for col, secs in (
+            ("s_id", (SECTION_SHARED, SECTION_SUBJECT)),
+            ("p_id", (SECTION_PREDICATE,)),
+            ("o_id", (SECTION_SHARED, SECTION_OBJECT)),
+        ):
+
+            def space_map(t_: pa.Table, _secs=secs) -> pa.Table:
+                import pyarrow.compute as _pc
+
+                mask = _pc.is_in(
+                    t_.column("section"),
+                    value_set=pa.array(list(_secs), t_.column("section").type),
+                )
+                f = t_.filter(mask)
+                return pa.table({"term": f.column("term"), "id": f.column("id")})
+
+            b_map = rd.read_parquet(
+                os.path.join(b_dir, "dictionary"), columns=["term", "section", "id"]
+            ).map_batches(space_map, batch_format="pyarrow")
+            a_map = (
+                rd.read_parquet(
+                    os.path.join(a_dir, "dictionary"),
+                    columns=["term", "section", "id"],
+                )
+                .map_batches(space_map, batch_format="pyarrow")
+                .map_batches(
+                    lambda t_: t_.rename_columns(["term", "a_id"]),
+                    batch_format="pyarrow",
+                )
+            )
+            id_map = equi_join(b_map, a_map, on_left="term", on_right="term").map_batches(
+                lambda t_, _c=col: pa.table(
+                    {_c: t_.column("id"), f"new_{_c}": t_.column("a_id")}
+                ),
+                batch_format="pyarrow",
+            )
+            b_ids = equi_join(b_ids, id_map, on_left=col, on_right=col).map_batches(
+                lambda t_, _c=col: pa.table(
+                    {
+                        c: t_.column(f"new_{c}" if c == _c else c)
+                        for c in ("s_id", "p_id", "o_id", "g_id")
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+
+        def remap_g_pack(tbl: pa.Table) -> pa.Table:
+            g = g_lut[tbl.column("g_id").to_numpy(zero_copy_only=False)]
+            keep = g >= 0
+            out = pa.table(
+                {
+                    "s_id": tbl.column("s_id").filter(pa.array(keep)),
+                    "p_id": tbl.column("p_id").filter(pa.array(keep)),
+                    "o_id": tbl.column("o_id").filter(pa.array(keep)),
+                    "g_id": pa.array(g[keep]),
+                }
+            )
+            return pack_cols(out)
+
+        b_keys = b_ids.map_batches(remap_g_pack, batch_format="pyarrow")
 
     a_keys = _read_id_triples(a_dir).map_batches(
         lambda t: pack_cols(
@@ -258,7 +335,6 @@ def diff_stores(a_dir: str, b_dir: str, lut_limit: int = LUT_LIMIT) -> rd.Datase
         ),
         batch_format="pyarrow",
     )
-    b_keys = _read_id_triples(b_dir).map_batches(remap_b, batch_format="pyarrow")
     if pack is not None:
         # packed path: spog is the only column; carry it through the anti
         # join then unpack back to ids for the decode

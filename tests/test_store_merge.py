@@ -92,6 +92,16 @@ def test_diff_self_is_empty(stores):
     assert diff_stores(f"{stores}/a", f"{stores}/a").count() == 0
 
 
+def test_diff_distributed_remap_path(stores):
+    """lut_limit=0 forces the equi-join dictionary remap; same delta."""
+    from de_ray.hdt.merge import diff_stores
+
+    delta = _decoded_ds(
+        diff_stores(f"{stores}/direct", f"{stores}/a", lut_limit=0)
+    )
+    assert delta == _decoded(f"{stores}/b")
+
+
 def test_merge_promotes_section(stores, tmp_path):
     """A term that is subject-only in one store and object-only in the
     other must land in the SHARED section of the merged dictionary (the
