@@ -239,6 +239,7 @@ def run_bench() -> dict:
         "pmi_bigrams",
         "retention_cohorts",
         "incremental_dedup",
+        "heavy_hitter_terms",
     ]
     q_trials = int(os.environ.get("GRAFT_QUERY_TRIALS", "2"))
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":
