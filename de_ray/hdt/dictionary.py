@@ -293,6 +293,10 @@ def _distributed_final(
     num_buckets = 64
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        if "term" not in df.columns:  # schema-less empty block (Ray quirk)
+            return pd.DataFrame(
+                columns=["term", "is_subj", "is_pred", "is_obj", "_b"]
+            )
         h = pd.util.hash_pandas_object(df["term"], index=False)
         return df.assign(_b=(h % num_buckets).astype("int64"))
 
