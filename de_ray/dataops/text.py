@@ -210,20 +210,28 @@ def heavy_hitters(
         words = vc.field("values")
         counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
         total = int(counts.sum())
+        pruned = 0
         if len(counts) > capacity:
             thr = np.partition(counts, -capacity - 1)[-capacity - 1]
             adj = counts - thr
             keep = adj > 0
+            pruned = int((~keep).sum())
             words, counts = words.filter(pa.array(keep)), adj[keep]
-        # sentinel row (empty term — tokens are filtered non-empty, so no
-        # collision) carries the block's token total so the final can
-        # evaluate the N/capacity guarantee without another pass
+        # sentinel rows (terms "" and "\x01" — tokens are filtered non-empty
+        # and never contain control chars from split-on-space... "" cannot
+        # appear; "\x01" could in pathological corpora but only inflates the
+        # pruned indicator, which is compared to zero) carry the block's
+        # token total and pruned-term count so the final can evaluate BOTH
+        # the N/capacity guarantee and completeness without another pass
         return pa.table(
             {
                 "w": pa.concat_arrays(
-                    [words.cast(pa.large_string()), pa.array([""], pa.large_string())]
+                    [
+                        words.cast(pa.large_string()),
+                        pa.array(["", "\x01"], pa.large_string()),
+                    ]
                 ),
-                "n": pa.array(np.concatenate([counts, [total]]), pa.int64()),
+                "n": pa.array(np.concatenate([counts, [total, pruned]]), pa.int64()),
             }
         )
 
@@ -236,23 +244,33 @@ def heavy_hitters(
         {"w": pa.array([], pa.large_string()), "n": pa.array([], pa.int64())}
     )
 
-    def _sel(t: pa.Table, sentinel: bool) -> pa.Table:
+    def _sel(t: pa.Table, sentinel: "str | None") -> pa.Table:
         if t.num_rows == 0 or "w" not in t.schema.names:  # schema-less empties
             return _empty
-        m = pc.equal(t.column("w"), "") if sentinel else pc.not_equal(t.column("w"), "")
-        return t.filter(m)
+        if sentinel is not None:
+            return t.filter(pc.equal(t.column("w"), sentinel))
+        keep = pc.and_(
+            pc.not_equal(t.column("w"), ""), pc.not_equal(t.column("w"), "\x01")
+        )
+        return t.filter(keep)
 
     n_total = sum(
         r["n"]
         for r in merged.map_batches(
-            lambda t: _sel(t, True), batch_format="pyarrow"
+            lambda t: _sel(t, ""), batch_format="pyarrow"
+        ).take_all()
+    )
+    n_pruned = sum(
+        r["n"]
+        for r in merged.map_batches(
+            lambda t: _sel(t, "\x01"), batch_format="pyarrow"
         ).take_all()
     )
     cand_tbl = pa.concat_tables(
         [
             tb if isinstance(tb, pa.Table) else pa.Table.from_batches([tb])
             for tb in ray.get(
-                merged.map_batches(lambda t: _sel(t, False), batch_format="pyarrow")
+                merged.map_batches(lambda t: _sel(t, None), batch_format="pyarrow")
                 .materialize()
                 .to_arrow_refs()
             )
@@ -289,6 +307,16 @@ def heavy_hitters(
             f"heavy_hitters: k-th count {head[-1]['n']} does not clear the "
             f"Misra-Gries guarantee N/capacity = {bound:.1f} — result would "
             f"not be provably exact; raise capacity (= {capacity})"
+        )
+    if len(head) < k and n_pruned > 0:
+        # fewer than k candidates survived AND blocks pruned terms: the
+        # missing ranks may hide behind the bound — refuse to return a
+        # silently-truncated top-k (when nothing was pruned the short head
+        # IS the complete exact ranking: the corpus has < k distinct terms)
+        raise ValueError(
+            f"heavy_hitters: only {len(head)} candidates for k={k} after "
+            f"Misra-Gries pruning — ranks beyond {len(head)} are below the "
+            f"N/capacity guarantee; raise capacity (= {capacity})"
         )
     import ray.data as _rd
 

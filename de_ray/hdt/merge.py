@@ -58,7 +58,7 @@ from de_ray.hdt.dictionary import (
     _driver_final_dictionary,
 )
 from de_ray.hdt.header import build_header
-from de_ray.hdt.store import Store, _length_luts, _write_front_coded
+from de_ray.hdt.store import Store, _dir_size, _length_luts, _write_front_coded
 from de_ray.hdt.triples import (
     _pack_table,
     finalize_write_sorted_blocks,
@@ -157,6 +157,56 @@ def _remap_luts(old_dict: pa.Table, merged_frames) -> dict:
 
 def _read_id_triples(store_path: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(store_path, "triples"))
+
+
+def _remap_ids_distributed(
+    tri: rd.Dataset, old_sections: rd.Dataset, new_sections: rd.Dataset
+) -> rd.Dataset:
+    """Remap a triples Dataset's s/p/o ids from ``old_sections``'s ID space
+    into ``new_sections``'s via three size-adaptive distributed equi-joins
+    on the term key — the no-driver-state path shared by ``merge_stores``
+    and ``diff_stores`` above their LUT limits. INNER joins: a triple whose
+    term is absent from the target dictionary drops out (only possible in
+    the diff direction; merge dictionaries are supersets by construction)."""
+    from de_ray.dataops.joins import equi_join
+
+    for col, secs in (
+        ("s_id", (SECTION_SHARED, SECTION_SUBJECT)),
+        ("p_id", (SECTION_PREDICATE,)),
+        ("o_id", (SECTION_SHARED, SECTION_OBJECT)),
+    ):
+
+        def space_map(t_: pa.Table, _secs=secs) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.is_in(
+                t_.column("section"),
+                value_set=pa.array(list(_secs), t_.column("section").type),
+            )
+            f = t_.filter(mask)
+            return pa.table({"term": f.column("term"), "id": f.column("id")})
+
+        old_map = old_sections.map_batches(space_map, batch_format="pyarrow")
+        new_map = new_sections.map_batches(space_map, batch_format="pyarrow").map_batches(
+            lambda t_: t_.rename_columns(["term", "new_id"]),
+            batch_format="pyarrow",
+        )
+        id_map = equi_join(old_map, new_map, on_left="term", on_right="term").map_batches(
+            lambda t_, _c=col: pa.table(
+                {_c: t_.column("id"), f"new_{_c}": t_.column("new_id")}
+            ),
+            batch_format="pyarrow",
+        )
+        tri = equi_join(tri, id_map, on_left=col, on_right=col).map_batches(
+            lambda t_, _c=col: pa.table(
+                {
+                    c: t_.column(f"new_{c}" if c == _c else c)
+                    for c in ("s_id", "p_id", "o_id", "g_id")
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    return tri
 
 
 def _pack_from_header(h: dict):
@@ -261,58 +311,18 @@ def diff_stores(a_dir: str, b_dir: str, lut_limit: int = LUT_LIMIT) -> rd.Datase
 
         b_keys = _read_id_triples(b_dir).map_batches(remap_b, batch_format="pyarrow")
     else:
-        # dictionaries too large for driver frames / a broadcast LUT: remap
-        # through three size-adaptive distributed equi-joins on the term key
-        # (inner joins drop B rows whose term is absent from A — those can
-        # never match an A triple). No driver-side dictionary state.
-        from de_ray.dataops.joins import equi_join
-
-        b_ids = _read_id_triples(b_dir)
-        for col, secs in (
-            ("s_id", (SECTION_SHARED, SECTION_SUBJECT)),
-            ("p_id", (SECTION_PREDICATE,)),
-            ("o_id", (SECTION_SHARED, SECTION_OBJECT)),
-        ):
-
-            def space_map(t_: pa.Table, _secs=secs) -> pa.Table:
-                import pyarrow.compute as _pc
-
-                mask = _pc.is_in(
-                    t_.column("section"),
-                    value_set=pa.array(list(_secs), t_.column("section").type),
-                )
-                f = t_.filter(mask)
-                return pa.table({"term": f.column("term"), "id": f.column("id")})
-
-            b_map = rd.read_parquet(
+        # dictionaries too large for driver frames / a broadcast LUT:
+        # shared distributed remap helper (inner joins drop B rows whose
+        # term is absent from A — those can never match an A triple)
+        b_ids = _remap_ids_distributed(
+            _read_id_triples(b_dir),
+            rd.read_parquet(
                 os.path.join(b_dir, "dictionary"), columns=["term", "section", "id"]
-            ).map_batches(space_map, batch_format="pyarrow")
-            a_map = (
-                rd.read_parquet(
-                    os.path.join(a_dir, "dictionary"),
-                    columns=["term", "section", "id"],
-                )
-                .map_batches(space_map, batch_format="pyarrow")
-                .map_batches(
-                    lambda t_: t_.rename_columns(["term", "a_id"]),
-                    batch_format="pyarrow",
-                )
-            )
-            id_map = equi_join(b_map, a_map, on_left="term", on_right="term").map_batches(
-                lambda t_, _c=col: pa.table(
-                    {_c: t_.column("id"), f"new_{_c}": t_.column("a_id")}
-                ),
-                batch_format="pyarrow",
-            )
-            b_ids = equi_join(b_ids, id_map, on_left=col, on_right=col).map_batches(
-                lambda t_, _c=col: pa.table(
-                    {
-                        c: t_.column(f"new_{c}" if c == _c else c)
-                        for c in ("s_id", "p_id", "o_id", "g_id")
-                    }
-                ),
-                batch_format="pyarrow",
-            )
+            ),
+            rd.read_parquet(
+                os.path.join(a_dir, "dictionary"), columns=["term", "section", "id"]
+            ),
+        )
 
         def remap_g_pack(tbl: pa.Table) -> pa.Table:
             g = g_lut[tbl.column("g_id").to_numpy(zero_copy_only=False)]
@@ -451,59 +461,19 @@ def merge_stores(
                 )
             )
     else:
-        # 10^12-doc path: remap via three size-adaptive distributed joins
-        # (broadcast below the joiner's own limit, hash join above); no
-        # driver-side dictionary state
-        from de_ray.dataops.joins import equi_join
-
+        # 10^12-doc path: shared distributed remap helper (broadcast below
+        # the joiner's own limit, hash join above); no driver-side
+        # dictionary state
         merged_sections = dict_build.sections
         for st in stores:
-            old_sec = rd.read_parquet(
-                os.path.join(st.path, "dictionary"),
-                columns=["term", "section", "id"],
+            tri = _remap_ids_distributed(
+                _read_id_triples(st.path),
+                rd.read_parquet(
+                    os.path.join(st.path, "dictionary"),
+                    columns=["term", "section", "id"],
+                ),
+                merged_sections,
             )
-            tri = _read_id_triples(st.path)
-            for col, secs in (
-                ("s_id", (SECTION_SHARED, SECTION_SUBJECT)),
-                ("p_id", (SECTION_PREDICATE,)),
-                ("o_id", (SECTION_SHARED, SECTION_OBJECT)),
-            ):
-
-                def space_map(t_: pa.Table, _secs=secs, _new=False) -> pa.Table:
-                    import pyarrow.compute as pc
-
-                    mask = pc.is_in(
-                        t_.column("section"),
-                        value_set=pa.array(list(_secs), t_.column("section").type),
-                    )
-                    f = t_.filter(mask)
-                    return pa.table({"term": f.column("term"), "id": f.column("id")})
-
-                old_map = old_sec.map_batches(space_map, batch_format="pyarrow")
-                new_map = merged_sections.map_batches(
-                    space_map, batch_format="pyarrow"
-                ).map_batches(
-                    lambda t_: t_.rename_columns(["term", "new_id"]),
-                    batch_format="pyarrow",
-                )
-                # (old id → new id) via the term key, then into the triples
-                id_map = equi_join(
-                    old_map, new_map, on_left="term", on_right="term"
-                ).map_batches(
-                    lambda t_, _c=col: pa.table(
-                        {_c: t_.column("id"), f"new_{_c}": t_.column("new_id")}
-                    ),
-                    batch_format="pyarrow",
-                )
-                tri = equi_join(tri, id_map, on_left=col, on_right=col).map_batches(
-                    lambda t_, _c=col: pa.table(
-                        {
-                            c: t_.column(f"new_{c}" if c == _c else c)
-                            for c in ("s_id", "p_id", "o_id", "g_id")
-                        }
-                    ),
-                    batch_format="pyarrow",
-                )
             g_lut = np.array(
                 [g_index[g] for g in st.header["graph_list"]], dtype=np.int64
             )
@@ -560,6 +530,7 @@ def merge_stores(
     per_graph = {g: int(n) for g, n in zip(graphs, n_g) if n}
     header = build_header(dict_build, sum(per_graph.values()), per_graph, int(b_g.sum()))
     header["graph_list"] = graphs
+    header["hdtSize"] = _dir_size(out_dir)
     timings["total"] = round(_time.time() - t_all, 2)
     header["timings"] = timings
     with open(os.path.join(out_dir, "header.json"), "w") as f:

@@ -144,7 +144,8 @@ def q_kg_store_merge(sf_dir: str):
     dictionaries, integer-LUT triple remap, one re-sort — without touching
     the documents again. The decoded merged store must equal the one-shot
     build, i.e. the distinct triple set of the whole corpus."""
-    import tempfile
+    import os
+    import shutil
 
     from de_ray.hdt.merge import merge_stores
     from de_ray.hdt.store import Store, write_store
@@ -155,7 +156,10 @@ def q_kg_store_merge(sf_dir: str):
     def split(df: pd.DataFrame, keep: int) -> pd.DataFrame:
         return df[df["subj"].str[L:].astype("int64") % 2 == keep]
 
-    root = tempfile.mkdtemp(prefix="de_ray_kg_merge_")
+    # fixed scratch keyed by sf tag, wiped per call — repeated bench/driver
+    # runs must not accumulate full store trees in /tmp
+    root = f"/tmp/de_ray_kg_merge_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
     write_store(
         tri.map_batches(lambda df: split(df, 0), batch_format="pandas"),
         f"{root}/even",
@@ -182,7 +186,8 @@ def q_kg_store_diff(sf_dir: str):
     subtrahend's INTEGER triples into the minuend's ID space (term-level
     dictionary join) and one packed-key anti-join — neither store's full
     triple set is ever decoded; only the surviving delta is."""
-    import tempfile
+    import os
+    import shutil
 
     from de_ray.hdt.merge import diff_stores
     from de_ray.hdt.store import write_store
@@ -193,7 +198,8 @@ def q_kg_store_diff(sf_dir: str):
     def even(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["subj"].str[L:].astype("int64") % 2 == 0]
 
-    root = tempfile.mkdtemp(prefix="de_ray_kg_diff_")
+    root = f"/tmp/de_ray_kg_diff_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
     write_store(tri, f"{root}/full")
     write_store(
         tri.map_batches(even, batch_format="pandas"), f"{root}/even"

@@ -2013,7 +2013,7 @@ def _try_id_distinct_fastpath(q: Query, source):
     elif q.variables:
         sel = [v.name for v in q.variables]
     else:
-        sel = [n for n in var_col if not n.startswith("__b")]
+        sel = [n for n in var_col if not n.startswith("!")]
     if not sel or any(n not in var_col for n in sel):
         return None
     store = source.store
@@ -2206,9 +2206,18 @@ def evaluate(q: Query, source):
         elif q.variables:
             sel = [v.name for v in q.variables]
         else:
-            # SELECT *: blank-node pattern vars (__b*) are existential —
+            # SELECT *: blank-node pattern vars (minted "!"-prefixed
+            # names no user ?var can collide with) are existential —
             # never projected (SPARQL 1.1 §4.1.4)
-            sel = [n for n in vars_out if not n.startswith("__b")]
+            sel = [n for n in vars_out if not n.startswith("!")]
+        if not sel:
+            # every pattern var is an existential blank node: solutions
+            # carry no visible bindings; keep the row multiplicity (a
+            # DISTINCT projection of zero columns has at most one row)
+            if q.distinct:
+                ds = ds.limit(1)
+            ds = _order_and_slice(q, [], ds)
+            return SolutionsResult([], ds)
         extra = _order_extra_cols(q, sel, vars_out)
         ds = _align_columns(ds, vars_out, sel + extra)
         if q.distinct:
@@ -2223,10 +2232,17 @@ def evaluate(q: Query, source):
         def build(df: pd.DataFrame) -> pd.DataFrame:
             # vectorized template application: one column-select/broadcast
             # per template slot, rows with any unbound slot dropped.
-            # Template blank nodes (hidden __b* vars with no binding) mint a
-            # FRESH bnode per distinct solution (SPARQL 1.1 §16.2.1): label =
-            # slot id + solution hash, so identical solutions in different
-            # batches agree and the final triple-distinct dedups them.
+            # Template blank nodes (template-scoped hidden "!t*" vars —
+            # never bound by WHERE even under a shared label) mint a FRESH
+            # bnode per distinct solution (SPARQL 1.1 §16.2.1): label =
+            # slot id + 128-bit solution hash (two independently-salted
+            # 64-bit passes), so identical solutions in different batches
+            # agree, the final triple-distinct dedups them, and cross-
+            # solution collisions are out of reach at 10^9+ solutions.
+            # (Duplicate solutions in the multiset collapse to one labeled
+            # subgraph — the output graph is a SET of triples here, so the
+            # isomorphic duplicate a per-instance mint would add carries no
+            # information.)
             frames = []
             sol_hash = None
             for pat in template:
@@ -2234,20 +2250,21 @@ def evaluate(q: Query, source):
                 for name, t in (("subj", pat.s), ("pred", pat.p), ("obj", pat.o)):
                     if isinstance(t, Var) and t.name in df.columns:
                         cols[name] = df[t.name]
-                    elif isinstance(t, Var) and t.name.startswith("__b"):
+                    elif isinstance(t, Var) and t.name.startswith("!"):
                         import numpy as np
 
                         if sol_hash is None:
-                            sol_hash = (
-                                pd.util.hash_pandas_object(df, index=False)
-                                .to_numpy()
-                                .astype("uint64")
+                            h1 = pd.util.hash_pandas_object(
+                                df, index=False
+                            ).to_numpy().astype("uint64")
+                            h2 = pd.util.hash_pandas_object(
+                                df, index=False, hash_key="de_ray_bn_salt00"
+                            ).to_numpy().astype("uint64")
+                            sol_hash = np.char.add(
+                                np.char.mod("%016x", h1), np.char.mod("%016x", h2)
                             )
                         cols[name] = pd.Series(
-                            np.char.add(
-                                f"_:c{t.name[3:]}x",
-                                np.char.mod("%x", sol_hash),
-                            ),
+                            np.char.add(f"_:c{t.name[2:]}x", sol_hash),
                             index=df.index,
                         )
                     elif isinstance(t, Var):

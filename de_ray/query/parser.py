@@ -314,25 +314,33 @@ class Parser:
     def __init__(self) -> None:
         self.prefixes: dict[str, str] = {}
         # blank nodes in patterns are existential variables (SPARQL 1.1
-        # §4.1.4): same label → same hidden var, scoped to one parse; the
-        # "__b" prefix keeps them out of SELECT * projections
+        # §4.1.4): same label → same hidden var, scoped to one parse. The
+        # minted names start with "!" — no legal user variable can (the
+        # grammar requires [A-Za-z_] first), so the engine's
+        # startswith("!") hidden-var test can never swallow a real ?var.
+        # CONSTRUCT templates mint under a DIFFERENT prefix ("!t"): a
+        # template label never unifies with a same-named WHERE label
+        # (§16.2.1 scopes template bnodes to the template).
         self._bn_n = 0
-        self._bn_map: dict[str, Var] = {}
+        self._bn_prefix = "!b"
+        self._bn_maps: dict[str, dict[str, Var]] = {}
 
     def parse(self, text: str) -> Query:
         self._bn_n = 0
-        self._bn_map = {}
+        self._bn_prefix = "!b"
+        self._bn_maps = {}
         tk = _T(text)
         q = self._parse_query(tk)
         return q
 
     def _bnode_var(self, label: Optional[str] = None) -> Var:
         if label is not None:
-            if label not in self._bn_map:
-                self._bn_map[label] = Var(f"__b_{label}")
-            return self._bn_map[label]
+            m = self._bn_maps.setdefault(self._bn_prefix, {})
+            if label not in m:
+                m[label] = Var(f"{self._bn_prefix}_{label}")
+            return m[label]
         self._bn_n += 1
-        return Var(f"__banon{self._bn_n}")
+        return Var(f"{self._bn_prefix}anon{self._bn_n}")
 
     def _parse_query(self, tk: _T, subquery: bool = False) -> Query:
         while True:
@@ -377,7 +385,9 @@ class Parser:
             q.where = self._group(tk)
         elif form == "CONSTRUCT":
             tk.expect("{")
+            self._bn_prefix = "!t"  # template-scoped blank nodes (§16.2.1)
             q.template = self._bgp_only(tk)
+            self._bn_prefix = "!b"
             tk.expect("}")
             self._dataset_clauses(tk, q)
             tk.try_word("WHERE")
@@ -555,7 +565,7 @@ class Parser:
         k, v = tk.peek()
         if (
             isinstance(s, Var)
-            and s.name.startswith("__b")
+            and s.name.startswith("!")
             and v in (".", "}", None)
         ):
             return

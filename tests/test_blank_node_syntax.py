@@ -27,7 +27,7 @@ def test_parse_bnode_property_list_object():
     head = [p for p in pats if p.s == Var("s")]
     assert len(head) == 1
     b = head[0].o
-    assert isinstance(b, Var) and b.name.startswith("__b")
+    assert isinstance(b, Var) and b.name.startswith("!b")
     assert TriplePattern(b, f"{EX}name", Var("n")) in pats
     assert TriplePattern(b, f"{EX}age", Var("a")) in pats
 
@@ -36,7 +36,7 @@ def test_parse_bnode_subject_standalone():
     q = parse_query(f"SELECT ?n WHERE {{ [ <{EX}name> ?n ] . ?x <{EX}p> ?y }}")
     pats = _triples(q)
     assert len(pats) == 2
-    assert isinstance(pats[0].s, Var) and pats[0].s.name.startswith("__b")
+    assert isinstance(pats[0].s, Var) and pats[0].s.name.startswith("!b")
 
 
 def test_parse_labeled_bnodes_shared():
@@ -46,7 +46,7 @@ def test_parse_labeled_bnodes_shared():
     pats = _triples(q)
     assert pats[0].s == pats[1].s  # same label, same hidden var
     assert pats[0].s != pats[2].s
-    assert pats[0].s.name.startswith("__b_")
+    assert pats[0].s.name.startswith("!b_")
 
 
 def test_parse_anonymous_bnodes_distinct():
@@ -61,7 +61,7 @@ def test_parse_collection():
     # head triple + 2×(first, rest)
     assert len(pats) == 5
     head = next(p for p in pats if p.p == f"{EX}list").o
-    assert isinstance(head, Var) and head.name.startswith("__banon")
+    assert isinstance(head, Var) and head.name.startswith("!banon")
     firsts = [p for p in pats if p.p == RDF + "first"]
     rests = [p for p in pats if p.p == RDF + "rest"]
     assert len(firsts) == 2 and len(rests) == 2
@@ -115,3 +115,33 @@ def test_construct_template_bnode_fresh_per_solution(ray_session):
     assert all(h.startswith("_:") for h in heads)
     nm = {r["subj"] for r in rows if r["pred"] == f"{EX}nm"}
     assert nm == heads  # template wiring preserved
+
+
+def test_construct_template_label_is_template_scoped(ray_session):
+    """A template blank-node label shared with a WHERE label must mint a
+    FRESH bnode (SPARQL 1.1 §16.2.1), never leak the WHERE binding."""
+    q = parse_query(
+        f"CONSTRUCT {{ _:n <{EX}p> ?x }} WHERE {{ _:n <{EX}name> ?x }}"
+    )
+    res = evaluate(q, DatasetSource(_ds()))
+    rows = res.ds.take_all()
+    assert rows, "construct produced no triples"
+    assert all(r["subj"].startswith("_:") for r in rows)
+
+
+def test_select_star_all_blank_vars(ray_session):
+    """SELECT * over a pattern of only blank-node vars returns zero-column
+    solutions instead of crashing (existence-style query)."""
+    q = parse_query(f"SELECT * WHERE {{ _:x <{EX}name> _:y }}")
+    res = evaluate(q, DatasetSource(_ds()))
+    assert res.variables == []
+    assert res.ds.count() == 2
+
+
+def test_user_var_with_bnodeish_name_projected(ray_session):
+    """?__bx is a LEGAL user variable and must survive SELECT * (hidden
+    vars are minted with a '!' prefix no user var can collide with)."""
+    q = parse_query(f"SELECT * WHERE {{ ?__bx <{EX}name> ?n }}")
+    res = evaluate(q, DatasetSource(_ds()))
+    rows = res.ds.take_all()
+    assert set(rows[0].keys()) == {"__bx", "n"}

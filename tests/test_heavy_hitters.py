@@ -40,6 +40,26 @@ def test_guarantee_violation_raises(ray_session):
         heavy_hitters(ds, k=20, capacity=16)
 
 
+def test_under_k_candidates_raise_when_pruned(ray_session):
+    """3 heavy terms + a long unique tail pruned by per-block compression:
+    returning the 3 survivors as a 'top-10' would be silently incomplete —
+    must raise instead (code-review r3 finding #1)."""
+    rows = [{"text": " ".join(["h1"] * 100 + ["h2"] * 90 + ["h3"] * 80)}]
+    for i in range(50):
+        rows.append({"text": f"tail{i}"})
+    ds = rd.from_items(rows)
+    with pytest.raises(ValueError, match="candidates for k"):
+        heavy_hitters(ds, k=10, capacity=8)
+
+
+def test_under_k_ok_when_nothing_pruned(ray_session):
+    """Fewer distinct terms than k with NO pruning anywhere: the short
+    head IS the complete exact ranking and must be returned."""
+    ds = rd.from_items([{"text": "a a b"}])
+    got = heavy_hitters(ds, k=10, capacity=64).take_all()
+    assert [(r["w"], r["n"]) for r in got] == [("a", 2), ("b", 1)]
+
+
 def test_distributed_final_path(ray_session):
     ds = _corpus()
     got = heavy_hitters(ds, k=2, capacity=64, driver_limit=0).take_all()
