@@ -513,11 +513,27 @@ def _broadcast_merge(
 def _join_bindings(a: Bindings, b: Bindings) -> Bindings:
     vars_a, ds_a = a
     vars_b, ds_b = b
-    # existence-marker sides (no vars) act as boolean gates, not multipliers
+    # a zero-var side is the empty binding μ0 with multiplicity n: joining
+    # multiplies the other side's cardinality by n (SPARQL multiset
+    # semantics — visible through COUNT(*) over a non-DISTINCT all-bnode
+    # subselect); n∈{0,1} degenerates to the boolean existence gate
+    def _times(vars_x, ds_x, n: int):
+        if n == 0:
+            return (vars_x, ds_x.limit(0))
+        if n == 1:
+            return (vars_x, ds_x)
+        return (
+            vars_x,
+            ds_x.map_batches(
+                lambda df, _n=n: pd.concat([df] * _n, ignore_index=True),
+                batch_format="pandas",
+            ),
+        )
+
     if not vars_a:
-        return (vars_b, ds_b) if _nonempty(ds_a) else (vars_b, ds_b.limit(0))
+        return _times(vars_b, ds_b, ds_a.count())
     if not vars_b:
-        return (vars_a, ds_a) if _nonempty(ds_b) else (vars_a, ds_a.limit(0))
+        return _times(vars_a, ds_a, ds_b.count())
     shared = [v for v in vars_a if v in vars_b]
     out_vars = vars_a + [v for v in vars_b if v not in vars_a]
     ds_a = ds_a.materialize()
@@ -2228,6 +2244,11 @@ def evaluate(q: Query, source):
         return SolutionsResult(sel, ds)
     if q.form == "CONSTRUCT":
         template = q.template
+        # solution modifiers apply to the SOLUTION SEQUENCE before template
+        # instantiation (SPARQL 1.1 §16.2): CONSTRUCT ... ORDER BY/LIMIT/
+        # OFFSET slices solutions, not output triples
+        if q.order_by or q.limit is not None or q.offset:
+            ds = _order_and_slice(q, vars_out, ds)
 
         def build(df: pd.DataFrame) -> pd.DataFrame:
             # vectorized template application: one column-select/broadcast
@@ -2253,6 +2274,11 @@ def evaluate(q: Query, source):
                     elif isinstance(t, Var) and t.name.startswith("!"):
                         import numpy as np
 
+                        if len(df) == 0:
+                            # np.char kernels mis-type on empty uint64
+                            # input (numpy 1.26) — nothing to mint anyway
+                            cols[name] = pd.Series([], dtype=object)
+                            continue
                         if sol_hash is None:
                             h1 = pd.util.hash_pandas_object(
                                 df, index=False
@@ -2279,6 +2305,8 @@ def evaluate(q: Query, source):
         out = ds.map_batches(build, batch_format="pandas")
         return GraphResult(_distinct(out, ["subj", "pred", "obj"]))
     if q.form == "DESCRIBE":
+        if q.order_by or q.limit is not None or q.offset:
+            ds = _order_and_slice(q, vars_out, ds)  # slice solutions first
         iris: List[str] = []
         for t in q.describe_terms:
             if isinstance(t, Var):

@@ -272,7 +272,14 @@ class _T:
             if k in ("ws", "comment"):
                 continue
             if k == "local":
-                self.toks.append(("pname", m.group(0)))
+                # PN_LOCAL / BLANK_NODE_LABEL may contain '.' but cannot END
+                # with one (SPARQL 1.1 §19.8 [169]/[142]): '_:b.' is label
+                # 'b' + the statement dot. Give trailing dots back to the
+                # stream or same-label unification silently breaks.
+                tok = m.group(0)
+                trimmed = tok.rstrip(".")
+                i -= len(tok) - len(trimmed)
+                self.toks.append(("pname", trimmed))
             else:
                 self.toks.append((k, m.group(0)))
         self.pos = 0
@@ -321,6 +328,10 @@ class Parser:
         # CONSTRUCT templates mint under a DIFFERENT prefix ("!t"): a
         # template label never unifies with a same-named WHERE label
         # (§16.2.1 scopes template bnodes to the template).
+        # LENIENCY: within WHERE, labels scope to the whole parse rather
+        # than per-BGP — spec-illegal reuse across group boundaries
+        # (§19.6) unifies instead of erroring, matching common engine
+        # behavior for the queries that slip through validators.
         self._bn_n = 0
         self._bn_prefix = "!b"
         self._bn_maps: dict[str, dict[str, Var]] = {}
@@ -560,12 +571,15 @@ class Parser:
 
     def _triples_same_subject(self, tk: _T, g: GroupPattern) -> None:
         s = self._term(tk, sink=g)
-        # TriplesNode subjects ([ props ] / collections) may stand alone:
-        # grammar allows an empty PropertyList after them (§19.8 [75])
+        # TriplesNode subjects ([ props ] / collections — anon-minted vars)
+        # may stand alone: grammar allows an empty PropertyList after them
+        # (§19.8 [75]). A LABELED blank node may not: '_:a .' is a truncated
+        # triple and must error, not silently vanish.
         k, v = tk.peek()
         if (
             isinstance(s, Var)
             and s.name.startswith("!")
+            and "anon" in s.name
             and v in (".", "}", None)
         ):
             return

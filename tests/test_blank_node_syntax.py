@@ -145,3 +145,48 @@ def test_user_var_with_bnodeish_name_projected(ray_session):
     res = evaluate(q, DatasetSource(_ds()))
     rows = res.ds.take_all()
     assert set(rows[0].keys()) == {"__bx", "n"}
+
+
+def test_bnode_label_does_not_swallow_statement_dot():
+    """'_:b.' is label 'b' + the statement terminator (PN_LOCAL cannot end
+    with '.'): both occurrences must unify to ONE hidden var."""
+    q = parse_query(
+        f"SELECT ?o WHERE {{ ?s <{EX}knows> _:b. _:b <{EX}name> ?o }}"
+    )
+    pats = _triples(q)
+    assert len(pats) == 2
+    assert pats[0].o == pats[1].s
+
+
+def test_standalone_labeled_bnode_raises():
+    """'_:a .' with no property list is a truncated triple — grammar error,
+    not a silent no-op."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_query(f"SELECT ?n WHERE {{ _:a . ?x <{EX}name> ?n }}")
+
+
+def test_construct_applies_limit_to_solutions(ray_session):
+    """CONSTRUCT ... LIMIT slices the SOLUTION sequence before template
+    instantiation (§16.2)."""
+    q = parse_query(
+        f"CONSTRUCT {{ ?s <{EX}x> ?n }} WHERE {{ ?s <{EX}name> ?n }} "
+        f"ORDER BY ?s LIMIT 1"
+    )
+    res = evaluate(q, DatasetSource(_ds()))
+    rows = res.ds.take_all()
+    assert len(rows) == 1
+    assert rows[0]["subj"] == f"{EX}bob"  # first by ORDER BY ?s
+
+
+def test_zero_column_subselect_multiplies(ray_session):
+    """A non-DISTINCT all-bnode subselect is the empty binding with
+    multiplicity n — joining multiplies cardinality (COUNT sees 2x2=4)."""
+    q = parse_query(
+        f"SELECT (COUNT(*) AS ?c) WHERE {{ ?s <{EX}name> ?n . "
+        f"{{ SELECT * WHERE {{ _:a <{EX}name> _:b }} }} }}"
+    )
+    res = evaluate(q, DatasetSource(_ds()))
+    c = res.ds.take_all()[0]["c"]
+    assert c.split('"')[1] == "4"
