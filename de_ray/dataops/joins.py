@@ -268,8 +268,23 @@ def equi_join(
             return df.merge(rdf, left_on=on_left, right_on=on_right, how=how)
 
         return left.map_batches(j, batch_format="pandas")
-    return left.join(
-        right_m,
+    # Ray's hash join chokes on SCHEMA-LESS empty blocks (0-row partitions
+    # of an upstream join/materialize lose their schema and the Acero
+    # aggregator then reports 'No match ... for key field' mid-shuffle) —
+    # sanitize both sides first. The materialize is acceptable: this path
+    # already implies a full shuffle of both sides, and the refs check is
+    # metadata-only against plasma.
+    def _drop_empty(ds: rd.Dataset):
+        ds = ds.materialize()
+        refs = [r for r in ds.to_arrow_refs() if ray.get(r).num_rows > 0]
+        return rd.from_arrow_refs(refs) if refs else None
+
+    left_c = _drop_empty(left)
+    if left_c is None:
+        return left.limit(0)
+    right_c = _drop_empty(right_m)  # count > broadcast_limit ⇒ non-None
+    return left_c.join(
+        right_c,
         # Ray's hash join names the outer variant explicitly
         join_type={"inner": "inner", "left": "left_outer"}[how],
         num_partitions=num_partitions,
@@ -323,16 +338,26 @@ def semi_join(
 
         return left.map_batches(flt, batch_format="pyarrow")
 
-    # big right side: co-partition by key and filter per bucket
+    # big right side: co-partition by key and filter per bucket. A key
+    # named the same on both sides (e.g. two 'spog' key sets) is fine for
+    # the broadcast path but would collide in the tagged union — rename
+    # the right key internally
+    r_key = on_right
+    r_ds = keys_ds
+    if on_right in left.schema().names:
+        r_key = f"__rkey_{on_right}"
+        r_ds = keys_ds.map_batches(
+            lambda t, _k=r_key: t.rename_columns([_k]), batch_format="pyarrow"
+        )
     union, lcols, rcols, dtypes = _tagged_union(
-        _with_key(left, on_left), _with_key(keys_ds, on_right), shared_ok=(_KEY,)
+        _with_key(left, on_left), _with_key(r_ds, r_key), shared_ok=(_KEY,)
     )
     lcols = [c for c in lcols if c != _KEY]
     rcols = [c for c in rcols if c != _KEY]
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         l, r = _split_sides(g, lcols, rcols, dtypes)
-        present = l[on_left].isin(r[on_right].unique())
+        present = l[on_left].isin(r[r_key].unique())
         return (l[~present] if anti else l[present]).reset_index(drop=True)
 
     return _bucketed_apply(union, _KEY, kernel, limit=0, num_buckets=num_buckets)

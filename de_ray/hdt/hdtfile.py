@@ -49,43 +49,62 @@ FMT_TRIPLES = "<http://purl.org/HDT/hdt#triplesBitmap>"
 # --- checksums (variants matched against apple.hdt) -------------------------
 
 
-def crc8(data: bytes) -> int:
-    crc = 0
-    for b in data:
-        crc ^= b
+# table-driven CRCs (identical outputs to the per-bit definitions, ~10x
+# faster: the export path checksums every packed byte on ONE driver core,
+# so the per-bit inner loop was the wall for non-toy stores)
+def _mk_crc8_table():
+    t = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07 if crc & 0x80 else (crc << 1)) & 0xFF
+        t.append(crc)
+    return bytes(t)
+
+
+def _mk_crc_refl_table(poly: int, width_mask: int):
+    t = []
+    for b in range(256):
+        crc = b
+        for _ in range(8):
+            crc = (crc >> 1) ^ (poly if crc & 1 else 0)
+        t.append(crc & width_mask)
+    return tuple(t)
+
+
+_CRC8_T = _mk_crc8_table()
+_CRC16_T = _mk_crc_refl_table(0xA001, 0xFFFF)
+_CRC32C_T = _mk_crc_refl_table(0x82F63B78, 0xFFFFFFFF)
+
+
+def crc8(data: bytes) -> int:
+    crc = 0
+    t = _CRC8_T
+    for b in data:
+        crc = t[crc ^ b]
     return crc
 
 
 def crc16(data: bytes) -> int:
     crc = 0
+    t = _CRC16_T
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = (crc >> 1) ^ (0xA001 if crc & 1 else 0)
+        crc = (crc >> 8) ^ t[(crc ^ b) & 0xFF]
     return crc & 0xFFFF
 
 
 def crc32c(data: bytes) -> int:
     crc = 0xFFFFFFFF
+    t = _CRC32C_T
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = (crc >> 1) ^ (0x82F63B78 if crc & 1 else 0)
+        crc = (crc >> 8) ^ t[(crc ^ b) & 0xFF]
     return crc ^ 0xFFFFFFFF
 
 
-def _vbyte(n: int) -> bytes:
-    out = bytearray()
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out.append(b)
-        else:
-            out.append(b | 0x80)
-            return bytes(out)
+# single source of truth for the HDT vbyte encoding (MSB set on the LAST
+# byte): the store's front-coded sections and the .hdt interchange file
+# must stay bit-compatible, so both use dictionary.py's implementation
+from de_ray.hdt.dictionary import _vbyte  # noqa: E402
 
 
 def _read_vbyte(buf: bytes, i: int) -> Tuple[int, int]:

@@ -160,16 +160,33 @@ def _read_id_triples(store_path: str) -> rd.Dataset:
 
 
 def _remap_ids_distributed(
-    tri: rd.Dataset, old_sections: rd.Dataset, new_sections: rd.Dataset
+    tri: rd.Dataset,
+    old_sections: rd.Dataset,
+    new_sections: rd.Dataset,
+    broadcast_limit: int = 2_000_000,
 ) -> rd.Dataset:
     """Remap a triples Dataset's s/p/o ids from ``old_sections``'s ID space
     into ``new_sections``'s via three size-adaptive distributed equi-joins
     on the term key — the no-driver-state path shared by ``merge_stores``
     and ``diff_stores`` above their LUT limits. INNER joins: a triple whose
     term is absent from the target dictionary drops out (only possible in
-    the diff direction; merge dictionaries are supersets by construction)."""
+    the diff direction; merge dictionaries are supersets by construction).
+
+    The triples' id columns are widened to int64 up front: stores narrow
+    them to int32 (``id_dtype_for``) but the dictionary 'id' column is
+    int64, and Ray's native hash join (the above-``broadcast_limit``
+    regime this path exists for) rejects mismatched key dtypes."""
     from de_ray.dataops.joins import equi_join
 
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                c: t.column(c).cast(pa.int64()) if c != "g_id" else t.column(c)
+                for c in ("s_id", "p_id", "o_id", "g_id")
+            }
+        )
+
+    tri = tri.map_batches(widen, batch_format="pyarrow")
     for col, secs in (
         ("s_id", (SECTION_SHARED, SECTION_SUBJECT)),
         ("p_id", (SECTION_PREDICATE,)),
@@ -191,13 +208,18 @@ def _remap_ids_distributed(
             lambda t_: t_.rename_columns(["term", "new_id"]),
             batch_format="pyarrow",
         )
-        id_map = equi_join(old_map, new_map, on_left="term", on_right="term").map_batches(
+        id_map = equi_join(
+            old_map, new_map, on_left="term", on_right="term",
+            broadcast_limit=broadcast_limit,
+        ).map_batches(
             lambda t_, _c=col: pa.table(
                 {_c: t_.column("id"), f"new_{_c}": t_.column("new_id")}
             ),
             batch_format="pyarrow",
         )
-        tri = equi_join(tri, id_map, on_left=col, on_right=col).map_batches(
+        tri = equi_join(
+            tri, id_map, on_left=col, on_right=col, broadcast_limit=broadcast_limit
+        ).map_batches(
             lambda t_, _c=col: pa.table(
                 {
                     c: t_.column(f"new_{c}" if c == _c else c)
@@ -507,6 +529,12 @@ def merge_stores(
     # ---- 3. sort + fused finalize (write_store back half) ----
     os.makedirs(out_dir, exist_ok=True)
     t = _time.time()
+    # wipe stale copies: write_parquet appends unique-named files, so a
+    # re-run into the same out_dir would double the dictionary rows
+    import shutil
+
+    for sub in ("dictionary", "front_coded"):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
     dict_build.sections.write_parquet(os.path.join(out_dir, "dictionary"))
     if with_front_coded:
         _write_front_coded(dict_build, os.path.join(out_dir, "front_coded"))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import urllib.parse
 from typing import Dict, Iterable, List, Optional
 
@@ -40,7 +41,7 @@ from de_ray.hdt.dictionary import (
     DictionaryBuild,
     pack_front_coded,
 )
-from de_ray.hdt.header import build_header, original_size_of
+from de_ray.hdt.header import build_header
 from de_ray.hdt.triples import (
     encode_triples,
     finalize_write_sorted_blocks,
@@ -234,14 +235,16 @@ def write_store(
         )()
         # the sections parquet (read back by Store) does not gate encode —
         # overlap the write with the encode+sort stream
-        fut_dictwrite = pool.submit(
-            timed(
-                "dictionary_write",
-                lambda: dict_build.sections.write_parquet(
-                    os.path.join(out_dir, "dictionary")
-                ),
-            )
-        )
+        def _write_dictionary():
+            # wipe any stale copy first: Ray's write_parquet appends
+            # unique-named files, so re-running a crashed build into the
+            # same out_dir would otherwise DOUBLE the dictionary rows and
+            # silently corrupt every decode (code-review r3 hdt finding)
+            d = os.path.join(out_dir, "dictionary")
+            shutil.rmtree(d, ignore_errors=True)
+            dict_build.sections.write_parquet(d)
+
+        fut_dictwrite = pool.submit(timed("dictionary_write", _write_dictionary))
         if fut_graphs is not None:
             graphs = fut_graphs.result()
         graphs = sorted(graphs)
@@ -345,14 +348,16 @@ def write_store(
                     ),
                 )
             )
-            fut_wt = pool.submit(
-                timed(
-                    "write_triples",
-                    lambda: sorted_ds.write_parquet(os.path.join(out_dir, "triples")),
-                )
-            )
+
+            def _write_triples():
+                d = os.path.join(out_dir, "triples")
+                shutil.rmtree(d, ignore_errors=True)
+                sorted_ds.write_parquet(d)
+
+            fut_wt = pool.submit(timed("write_triples", _write_triples))
             if with_adjacency:
                 t = _time.time()
+                shutil.rmtree(os.path.join(out_dir, "adjacency"), ignore_errors=True)
                 sorted_ds.map_batches(
                     pack_adjacency_block, batch_format="pyarrow", batch_size=256 * 1024
                 ).write_parquet(os.path.join(out_dir, "adjacency"))

@@ -43,15 +43,6 @@ BROADCAST_LIMIT = 64_000_000
 # (per-worker index build is cheap); above it, an actor pool
 TASK_ENCODE_TERMS = 1_000_000
 
-ID_TRIPLE_SCHEMA = pa.schema(
-    [
-        ("s_id", pa.int64()),
-        ("p_id", pa.int64()),
-        ("o_id", pa.int64()),
-        ("graph", pa.large_string()),
-    ]
-)
-
 
 def id_dtype_for(n_terms: int) -> pa.DataType:
     """Narrowest integer type that holds every ID (1..n_terms): int32 unless
@@ -221,19 +212,6 @@ def space_arrays_from_table(tbl: pa.Table):
     return out
 
 
-def id_maps_from_table(tbl: pa.Table) -> Dict[str, Dict[str, int]]:
-    """Arrow sections table → the three {term → id} dicts (driver-side uses)."""
-    arrays = space_arrays_from_table(tbl)
-    return {
-        space: dict(zip(terms.to_pylist(), ids.to_pylist()))
-        for space, (terms, ids) in arrays.items()
-    }
-
-
-def collect_id_maps(dict_build: DictionaryBuild) -> Dict[str, Dict[str, int]]:
-    return id_maps_from_table(collect_sections_table(dict_build))
-
-
 def space_indexes_from_table(tbl: pa.Table):
     """Per-space (pandas Index over terms, numpy ids): the Index's hash
     table builds ONCE per worker process and is reused every batch —
@@ -318,6 +296,15 @@ def _encode_with(spaces, batch: pa.Table, graphs=None, id_dtype=pa.int64()) -> p
         enc = pc.dictionary_encode(arr)
         uniq = enc.dictionary.to_pandas()
         pos = idx.get_indexer(uniq)
+        if (pos < 0).any():
+            # -1 would wrap to ids[-1]: a term absent from the dictionary
+            # must fail loudly, exactly like the fingerprint path does
+            bad = uniq[pos < 0].iloc[0]
+            raise ValueError(
+                f"encode: term {bad!r} missing from the dictionary index for "
+                f"space {space!r} — encode input diverged from the dictionary "
+                "input (non-deterministic source with materialize_input=False?)"
+            )
         lut = pa.array(ids[pos], id_dtype)
         return pc.take(lut, enc.indices)
 
@@ -550,169 +537,6 @@ def _id_triple_schema(id_dtype_name: str) -> pa.Schema:
     return pa.schema(
         [("s_id", t), ("p_id", t), ("o_id", t), ("g_id", pa.int32())]
     )
-
-
-@ray.remote(num_returns=2)
-def _finalize_block_task(
-    tbl: pa.Table, cols, pack, id_dtype_name, luts, n_graphs, dedup
-):
-    """Dedup + unpack + stats of ONE sorted block, fused in a single pass
-    (the block is already in this node's object store; three separate
-    full-corpus passes would each re-stream it through the memory bus).
-
-    Returns the finalized (s_id, p_id, o_id, g_id) block plus a meta tuple
-    ``(first_key, last_key, n_per_graph, bytes_per_graph, first_row_cost)``
-    for driver-side boundary reconciliation — when the driver drops a
-    block's first row (duplicate of the previous block's last), it subtracts
-    that row's pre-computed (graph, nbytes) from the totals."""
-    import os as _os
-    import time as _time
-
-    _dbg = _os.environ.get("DE_RAY_FINALIZE_DEBUG")
-    _t0 = _time.time()
-    n = tbl.num_rows
-    zeros = np.zeros(n_graphs, dtype=np.int64)
-    if n == 0:
-        return (
-            _id_triple_schema(id_dtype_name).empty_table(),
-            (None, None, zeros, zeros, (0, 0)),
-        )
-    if pack is not None:
-        k = tbl.column("spog").to_numpy(zero_copy_only=False)
-        _t1 = _time.time()
-        first, last = (int(k[0]),), (int(k[-1]),)
-        if dedup and n > 1:
-            keep = np.empty(n, dtype=bool)
-            keep[0] = True
-            keep[1:] = k[1:] != k[:-1]
-            if not keep.all():
-                k = k[keep]
-        _t2 = _time.time()
-        dt = np.int32 if id_dtype_name == "int32" else np.int64
-        s = (k >> pack.s_shift).astype(dt)
-        p = ((k >> pack.p_shift) & pack.p_mask).astype(dt)
-        o = ((k >> pack.o_shift) & pack.o_mask).astype(dt)
-        g = (k & pack.g_mask).astype(np.int32)
-        _t3 = _time.time()
-        out = pa.table(
-            {
-                "s_id": pa.array(s),
-                "p_id": pa.array(p),
-                "o_id": pa.array(o),
-                "g_id": pa.array(g),
-            }
-        )
-        if _dbg:
-            print(
-                f"[finalize] n={n} fetch={_t1 - _t0:.2f} dedup={_t2 - _t1:.2f} "
-                f"unpack={_t3 - _t2:.2f}",
-                flush=True,
-            )
-    else:
-        first = tuple(tbl.column(c)[0].as_py() for c in cols)
-        last = tuple(tbl.column(c)[n - 1].as_py() for c in cols)
-        if dedup and n > 1:
-            keep = np.zeros(n, dtype=bool)
-            keep[0] = True
-            for c in cols:
-                a = tbl.column(c).to_numpy(zero_copy_only=False)
-                keep[1:] |= a[1:] != a[:-1]
-            if not keep.all():
-                tbl = tbl.filter(pa.array(keep))
-        out = tbl
-        s = out.column("s_id").to_numpy(zero_copy_only=False)
-        p = out.column("p_id").to_numpy(zero_copy_only=False)
-        o = out.column("o_id").to_numpy(zero_copy_only=False)
-        g = out.column("g_id").to_numpy(zero_copy_only=False)
-    ls, lp, lo = luts
-    _t4 = _time.time()
-    nbytes = ls[s - 1].astype(np.int64) + lp[p - 1] + lo[o - 1] + 8
-    n_g = np.bincount(g, minlength=n_graphs).astype(np.int64)
-    b_g = np.zeros(n_graphs, dtype=np.int64)
-    np.add.at(b_g, g, nbytes)
-    if _dbg:
-        print(
-            f"[finalize] n={n} stats={_time.time() - _t4:.2f} "
-            f"task_total={_time.time() - _t0:.2f}",
-            flush=True,
-        )
-    return out, (first, last, n_g, b_g, (int(g[0]), int(nbytes[0])))
-
-
-@ray.remote
-def _drop_first_row(tbl: pa.Table) -> pa.Table:
-    return tbl.slice(1)
-
-
-def finalize_sorted_blocks(
-    sorted_ds: rd.Dataset,
-    cols,
-    pack,
-    id_dtype,
-    luts,
-    n_graphs: int,
-    dedup: bool = True,
-):
-    """Exact global dedup + unpack + per-graph stats of an ALREADY-SORTED
-    ID-triples Dataset, in ONE pass over the pinned sorted blocks.
-
-    After the SPO(+graph) sort every duplicate is adjacent, so dedup is a
-    per-block vectorized adjacent-equality pass plus a driver-side boundary
-    reconciliation over one (first_row, last_row) key per block — correct
-    under ANY input block layout (unlike cluster-contiguity dedup, which a
-    non-order-preserving checkpoint write breaks) and it moves no extra
-    data: the only cross-node traffic is two keys + two small int arrays
-    per block.
-
-    A run of equal rows spanning whole blocks chains correctly: each
-    block's ORIGINAL last row is compared against the next block's ORIGINAL
-    first row, so interior blocks collapse to one row and then drop it.
-    ``sorted_ds`` must be materialized (the sort output is).
-
-    Returns ``(dataset, n_per_graph, bytes_per_graph)`` — the stats arrive
-    for free from the same pass (VERDICT r2 #1: fewer full-corpus
-    memory-bandwidth passes is the single-node scaling lever)."""
-    import os as _os
-    import time as _time
-
-    _dbg = _os.environ.get("DE_RAY_FINALIZE_DEBUG")
-    _t0 = _time.time()
-    cols = list(cols)
-    id_dtype_name = "int32" if id_dtype == pa.int32() else "int64"
-    refs = sorted_ds.to_arrow_refs()
-    n_g_total = np.zeros(n_graphs, dtype=np.int64)
-    b_g_total = np.zeros(n_graphs, dtype=np.int64)
-    if not refs:
-        return sorted_ds, n_g_total, b_g_total
-    _t1 = _time.time()
-    luts_ref = ray.put(luts)
-    pairs = [
-        _finalize_block_task.remote(
-            r, cols, pack, id_dtype_name, luts_ref, n_graphs, dedup
-        )
-        for r in refs
-    ]
-    metas = ray.get([m for _, m in pairs])
-    if _dbg:
-        print(
-            f"[finalize] driver: n_blocks={len(refs)} to_refs={_t1 - _t0:.2f} "
-            f"metas_wait={_time.time() - _t1:.2f}",
-            flush=True,
-        )
-    out_refs = []
-    prev_last = None
-    for (tbl_ref, _), (first, last, n_g, b_g, first_cost) in zip(pairs, metas):
-        n_g_total += n_g
-        b_g_total += b_g
-        if dedup and first is not None and first == prev_last:
-            tbl_ref = _drop_first_row.remote(tbl_ref)
-            g0, nb0 = first_cost
-            n_g_total[g0] -= 1
-            b_g_total[g0] -= nb0
-        out_refs.append(tbl_ref)
-        if last is not None:
-            prev_last = last
-    return rd.from_arrow_refs(out_refs), n_g_total, b_g_total
 
 
 def pack_adjacency_block(tbl: pa.Table) -> pa.Table:
@@ -982,8 +806,7 @@ def finalize_write_sorted_blocks(
     through the node's memory bus (measured ~12 s wall at BOTH 4 and 16
     CPUs — a pure bandwidth floor). Boundary dedup chains each block's
     ORIGINAL (first, last) key from a cheap peek wave, so a duplicate run
-    spanning whole blocks still keeps exactly one row (same invariant as
-    ``finalize_sorted_blocks``).
+    spanning whole blocks still keeps exactly one row.
 
     Returns ``(n_per_graph, bytes_per_graph, n_rows_total)``."""
     import os as _os

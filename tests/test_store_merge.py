@@ -122,3 +122,42 @@ def test_merge_promotes_section(stores, tmp_path):
     assert hdr["void:triples"] == 2
     rows = {r for r in map(tuple, ( (r["subj"], r["pred"], r["obj"]) for r in Store(f"{tmp_path}/pm").pattern_scan().take_all()))}
     assert ("http://x/s2", "http://x/p", "http://x/s1") in rows
+
+
+def test_diff_forced_bucket_anti_join(stores, monkeypatch):
+    """Force semi_join's hash-bucket path (broadcast_limit=0): both sides
+    key on 'spog', which used to crash the tagged union (hdt review #1)."""
+    import de_ray.dataops.joins as joins
+    from de_ray.hdt.merge import diff_stores
+
+    orig = joins.semi_join
+
+    def tiny_limit(*a, **kw):
+        kw["broadcast_limit"] = 0
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(joins, "semi_join", tiny_limit)
+    delta = _decoded_ds(diff_stores(f"{stores}/direct", f"{stores}/a"))
+    assert delta == _decoded(f"{stores}/b")
+
+
+def test_distributed_remap_native_join_dtypes(stores):
+    """broadcast_limit=0 forces Ray's native hash join, which rejects
+    mismatched key dtypes: the int32 store ids must be widened to match
+    the int64 dictionary ids (hdt review #2). Identity remap as oracle."""
+    import ray.data as rd
+
+    from de_ray.hdt.merge import _read_id_triples, _remap_ids_distributed
+
+    sec = rd.read_parquet(
+        f"{stores}/a/dictionary", columns=["term", "section", "id"]
+    )
+    out = _remap_ids_distributed(
+        _read_id_triples(f"{stores}/a"), sec, sec, broadcast_limit=0
+    ).take_all()
+    orig = _read_id_triples(f"{stores}/a").take_all()
+
+    def key(rows):
+        return sorted((r["s_id"], r["p_id"], r["o_id"], r["g_id"]) for r in rows)
+
+    assert key(out) == key(orig)
