@@ -59,8 +59,9 @@ def _with_key(ds: rd.Dataset, col: str) -> rd.Dataset:
 def _ensure_arrow(ds: rd.Dataset) -> rd.Dataset:
     """Coerce pandas-block Datasets (e.g. from_pandas) to Arrow blocks so
     schema().base_schema is a pa.Schema."""
-    if isinstance(ds.schema().base_schema, pa.Schema):
-        return ds
+    sch = ds.schema()
+    if sch is None or isinstance(sch.base_schema, pa.Schema):
+        return ds  # schema-less (fully empty) datasets pass through as-is
     return ds.map_batches(lambda t: t, batch_format="pyarrow")
 
 
@@ -270,19 +271,44 @@ def equi_join(
         return left.map_batches(j, batch_format="pandas")
     # Ray's hash join chokes on SCHEMA-LESS empty blocks (0-row partitions
     # of an upstream join/materialize lose their schema and the Acero
-    # aggregator then reports 'No match ... for key field' mid-shuffle) —
-    # sanitize both sides first. The materialize is acceptable: this path
-    # already implies a full shuffle of both sides, and the refs check is
-    # metadata-only against plasma.
-    def _drop_empty(ds: rd.Dataset):
-        ds = ds.materialize()
-        refs = [r for r in ds.to_arrow_refs() if ray.get(r).num_rows > 0]
-        return rd.from_arrow_refs(refs) if refs else None
+    # aggregator reports 'No match ... for key field' mid-shuffle) —
+    # sanitize both sides by BLOCK METADATA (functions/joins.py helper; no
+    # block ever crosses to the driver) and give the degenerate empty
+    # sides the JOINED schema the other paths produce.
+    from de_ray.functions.joins import drop_schemaless_empties
 
-    left_c = _drop_empty(left)
-    if left_c is None:
-        return left.limit(0)
-    right_c = _drop_empty(right_m)  # count > broadcast_limit ⇒ non-None
+    left_a, right_a = _ensure_arrow(left), _ensure_arrow(right_m)
+    lsch, rsch = left_a.schema(), right_a.schema()
+
+    def _sch_cols(sch):
+        return list(zip(sch.names, sch.types)) if sch is not None else []
+
+    def _joined_empty() -> pa.Table:
+        cols = {n: pa.array([], t) for n, t in _sch_cols(lsch)}
+        for n, t in _sch_cols(rsch):
+            if on_left == on_right and n == on_right:
+                continue  # shared key collapses to one column
+            cols.setdefault(n, pa.array([], t))
+        return pa.table(cols)
+
+    left_c = drop_schemaless_empties(left_a, _joined_empty)
+    right_c = drop_schemaless_empties(right_a, _joined_empty)
+    if left_c.count() == 0 or (right_c.count() == 0 and how == "inner"):
+        return rd.from_arrow(_joined_empty())
+    if right_c.count() == 0:  # how == "left": keep left rows, null right cols
+        rcols = [
+            (n, t)
+            for n, t in _sch_cols(rsch)
+            if not (on_left == on_right and n == on_right)
+        ]
+
+        def null_right(t: pa.Table) -> pa.Table:
+            for n, ty in rcols:
+                if n not in t.schema.names:
+                    t = t.append_column(n, pa.nulls(len(t), ty))
+            return t
+
+        return left_c.map_batches(null_right, batch_format="pyarrow")
     return left_c.join(
         right_c,
         # Ray's hash join names the outer variant explicitly
@@ -344,7 +370,8 @@ def semi_join(
     # the right key internally
     r_key = on_right
     r_ds = keys_ds
-    if on_right in left.schema().names:
+    _lsch = left.schema()
+    if on_right in (_lsch.names if _lsch is not None else []):
         r_key = f"__rkey_{on_right}"
         r_ds = keys_ds.map_batches(
             lambda t, _k=r_key: t.rename_columns([_k]), batch_format="pyarrow"

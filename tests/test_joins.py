@@ -340,3 +340,39 @@ def test_equi_join_left_both_paths():
     got_s = {(r.k, None if pd.isna(r.w) else r.w) for r in s.itertuples()}
     assert got_b == want
     assert got_s == want
+
+
+def test_equi_join_native_empty_left_keeps_joined_schema(ray_session):
+    """An all-empty left on the forced-native path returns the JOINED
+    schema (left+right cols), matching the other paths (dataops review)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from de_ray.dataops.joins import equi_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    right = rd.from_items([{"k": 1, "w": 2}])
+    out = equi_join(left, right, on_left="k", on_right="k", broadcast_limit=-1)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k", "v", "w"}
+
+
+def test_equi_join_native_empty_right_left_outer(ray_session):
+    """how='left' with an empty right on the forced-native path keeps the
+    left rows with null right columns."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from de_ray.dataops.joins import equi_join
+
+    left = rd.from_items([{"k": 1, "v": 10}, {"k": 2, "v": 20}])
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "w": pa.array([], pa.int64())})
+    )
+    rows = equi_join(
+        left, right, on_left="k", on_right="k", how="left", broadcast_limit=-1
+    ).take_all()
+    assert len(rows) == 2
+    assert all(r["w"] is None for r in rows)
