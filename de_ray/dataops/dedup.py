@@ -45,27 +45,15 @@ def exact_dedup(
             subset=[key_col], keep="first"
         )
 
-    part = ds.map_batches(local_min, batch_format="pandas", batch_size=64 * 1024).materialize()
-    if part.count() <= driver_final_limit:
-        df = part.to_pandas()
-        out = local_min(df).reset_index(drop=True)
-        import ray.data as rd
+    from de_ray.functions.agg import adaptive_grouped_apply
 
-        return rd.from_pandas(out)
-
-    from de_ray.stages.canonicalize import stable_row_hash
-
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(
-            _bucket=(stable_row_hash(df, [key_col]) % num_buckets).astype("int64")
-        )
-
-    bucketed = part.map_batches(bucketize, batch_format="pandas")
-
-    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
-        return local_min(g).drop(columns=["_bucket"])
-
-    return bucketed.groupby("_bucket").map_groups(bucket_min, batch_format="pandas")
+    part = ds.map_batches(local_min, batch_format="pandas", batch_size=64 * 1024)
+    # the size-adaptive final (driver pandas vs stable-hash bucket groupby)
+    # is the library-standard adaptive_grouped_apply — one implementation
+    # to maintain, same cutover semantics as before
+    return adaptive_grouped_apply(
+        part, key_col, local_min, limit=driver_final_limit, num_buckets=num_buckets
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -272,7 +260,8 @@ def _pairs_from_sig_df(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def minhash_candidate_pairs(
-    ds, n_perm: int = 64, bands: int = 16, driver_limit: int = 5_000_000
+    ds, n_perm: int = 64, bands: int = 16, k: int = 3,
+    driver_limit: int = 5_000_000,
 ):
     """documents Dataset → candidate near-dup pairs (doc_a < doc_b) from LSH
     band collisions. Size-adaptive: below ``driver_limit`` signature rows the
@@ -283,7 +272,7 @@ def minhash_candidate_pairs(
 
     sigs = ds.map_batches(
         _lsh_batch,
-        fn_kwargs={"n_perm": n_perm, "bands": bands},
+        fn_kwargs={"n_perm": n_perm, "bands": bands, "k": k},
         batch_format="pyarrow",
         batch_size=4096,
     ).materialize()
@@ -514,7 +503,9 @@ def _connected_components(verified, driver_limit: int = 2_000_000):
         .repartition(nparts)
     ).map_batches(_force("node", "label"), batch_format="pandas").materialize()
     prev_sum = labels.sum("label")
-    for _round in range(64):
+    max_rounds = 64
+    converged = False
+    for _round in range(max_rounds):
         # candidate labels for each node = its peers' current labels
         cand = edges.join(
             labels.map_batches(
@@ -533,8 +524,17 @@ def _connected_components(verified, driver_limit: int = 2_000_000):
         new_sum = new_labels.sum("label")
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # a component with graph diameter > max_rounds would be silently
+        # split into several clusters — fail loudly instead
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} min-label "
+            "rounds (component diameter exceeds the cap) — raise the round "
+            "cap or pre-contract the graph"
+        )
     return labels
 
 
@@ -561,7 +561,7 @@ def minhash_dedup(
 
     if materialize_input:
         ds = ds.materialize()
-    pairs = minhash_candidate_pairs(ds, n_perm=n_perm, bands=bands).materialize()
+    pairs = minhash_candidate_pairs(ds, n_perm=n_perm, bands=bands, k=k).materialize()
     if pairs.count() == 0:
         return _identity_clusters(ds)
     verified = _verify_pairs(ds, pairs, threshold, k, driver_limit)

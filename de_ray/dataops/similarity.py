@@ -272,6 +272,11 @@ def cosine_near_dup_pairs(
     table_size = np.int64(1) << np.int64(n_planes)
 
     def with_buckets(batch: pa.Table) -> pa.Table:
+        # INT ROWS ONLY (vec_id, bucket_key): the vector payload does not
+        # ride the ×n_tables explosion — embeddings are joined back to the
+        # colliding minority below (dataops review: shipping the full
+        # embedding column 8× through the bucket shuffle was ~8× the
+        # corpus' vector bytes in materialize+shuffle)
         m = _normalize(_to_matrix(batch.column(emb_col)))
         lsh = HyperplaneLSH(m.shape[1], n_planes * n_tables)
         signs = (m @ lsh.planes.T) > 0  # (n, p*L)
@@ -284,14 +289,50 @@ def cosine_near_dup_pairs(
         return pa.table(
             {
                 "vec_id": pa.array(np.tile(ids, n_tables), pa.int64()),
-                "embedding": pa.concat_arrays(
-                    [batch.column(emb_col).combine_chunks()] * n_tables
-                ),
                 "bucket_key": pa.array(np.concatenate(keys), pa.int64()),
             }
         )
 
-    exploded = ds.map_batches(with_buckets, batch_format="pyarrow", batch_size=16 * 1024)
+    from de_ray.dataops.joins import equi_join, semi_join
+    from de_ray.functions.agg import adaptive_grouped_sum
+
+    exploded = ds.map_batches(
+        with_buckets, batch_format="pyarrow", batch_size=16 * 1024
+    ).materialize()
+    # buckets with ≥2 rows are the only ones that can produce pairs: one
+    # int-only combiner count pass finds them, a semi-join keeps only the
+    # colliding (vec_id, bucket_key) rows, and the embedding column is
+    # joined back for THAT minority alone (once per colliding table slot)
+    counts = adaptive_grouped_sum(
+        exploded.map_batches(
+            lambda df: df.groupby("bucket_key", as_index=False)
+            .size()
+            .rename(columns={"size": "n"}),
+            batch_format="pandas",
+        ),
+        "bucket_key",
+        "n",
+    )
+    hot = counts.map_batches(
+        lambda df: df[df["n"] >= 2][["bucket_key"]], batch_format="pandas"
+    )
+    colliding = semi_join(
+        exploded, hot, on_left="bucket_key", on_right="bucket_key"
+    )
+    emb_map = ds.map_batches(
+        lambda t: t.select([id_col, emb_col]), batch_format="pyarrow"
+    )
+    if id_col != "vec_id":
+        emb_map = emb_map.map_batches(
+            lambda t, _c=id_col: t.rename_columns(["vec_id", emb_col]),
+            batch_format="pyarrow",
+        )
+    if emb_col != "embedding":
+        emb_map = emb_map.map_batches(
+            lambda t: t.rename_columns(["vec_id", "embedding"]),
+            batch_format="pyarrow",
+        )
+    exploded = equi_join(colliding, emb_map, on_left="vec_id", on_right="vec_id")
 
     def pairs_many(df: pd.DataFrame) -> pd.DataFrame:
         # collision groups only (vectorized prefilter), then one matmul per group

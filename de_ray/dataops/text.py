@@ -48,7 +48,10 @@ def pii_scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count, fully vectorized (split + list_value_length)."""
     toks = pc.split_pattern(batch.column(text_col), pattern=" ")
-    # count non-empty tokens: total minus empties
+    # counts ALL split-on-space fields INCLUDING empties ('' -> 1,
+    # 'a  b' -> 3): exactly DuckDB len(string_split(text, ' ')), the
+    # driver oracle. term_frequencies et al. filter empties; this one
+    # deliberately mirrors the SQL field count.
     n = pc.list_value_length(toks).cast(pa.int64())
     return batch.append_column("n_tokens", n)
 
@@ -302,7 +305,7 @@ def heavy_hitters(
     )
     head = exact.sort(key=["n", "w"], descending=[True, False]).limit(k).take_all()
     bound = n_total / capacity
-    if head and head[-1]["n"] <= bound:
+    if head and n_pruned > 0 and head[-1]["n"] <= bound:
         raise ValueError(
             f"heavy_hitters: k-th count {head[-1]['n']} does not clear the "
             f"Misra-Gries guarantee N/capacity = {bound:.1f} — result would "
@@ -346,6 +349,29 @@ def doc_frequencies(ds, id_col: str = "doc_id", text_col: str = "text"):
     return adaptive_grouped_sum(part, "w", "df")
 
 
+def _tf_frame_fn(id_col: str, text_col: str):
+    """Per-batch (doc, term, tf) frame — one split/flatten/groupby pass.
+    Shared by tfidf_top_terms and unigram_logprob_score (their broadcast
+    and distributed branches both consume this shape)."""
+
+    def _tf_frame(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t.column(text_col), pattern=" ")
+        offs = np.diff(
+            np.concatenate([[0], np.cumsum(pc.list_value_length(toks).to_numpy())])
+        )
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False), offs)
+        keep = flat != ""
+        return (
+            pd.DataFrame({id_col: doc_ids[keep], "w": flat[keep]})
+            .groupby([id_col, "w"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+
+    return _tf_frame
+
+
 def tfidf_top_terms(
     ds,
     top_n: int = 3,
@@ -368,20 +394,7 @@ def tfidf_top_terms(
     n_docs = ds.count()
     vocab = doc_frequencies(ds, id_col=id_col, text_col=text_col).materialize()
 
-    def _tf_frame(t: pa.Table) -> pd.DataFrame:
-        toks = pc.split_pattern(t.column(text_col), pattern=" ")
-        offs = np.diff(
-            np.concatenate([[0], np.cumsum(pc.list_value_length(toks).to_numpy())])
-        )
-        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-        doc_ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False), offs)
-        keep = flat != ""
-        return (
-            pd.DataFrame({id_col: doc_ids[keep], "w": flat[keep]})
-            .groupby([id_col, "w"], sort=False, as_index=False)
-            .size()
-            .rename(columns={"size": "tf"})
-        )
+    _tf_frame = _tf_frame_fn(id_col, text_col)
 
     def _rank(s: pd.DataFrame) -> pd.DataFrame:
         s = s.assign(tfidf=(s["tf"] * np.log(n_docs / s["df"])).round(6))
@@ -435,20 +448,7 @@ def unigram_logprob_score(
     vocab = term_frequencies(ds, text_col=text_col).materialize()
     total = int(vocab.sum("n"))
 
-    def _tf_frame(t: pa.Table) -> pd.DataFrame:
-        toks = pc.split_pattern(t.column(text_col), pattern=" ")
-        offs = np.diff(
-            np.concatenate([[0], np.cumsum(pc.list_value_length(toks).to_numpy())])
-        )
-        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-        doc_ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False), offs)
-        keep = flat != ""
-        return (
-            pd.DataFrame({id_col: doc_ids[keep], "w": flat[keep]})
-            .groupby([id_col, "w"], sort=False, as_index=False)
-            .size()
-            .rename(columns={"size": "tf"})
-        )
+    _tf_frame = _tf_frame_fn(id_col, text_col)
 
     def _score(s: pd.DataFrame) -> pd.DataFrame:
         s = s.assign(lp=s["tf"] * np.log(s["n"] / total))
@@ -493,7 +493,9 @@ def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text", window: i
         # polynomial rolling hash of each window, vectorized via cumulative trick
         pw = B ** np.arange(window, dtype=np.uint64)
         h = np.convolve(b, pw[::-1], mode="valid").astype(np.uint64)
-        out.append(int(h.min()))
+        # mask to int63 (repo convention for hash columns, see dedup.py):
+        # raw uint64 minima above 2^63 overflow the int64 arrow column
+        out.append(int(h.min() & 0x7FFFFFFFFFFFFFFF))
     return batch.append_column("rolling_fp", pa.array(out, pa.int64()))
 
 
@@ -709,11 +711,15 @@ def normalize_text_batch(
     import pandas as pd
 
     s = pd.Series(batch.column(text_col).to_pandas())
+    # RE2's \s is ASCII-only ([\t\n\f\r\v ]); Python-re's is Unicode.
+    # Use the explicit ASCII class (and strip the same set) so the oracle
+    # claim holds for corpora containing \u00a0-style Unicode whitespace.
+    ws = " \t\n\r\f\v"
     norm = (
         s.str.lower()
         .str.normalize("NFC")
-        .str.replace(r"\s+", " ", regex=True)
-        .str.strip()
+        .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
+        .str.strip(ws)
     )
     return batch.append_column(out_col, pa.array(norm, pa.string()))
 
@@ -792,7 +798,13 @@ def top_pmi_bigrams(
         keep = flat != ""
         flat, doc_idx = flat[keep], doc_idx[keep]
         if len(flat) < 2:
-            return pd.DataFrame({"a": [], "b": [], "n": []})
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=str),
+                    "b": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
         same = doc_idx[1:] == doc_idx[:-1]
         return (
             pd.DataFrame({"a": flat[:-1][same], "b": flat[1:][same]})

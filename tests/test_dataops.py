@@ -680,3 +680,23 @@ def test_remove_dup_spans_hand_case():
     # broadcast_limit guard fails loudly
     with pytest.raises(ValueError, match="broadcast_limit"):
         remove_dup_spans(rd.from_pandas(rows), n=4, broadcast_limit=0)
+
+
+def test_minhash_k_forwarded_to_lsh(ray_session):
+    """k=1 must reach the LSH shingle stage (dataops review: it was
+    silently ignored): word-permuted docs have 1-shingle Jaccard 1.0 and
+    must cluster at k=1."""
+    import ray.data as rd
+
+    from de_ray.dataops.dedup import minhash_dedup
+
+    words = [f"w{i}" for i in range(30)]
+    rows = [
+        {"doc_id": 1, "text": " ".join(words)},
+        {"doc_id": 2, "text": " ".join(reversed(words))},  # same multiset
+        {"doc_id": 3, "text": " ".join(f"x{i}" for i in range(30))},
+    ]
+    out = minhash_dedup(rd.from_items(rows), threshold=0.9, k=1).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[1] == cl[2]
+    assert cl[3] != cl[1]
