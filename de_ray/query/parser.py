@@ -220,7 +220,7 @@ _TOK = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<langtag>@[a-zA-Z][a-zA-Z0-9-]*)
   | (?P<dtype>\^\^)
-  | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<number>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\d+\.\d+|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
   | (?P<op><=|>=|!=|&&|\|\||[=<>!(){};,.*+/|?^\[\]-])
   | (?P<pname>[A-Za-z_][\w-]*)?:(?P<local>[\w.\-%]*)
   | (?P<word>[A-Za-z_][\w-]*)

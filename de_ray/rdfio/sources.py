@@ -56,18 +56,44 @@ def _triples_table(rows: List[tuple], graph: str) -> pa.Table:
 
 class _ParseNtLines:
     """Vectorized-ish NT line parse inside map_batches (line-delimited → the
-    only truly parallel-parsable RDF format, cf. reference src/rdf2nt.rs:66)."""
+    only truly parallel-parsable RDF format, cf. reference src/rdf2nt.rs:66).
 
-    def __init__(self, graph: str):
+    ``graph=None`` derives each row's graph from the batch's ``path``
+    column (read_text(include_paths=True)) — ONE read operator for any
+    number of .nt files instead of a per-file union chain (a chained
+    UnionOperator tree over thousands of inputs starves under per-operator
+    memory budgets; see state/checkpoint.py::sharded_stage)."""
+
+    def __init__(self, graph: "str | None"):
         self.graph = graph
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
-        for line in batch.column("text").to_pylist():
+        lines = batch.column("text").to_pylist()
+        if self.graph is not None:
+            rows = []
+            for line in lines:
+                t = parse_nt_line(line)
+                if t is not None:
+                    rows.append(t)
+            return _triples_table(rows, self.graph)
+        paths = batch.column("path").to_pylist()
+        gcache: dict = {}
+        rows4 = []
+        for line, p in zip(lines, paths):
             t = parse_nt_line(line)
             if t is not None:
-                rows.append(t)
-        return _triples_table(rows, self.graph)
+                g = gcache.get(p)
+                if g is None:
+                    g = gcache.setdefault(p, graph_name_for_file(p))
+                rows4.append((t[0], t[1], t[2], g))
+        return pa.table(
+            {
+                "subj": pa.array([r[0] for r in rows4], pa.large_string()),
+                "pred": pa.array([r[1] for r in rows4], pa.large_string()),
+                "obj": pa.array([r[2] for r in rows4], pa.large_string()),
+                "graph": pa.array([r[3] for r in rows4], pa.large_string()),
+            }
+        )
 
 
 def _parse_file_row(row: dict) -> List[dict]:
@@ -96,12 +122,15 @@ def _normalize_schema(graph: Optional[str]):
     overriding the graph column — keeps union branches schema-identical."""
 
     def fn(t: pa.Table) -> pa.Table:
+        # metadata-level casts, not a Python-object round trip per batch
         cols = {
-            name: pa.array(t.column(name).to_pylist(), pa.large_string())
+            name: t.column(name).cast(pa.large_string())
             for name in ("subj", "pred", "obj")
         }
-        g = [graph] * len(t) if graph is not None else t.column("graph").to_pylist()
-        cols["graph"] = pa.array(g, pa.large_string())
+        if graph is not None:
+            cols["graph"] = pa.array([graph] * len(t), pa.large_string())
+        else:
+            cols["graph"] = t.column("graph").cast(pa.large_string())
         return pa.table(cols, schema=TRIPLE_SCHEMA)
 
     return fn
@@ -135,11 +164,12 @@ def read_rdf(paths: Sequence[str], graph: Optional[str] = None) -> rd.Dataset:
         paths = [paths]
     line_paths, file_paths = classify_paths(paths)
     parts: List[rd.Dataset] = []
-    for p in line_paths:
-        g = graph if graph is not None else graph_name_for_file(p)
+    if line_paths:
+        # ONE read operator for all NT/NQ files; per-row graph derives from
+        # the path column unless the caller overrides it
         parts.append(
-            rd.read_text(p).map_batches(
-                _ParseNtLines(g), batch_format="pyarrow", batch_size=64 * 1024
+            rd.read_text(line_paths, include_paths=True).map_batches(
+                _ParseNtLines(graph), batch_format="pyarrow", batch_size=64 * 1024
             )
         )
     if file_paths:

@@ -44,8 +44,8 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\\n]|\\.)*")
   | (?P<langtag>@[a-zA-Z][a-zA-Z0-9-]*)
   | (?P<dtype>\^\^)
+  | (?P<number>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\d+\.\d+|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
   | (?P<punct>[;,.\[\](){}])
-  | (?P<number>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
   | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.\-%]*)
   | (?P<bnode>_:[\w.-]+)
   | (?P<keyword>@?[A-Za-z][\w-]*)
@@ -68,7 +68,17 @@ class _Tokens:
             if kind in ("ws", "comment"):
                 continue
             if kind == "local":  # a pname:local match
-                self.toks.append(("pname", m.group(0)))
+                # PN_LOCAL / BLANK_NODE_LABEL cannot END with '.': an
+                # unspaced statement terminator ('ex:o.' / '_:b.') belongs
+                # to the stream, and '_:' pnames are blank node labels
+                # (the pname alternative shadows the bnode group)
+                tok = m.group(0)
+                trimmed = tok.rstrip(".")
+                i -= len(tok) - len(trimmed)
+                if trimmed.startswith("_:"):
+                    self.toks.append(("bnode", trimmed))
+                else:
+                    self.toks.append(("pname", trimmed))
             elif kind == "langtag" and m.group(0).lower() in ("@prefix", "@base"):
                 self.toks.append(("keyword", m.group(0)))
             else:
@@ -221,7 +231,7 @@ class TurtleParser:
             return val
         if kind in ("string", "long_string"):
             if kind == "long_string":
-                lex = val[3:-3]
+                lex = unescape_literal(val[3:-3])
             else:
                 lex = unescape_literal(val[1:-1])
             nxt = tk.peek()

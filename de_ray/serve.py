@@ -378,6 +378,13 @@ def apply_update(state: ServeState, text: str) -> None:
                 )
             if state.contains(payload) and not silent:
                 raise UpdateError(403, f"Graph {payload} already exists.")
+            # 501 belongs to VALIDATION: a LOAD deep in a multi-op request
+            # must not leave earlier ops half-applied before erroring
+            raise UpdateError(
+                501,
+                "LOAD operation is not yet implemented. Please use INSERT DATA "
+                "or the /store endpoint with PUT to add new graphs.",
+            )
         elif kind == "drop":
             if not state.contains(payload) and not silent:
                 raise UpdateError(404, f"The graph {payload} does not exist")
@@ -389,12 +396,6 @@ def apply_update(state: ServeState, text: str) -> None:
         elif kind == "insert_data":
             for g, t in payload:
                 state.insert(g, [t])
-        elif kind == "load":
-            raise UpdateError(
-                501,
-                "LOAD operation is not yet implemented. Please use INSERT DATA "
-                "or the /store endpoint with PUT to add new graphs.",
-            )
         elif kind == "drop":
             state.drop(payload)
         elif kind == "drop_all":
@@ -492,6 +493,19 @@ def handle_request(
     route = parsed.path
     params = urllib.parse.parse_qs(parsed.query)
 
+    # ThreadingHTTPServer shares ONE mutable ServeState across request
+    # threads; GraphTable.table()'s tail fold racing an INSERT can drop
+    # acknowledged triples. One reentrant lock serializes dispatch — the
+    # endpoint is read-mostly at CLI scale and the reference likewise
+    # serializes state access behind interior mutability.
+    with _STATE_LOCK:
+        return _dispatch(method, route, params, headers, body, state)
+
+
+_STATE_LOCK = __import__("threading").RLock()
+
+
+def _dispatch(method, route, params, headers, body, state) -> Tuple[int, str, bytes]:
     try:
         if route == "/" and method in ("GET", "HEAD"):
             return 200, "text/html", _UI_HTML
@@ -538,7 +552,11 @@ def _handle_query(method, params, headers, body, state) -> Tuple[int, str, bytes
         elif ct:
             return 415, "text/plain", f"unsupported media type {ct}".encode()
     if query_text is None:
-        # bare GET /query → service description (reference src/serve.rs:196-204)
+        if method == "POST":
+            # the service description is reserved for bare GET (SPARQL
+            # Protocol): a POST body with no query is a client error
+            return 400, "text/plain", b"missing query parameter"
+        # bare GET /query -> service description (reference src/serve.rs:196-204)
         from de_ray.query.service import service_description
 
         nt = "\n".join(format_nt_line(*t) for t in service_description()) + "\n"

@@ -114,8 +114,9 @@ def extract_triples_stage(
     graph: str = "file:///webtext",
     source_col: Optional[str] = None,
     batch_size: int = 1024,
-    concurrency=4,
 ):
+    # stateless tasks — TripleExtractor state is trivial, so no actor pool
+    # (and hence no concurrency knob; Ray sizes task parallelism itself)
     return ds.map_batches(
         TripleExtractor(subject_col=subject_col, graph=graph, source_col=source_col),
         batch_format="pyarrow",

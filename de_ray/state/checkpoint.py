@@ -101,6 +101,11 @@ class CheckpointedRun:
         out_dir = os.path.join(self.root, name)
         fp = input_fingerprint(inputs) if inputs else ""
         if self.is_done(name, fp or None):
+            if not write:
+                # no parquet exists for a write=False stage: re-run the
+                # (lazy/cheap by contract) build instead of read_parquet
+                # on an empty directory
+                return build()
             return rd.read_parquet(out_dir)
         t0 = time.time()
         ds = build()
@@ -116,6 +121,7 @@ class CheckpointedRun:
         else:
             out = ds
             rows = -1
+        os.makedirs(out_dir, exist_ok=True)  # write=False: marker dir
         self.record(name, shard="*", rows=rows, wall_sec=time.time() - t0, fingerprint=fp)
         with open(self._marker(name), "w") as f:
             f.write(fp)
