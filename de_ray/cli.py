@@ -47,9 +47,14 @@ def do_create(output: str, data: list[str]) -> None:
 
         from de_ray.hdt.hdtfile import write_hdt_file
 
+        import shutil
+
         tmp = tempfile.mkdtemp(prefix="de_ray_hdt_")
-        header = write_store(read_rdf(data), os.path.join(tmp, "store"))
-        info = write_hdt_file(Store(os.path.join(tmp, "store")), output)
+        try:
+            write_store(read_rdf(data), os.path.join(tmp, "store"))
+            info = write_hdt_file(Store(os.path.join(tmp, "store")), output)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)  # scratch store can be GBs
         print(f"created {output}: {info['n_triples']} triples", file=sys.stderr)
         return
     header = write_store(read_rdf(data), output)
@@ -91,11 +96,18 @@ def do_query(data: list[str], queries: list[str], fmt: str, out=None) -> None:
     if not sources:
         raise ValueError("no data files")
     source = sources[0] if len(sources) == 1 else MultiSource(sources)
+    from de_ray.query.engine import GraphResult
+
     for qf in queries:
         with open(qf, encoding="utf-8") as f:
             q = parse_query(f.read())
         res = evaluate(q, source)
-        out.write(serialize_result(res, fmt))
+        eff_fmt = fmt
+        if isinstance(res, GraphResult) and fmt in ("csv", "tsv", "json", "xml"):
+            # CONSTRUCT/DESCRIBE emit graphs: the solution-format default
+            # would error — fall back to N-Triples like the reference
+            eff_fmt = "ntriple"
+        out.write(serialize_result(res, eff_fmt))
 
 
 def do_view(target: str, out=None) -> None:

@@ -26,15 +26,26 @@ import ray
 import ray.data as rd
 
 
+def _coerce_table(tbl) -> pa.Table:
+    """Internal block refs may hold Arrow tables, record batches, or
+    pandas DataFrames (from_pandas-backed datasets) — normalize."""
+    if isinstance(tbl, pa.Table):
+        return tbl
+    import pandas as pd
+
+    if isinstance(tbl, pd.DataFrame):
+        return pa.Table.from_pandas(tbl, preserve_index=False)
+    return pa.Table.from_batches([tbl])
+
+
 @ray.remote
 def _block_nrows(tbl) -> int:
-    t = tbl if isinstance(tbl, pa.Table) else pa.Table.from_batches([tbl])
-    return t.num_rows
+    return _coerce_table(tbl).num_rows
 
 
 @ray.remote
 def _attach_rank(tbl, offset: int, total: int, n_tiles, out_col: str) -> pa.Table:
-    t = tbl if isinstance(tbl, pa.Table) else pa.Table.from_batches([tbl])
+    t = _coerce_table(tbl)
     ranks = np.arange(offset, offset + t.num_rows, dtype="int64")
     if n_tiles is None:
         return t.append_column(out_col, pa.array(ranks + 1, pa.int64()))
@@ -57,8 +68,17 @@ def _sorted_with_offsets(
 ) -> rd.Dataset:
     keys = [by] if isinstance(by, str) else list(by)
     s = ds.sort(keys, descending=descending).materialize()
-    refs = s.to_arrow_refs()
-    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    # block row counts from METADATA (iter_internal_ref_bundles preserves
+    # block order) — no per-block task wave just to read num_rows
+    refs, counts = [], []
+    missing = False
+    for bundle in s.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            refs.append(ref)
+            counts.append(meta.num_rows)
+            missing = missing or meta.num_rows is None
+    if missing:  # metadata gap: fall back to the task count (rare)
+        counts = ray.get([_block_nrows.remote(r) for r in refs])
     total = int(sum(counts))
     offset = 0
     new_refs = []

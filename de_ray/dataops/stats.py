@@ -76,6 +76,11 @@ def quantile_disc(
     if n == 0:
         return [math.nan] * len(qs)
     glo, ghi = float(st["lo"].min()), float(st["hi"].max())
+    if glo == ghi:
+        # every value equal: all quantiles are that value — the refinement
+        # loop would exclude the degenerate bracket and the collect pass
+        # would pull the whole column to the driver for nothing
+        return [glo] * len(qs)
 
     # bracket: values in [lo, hi) (+hi if hi_inc); k = 1-based rank of the
     # target within the bracket; cnt = values in the bracket
@@ -132,16 +137,27 @@ def quantile_disc(
             else:
                 b["cnt"] = new_cnt
 
-    # final pass: collect each bracket's (few) values once, pick the k-th
-    def collect(df: pd.DataFrame, _brackets=[dict(b) for b in brackets]) -> pd.DataFrame:
+    # final pass: collect each remaining bracket's (few) values once and
+    # pick the k-th. A bracket refined down to lo == hi IS its answer —
+    # never collect it (a point-mass duplicate pile can exceed any limit)
+    open_brs = {i: b for i, b in enumerate(brackets) if b["lo"] < b["hi"]}
+
+    def collect(df: pd.DataFrame, _brackets={i: dict(b) for i, b in open_brs.items()}) -> pd.DataFrame:
         v = _clean(df, col)
         return pd.DataFrame(
-            {f"v{i}": [v[_mask(v, b)]] for i, b in enumerate(_brackets)}
+            {f"v{i}": [v[_mask(v, b)]] for i, b in _brackets.items()}
         )
 
-    got = ds.map_batches(collect, batch_format="pandas", batch_size=256 * 1024).to_pandas()
+    got = (
+        ds.map_batches(collect, batch_format="pandas", batch_size=256 * 1024).to_pandas()
+        if open_brs
+        else None
+    )
     results = []
     for i, b in enumerate(brackets):
+        if b["lo"] >= b["hi"]:
+            results.append(float(b["lo"]))
+            continue
         vals = np.sort(np.concatenate([np.asarray(a) for a in got[f"v{i}"]]))
         results.append(float(vals[b["k"] - 1]))
     return results
@@ -169,9 +185,13 @@ def approx_distinct(ds: rd.Dataset, col: str, precision: int = 14) -> int:
             w = h & np.uint64((1 << suffix_bits) - 1)
             # rank = leading zeros in the suffix + 1; suffix < 2^52 is
             # float64-exact so floor(log2) is safe
-            bl = np.zeros(len(w), dtype=np.int8)
+            bl = np.zeros(len(w), dtype=np.int64)
             nz = w > 0
-            bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int8) + 1
+            fl = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
+            # float log2 rounds w=2^k-1 UP to k for large k: correct the
+            # floor exactly with one integer comparison (2^fl must be <= w)
+            fl -= (np.uint64(1) << fl.astype(np.uint64)) > w[nz]
+            bl[nz] = fl + 1
             rank = (suffix_bits - bl + 1).astype(np.int8)
             np.maximum.at(regs, idx, rank)
         return pd.DataFrame({"regs": [regs]})
@@ -220,7 +240,7 @@ def grouped_quantile_disc(
         out = {key: sizes.index.to_numpy()}
         for q in qs:
             pos = (starts + np.ceil(q * sizes).astype("int64") - 1).to_numpy()
-            out[f"q{int(q * 100)}"] = vals[pos]
+            out[f"q{round(q * 100)}"] = vals[pos]
         return pd.DataFrame(out)
 
     return adaptive_grouped_apply(
@@ -251,7 +271,7 @@ def grouped_zscore(
     part = ds.map_batches(
         lambda df: df.assign(_sq=df[value_col].astype("float64") ** 2)
         .groupby(group_col, as_index=False)
-        .agg(n=(value_col, "size"), s=(value_col, "sum"), ss=("_sq", "sum")),
+        .agg(n=(value_col, "count"), s=(value_col, "sum"), ss=("_sq", "sum")),
         batch_format="pandas",
         batch_size=256 * 1024,
     )
@@ -328,6 +348,10 @@ def grouped_corr(
         y = df[y_col].astype("float64")
         t = pd.DataFrame({group_col: df[group_col], "x": x, "y": y,
                           "xx": x * x, "yy": y * y, "xy": x * y})
+        # pairwise-complete rows only (SQL corr() skips NULL pairs): with
+        # NaNs left in, 'size' would count rows the sums exclude and every
+        # statistic in the formula would disagree with the oracle
+        t = t.dropna(subset=["x", "y"])
         g = t.groupby(group_col, as_index=False).agg(
             n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
             sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"))

@@ -684,7 +684,7 @@ def lm_quality_buckets(
         on_left=id_col,
         on_right=id_col,
     )
-    qlo, qhi = (f"q{int(q * 100)}" for q in qs)
+    qlo, qhi = (f"q{round(q * 100)}" for q in qs)
     thr = grouped_quantile_disc(scored, strata_col, "lm_score", list(qs)).to_pandas()
     lo = dict(zip(thr[strata_col], thr[qlo]))
     hi = dict(zip(thr[strata_col], thr[qhi]))

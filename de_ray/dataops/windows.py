@@ -34,11 +34,6 @@ def tumbling_window(
 
     part = ds.map_batches(partial, batch_format="pandas", batch_size=128 * 1024)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby([key, "window"], as_index=False).agg(
-            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
-        )
-
     from de_ray.functions.agg import adaptive_grouped_sum
 
     return adaptive_grouped_sum(part, [key, "window"], ["n_events", "sum_value"])
@@ -66,7 +61,15 @@ def sliding_window_counts(
         base = df[ts_col].dt.floor(slide)
         for i in range(k):
             start = base - i * s
-            rows.append(pd.DataFrame({key: df[key], "window_start": start}))
+            # containment: start <= ts holds by the floor; start+window > ts
+            # must be CHECKED — when window is not an exact multiple of
+            # slide the i-th candidate window can end before the event
+            keep = (start + w) > df[ts_col]
+            rows.append(
+                pd.DataFrame(
+                    {key: df[key][keep], "window_start": start[keep]}
+                )
+            )
         out = pd.concat(rows, ignore_index=True)
         return out.groupby([key, "window_start"], as_index=False).size().rename(
             columns={"size": "n_events"}
@@ -254,4 +257,5 @@ def event_transitions(
     head = counts.to_pandas().sort_values(
         ["n", "a", "b"], ascending=[False, True, True], kind="mergesort"
     )
-    return head.head(k).reset_index(drop=True)
+    # same return type on both paths (a Dataset), unlike a bare DataFrame
+    return rd.from_pandas(head.head(k).reset_index(drop=True))

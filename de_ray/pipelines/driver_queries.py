@@ -2576,14 +2576,14 @@ def q_token_quantiles(sf_dir: str):
     qs = [0.25, 0.5, 0.9, 0.99]
     vals = quantile_disc(ds, "n_tokens", qs)
     return pd.DataFrame(
-        [{f"q{int(q * 100)}": int(v) for q, v in zip(qs, vals)}]
+        [{f"q{round(q * 100)}": int(v) for q, v in zip(qs, vals)}]
     ).astype("int64")
 
 
 SQL_TOKEN_QUANTILES = (
     "SELECT "
     + ", ".join(
-        f"quantile_disc(len(string_split(text,' ')), {q}) AS q{int(q * 100)}"
+        f"quantile_disc(len(string_split(text,' ')), {q}) AS q{round(q * 100)}"
         for q in (0.25, 0.5, 0.9, 0.99)
     )
     + " FROM documents"

@@ -146,10 +146,10 @@ def test_event_transitions_hand_case():
         }
     )
     ds = rd.from_pandas(rows)
-    out = event_transitions(ds, k=10)
+    out = event_transitions(ds, k=10).to_pandas()
     got = {(r["a"], r["b"]): r["n"] for _, r in out.iterrows()}
     # u1: view->click, click->view; u2: view->click; u3 has no pair
     assert got == {("view", "click"): 2, ("click", "view"): 1}
     # partitioning invariance
-    out2 = event_transitions(ds.repartition(4), k=10)
+    out2 = event_transitions(ds.repartition(4), k=10).to_pandas()
     assert {(r["a"], r["b"]): r["n"] for _, r in out2.iterrows()} == got
