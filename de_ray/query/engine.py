@@ -330,6 +330,16 @@ def _closure_pairs(path: PathClosure, source) -> rd.Dataset:
     edges_ds = inner.materialize()
     if edges_ds.count() > PATH_PAIR_LIMIT:
         return _closure_pairs_distributed(edges_ds, path, source)
+    if path.min_hops == 0:
+        # the zero-hop set is EVERY term of the graph — a tiny edge set
+        # over a huge graph must still take the distributed path or
+        # _all_terms pulls the whole term set to the driver
+        try:
+            n_graph = source.scan(None, None, None).count()
+        except Exception:
+            n_graph = 0
+        if n_graph > PATH_PAIR_LIMIT:
+            return _closure_pairs_distributed(edges_ds, path, source)
     edges = edges_ds.to_pandas().drop_duplicates()
     total = edges
     if path.max_hops is None:
@@ -432,13 +442,21 @@ def _closure_pairs_distributed(edges_ds: rd.Dataset, path: PathClosure, source) 
 
 
 def _all_terms(source) -> List[str]:
+    import pyarrow.compute as pc
+
     full = source.scan(None, None, None)
     terms = full.map_batches(
         lambda t: pa.table(
-            {"t": pa.concat_arrays(
-                [pa.array(t.column("subj").to_pylist(), pa.large_string()),
-                 pa.array(t.column("obj").to_pylist(), pa.large_string())]
-            )}
+            {
+                "t": pc.unique(
+                    pa.concat_arrays(
+                        [
+                            t.column("subj").combine_chunks().cast(pa.large_string()),
+                            t.column("obj").combine_chunks().cast(pa.large_string()),
+                        ]
+                    )
+                )
+            }
         ),
         batch_format="pyarrow",
     )
@@ -448,6 +466,28 @@ def _all_terms(source) -> List[str]:
 def _eval_path_pattern(pat: TriplePattern, source) -> Bindings:
     pairs = _path_pairs_ds(pat.p, source)
     s_term, o_term = pat.s, pat.o
+    if isinstance(pat.p, PathClosure) and pat.p.min_hops == 0:
+        # ZeroLengthPath (SPARQL 1.1 §18.4): a BOUND end matches itself
+        # whether or not the term occurs in the graph — the graph-term
+        # zero-hop set alone would answer `ASK { <x> <p>* <x> }` false for
+        # an absent <x>
+        extra = sorted(
+            {t for t in (s_term, o_term) if isinstance(t, str)}
+        )
+        if extra:
+            add = rd.from_arrow(
+                pa.table(
+                    {
+                        "ps": pa.array(extra, pa.large_string()),
+                        "po": pa.array(extra, pa.large_string()),
+                    }
+                )
+            )
+            # normalize both sides to Arrow blocks: _closure_pairs' driver
+            # branch emits pandas blocks and a mixed-type union trips Ray's
+            # block assertions downstream
+            pairs = pairs.map_batches(lambda t: t, batch_format="pyarrow").union(add)
+            pairs = _distinct(pairs, ["ps", "po"])
 
     same_var = (
         isinstance(s_term, Var) and isinstance(o_term, Var) and s_term.name == o_term.name
@@ -608,10 +648,20 @@ def _left_join_optional(base: Bindings, opt: Bindings) -> Bindings:
     vars_o, ds_o = opt
     shared = [v for v in vars_b if v in vars_o]
     out_vars = vars_b + [v for v in vars_o if v not in vars_b]
-    if not vars_b:  # OPTIONAL as the first element: base is the unit table
+    if not vars_b:
+        # zero-var base = the empty binding with multiplicity n (NOT always
+        # the unit table): LeftJoin(∅, X) = ∅, LeftJoin(μ0×n, X) = n·X,
+        # LeftJoin(μ0×n, ∅) = n unbound rows
+        n_base = ds_b.count()
+        if n_base == 0:
+            return vars_o, ds_o.limit(0)
         if _nonempty(ds_o):
-            return vars_o, ds_o
-        # LeftJoin(unit, ∅) = unit row with every optional var unbound
+            if n_base == 1:
+                return vars_o, ds_o
+            return vars_o, ds_o.map_batches(
+                lambda df, _n=n_base: pd.concat([df] * _n, ignore_index=True),
+                batch_format="pandas",
+            )
         return vars_o, _align_columns(ds_b, [], vars_o)
     ds_o = ds_o.materialize()
     n_opt = ds_o.count()
@@ -639,13 +689,17 @@ def _semi_anti_join(ds: rd.Dataset, sub: rd.Dataset, on: List[str], anti: bool) 
     sub = sub.materialize()
     n = sub.count()
     if n > BROADCAST_ROWS:
+        # all-empty fallback must carry the LEFT side's FULL schema, not
+        # just the join keys — downstream aligns/sorts over every var
+        lsch = ds.schema()
+        left_cols = list(lsch.names) if lsch is not None else list(on)
         joined = ds.join(
             sub,
             join_type="left_anti" if anti else "left_semi",
             num_partitions=_join_partitions(),
             on=tuple(on),
         )
-        return _clean_join_output(joined, on)
+        return _clean_join_output(joined, left_cols)
     keys_df = _with_columns(sub.to_pandas(), on)[on].drop_duplicates()
     ref = ray.put(keys_df)
 
@@ -840,12 +894,18 @@ def _eval_call(e: Call, row: dict, _re):
         if start is None:
             return None
         start = int(start)
+        # fn:substring: positions < 1 are EXCLUDED but the in-range
+        # remainder is returned (never Python negative-index wraparound)
         if len(args) > 2:
             ln = _as_number(args[2])
             if ln is None:
                 return None
-            return _quoted(s[start - 1 : start - 1 + int(ln)])
-        return _quoted(s[start - 1 :])
+            end = start + int(ln)  # exclusive position bound
+            lo = max(1, start)
+            if end <= lo:
+                return _quoted("")
+            return _quoted(s[lo - 1 : end - 1])
+        return _quoted(s[max(1, start) - 1 :])
     if fn == "REPLACE":
         s = effective_string(args[0])
         pat = effective_string(args[1])
@@ -1153,7 +1213,14 @@ def _vec_mask(df: pd.DataFrame, e: Expr) -> Optional[pd.Series]:
             if cval.startswith('"'):
                 if "@" in cval[cval.rfind('"') :]:  # lang-tagged: row path
                     return None
+                if "\\" in cval:
+                    # the extracted lexical is still ESCAPED while _typed's
+                    # constant is unescaped — escaped literals take the row
+                    # path (same bail-out the STRLEN vectorizer uses)
+                    return None
                 lex = col.str.extract(_LEX_RE, expand=False)
+                if lex.str.contains("\\", regex=False).fillna(False).any():
+                    return None
                 m = lex == t
             else:  # IRI: canonical equality
                 m = col == cval
@@ -1573,8 +1640,42 @@ def _eval_group(g: GroupPattern, source) -> Bindings:
                 cur = (vnames, rd.from_pandas(vdf))
             else:
                 shared = [v for v in cur[0] if v in vnames]
-                ds = _broadcast_merge(cur[1], vdf, on=shared, how="inner")
-                cur = (cur[0] + [v for v in vnames if v not in cur[0]], ds)
+                out_vars = cur[0] + [v for v in vnames if v not in cur[0]]
+                # UNDEF (None) is a WILDCARD compatible with any binding
+                # (SPARQL 1.1 §10.2): a plain merge would match None only
+                # against None. Split the VALUES rows by which shared vars
+                # they actually define and join each slice on that subset;
+                # an all-UNDEF slice multiplies every solution (cross).
+                if shared:
+                    mask_key = vdf[shared].isna().apply(tuple, axis=1)
+                else:
+                    mask_key = pd.Series([()] * len(vdf), dtype=object)
+                pieces = []
+                for msk, sub in vdf.groupby(mask_key):
+                    msk_t = msk if isinstance(msk, tuple) else (msk,)
+                    defined = [c for c, na in zip(shared, msk_t) if not na]
+                    sub2 = sub.drop(columns=[c for c in shared if c not in defined])
+                    if defined:
+                        piece = _broadcast_merge(
+                            cur[1], sub2, on=defined, how="inner"
+                        )
+                    else:
+                        tmp = sub2.copy()
+                        tmp["__xk"] = 1
+                        piece = cur[1].map_batches(
+                            lambda df, _t=tmp: df.assign(__xk=1)
+                            .merge(_t, on="__xk")
+                            .drop(columns="__xk"),
+                            batch_format="pandas",
+                        )
+                    pieces.append(_align_columns(piece, out_vars, out_vars))
+                if pieces:
+                    ds = pieces[0]
+                    for p in pieces[1:]:
+                        ds = ds.union(p)
+                else:  # empty VALUES block: no solution survives
+                    ds = _align_columns(cur[1].limit(0), cur[0], out_vars)
+                cur = (out_vars, ds)
         else:
             raise ValueError(f"unknown group element {kind!r}")
     if cur is None:
@@ -1822,12 +1923,18 @@ def _eval_aggregates(q: Query, vars_out: List[str], ds: rd.Dataset):
             if a.fn == "COUNT":
                 if colname is None:
                     val = len(gdf)
+                elif colname not in gdf.columns:  # schema-dropped empty
+                    val = 0
                 else:
                     col = gdf[colname].dropna()
                     val = col.nunique() if a.distinct else len(col)
                 row[a.alias.name] = _format_numeric_literal(val)
                 continue
-            col = gdf[colname].dropna()
+            col = (
+                gdf[colname].dropna()
+                if colname in gdf.columns
+                else pd.Series([], dtype=object)
+            )
             if a.distinct:
                 col = col.drop_duplicates()
             if a.fn == "SAMPLE":
@@ -1869,7 +1976,12 @@ def _eval_aggregates(q: Query, vars_out: List[str], ds: rd.Dataset):
             if df.empty and any(v not in df.columns for v in group_vars):
                 # zero-match BGPs yield schema-less empty blocks
                 return pd.DataFrame(columns=out_cols)
-            rows = [agg_rows(g) for _, g in df.groupby(group_vars, sort=False)]
+            # dropna=False: unbound (None) group keys are valid SPARQL
+            # groups and must not be silently discarded
+            rows = [
+                agg_rows(g)
+                for _, g in df.groupby(group_vars, sort=False, dropna=False)
+            ]
             return pd.DataFrame(rows, columns=out_cols)
 
         out = adaptive_grouped_apply(ds, group_vars, many_groups)
@@ -1936,7 +2048,12 @@ def _global_aggregate(ds: rd.Dataset, work, agg_rows, out_cols) -> rd.Dataset:
         row = {}
         for fn, col, alias in specs:
             if fn == "COUNT":
-                row[f"__c_{alias}"] = len(df) if col is None else df[col].notna().sum()
+                if col is None:
+                    row[f"__c_{alias}"] = len(df)
+                elif col not in df.columns:  # schema-dropped empty block
+                    row[f"__c_{alias}"] = 0
+                else:
+                    row[f"__c_{alias}"] = df[col].notna().sum()
                 continue
             vals = [] if col not in df.columns else [
                 _typed(x) for x in df[col].dropna()
@@ -2034,6 +2151,8 @@ def _try_id_distinct_fastpath(q: Query, source):
         return None
     store = source.store
     extra = _order_extra_cols(q, sel, list(var_col))
+    if extra:
+        return None  # DISTINCT + non-projected order key: general path rejects
     cols_needed = sel + extra
     ids = store.pattern_scan_ids(
         s=bound.get("s_id"), p=bound.get("p_id"), o=bound.get("o_id"),
@@ -2235,6 +2354,14 @@ def evaluate(q: Query, source):
             ds = _order_and_slice(q, [], ds)
             return SolutionsResult([], ds)
         extra = _order_extra_cols(q, sel, vars_out)
+        if q.distinct and extra:
+            # SPARQL 1.1 §15.1: in a DISTINCT query ORDER BY may only use
+            # projected variables — deduping over (sel + key) would emit
+            # duplicate projected rows, so reject instead
+            raise ValueError(
+                "ORDER BY in a SELECT DISTINCT query may only reference "
+                f"projected variables (non-projected keys: {extra})"
+            )
         ds = _align_columns(ds, vars_out, sel + extra)
         if q.distinct:
             ds = _distinct(ds, sel + extra)

@@ -785,10 +785,14 @@ class Parser:
         """VALUES ?v { t1 t2 } or VALUES (?a ?b) { (t1 t2) (t3 t4) }."""
         k, v = tk.peek()
         vars_: List[Var] = []
+        paren_form = False  # VALUES (?v) {...} rows are parenthesized even
+        # for a single variable — the declaration form, not the var count,
+        # decides the row syntax (grammar [28]/[62])
         if k == "var":
             tk.next()
             vars_.append(Var(v[1:]))
         elif v == "(":
+            paren_form = True
             tk.next()
             while tk.peek()[0] == "var":
                 vars_.append(Var(tk.next()[1][1:]))
@@ -798,7 +802,7 @@ class Parser:
         tk.expect("{")
         rows: List[List[Optional[str]]] = []
         while tk.peek() != ("op", "}") and tk.peek()[1] != "}":
-            if len(vars_) == 1:
+            if not paren_form:
                 rows.append([self._values_term(tk)])
             else:
                 tk.expect("(")

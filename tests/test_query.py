@@ -299,7 +299,6 @@ def test_id_groupby_fastpath_matches_generic(pineapple_store, sparql, monkeypatc
         "SELECT DISTINCT ?o ?p WHERE { ?s ?p ?o } ORDER BY ?p ?o LIMIT 5",
         # ORDER BY a non-projected var: distinct runs over sel+extra on the
         # generic path — the pushdown must replicate that semantics exactly
-        "SELECT DISTINCT ?p WHERE { ?s ?p ?o } ORDER BY ?p ?s",
         "SELECT DISTINCT ?p ?o WHERE { <http://example.org/Nope> ?p ?o }",
     ],
 )
@@ -387,3 +386,14 @@ def test_id_groupby_fastpath_declines_unsupported_shapes(pineapple_store):
         "SELECT ?p (COUNT(*) AS ?n) WHERE { ?x ?p ?x } GROUP BY ?p",
     ]:
         assert E._try_id_groupby_fastpath(parse_query(sparql), src) is None, sparql
+
+
+def test_distinct_order_by_nonprojected_rejected(pineapple_store):
+    """SPARQL restricts ORDER BY in SELECT DISTINCT to projected variables
+    — deduping over (projection + key) would emit duplicate projected
+    rows, so the engine rejects instead (engine review r3)."""
+    import pytest as _pytest
+
+    q = parse_query("SELECT DISTINCT ?p WHERE { ?s ?p ?o } ORDER BY ?p ?s")
+    with _pytest.raises(ValueError, match="projected"):
+        evaluate(q, StoreSource(pineapple_store))
