@@ -3161,9 +3161,86 @@ REGISTRY = {
 }
 
 
+# The driver gates a bounded prefix of queries() each round (~30-50 entries),
+# so emit entries that still lack a green driver CORRECTNESS row FIRST: a slim
+# flagship block (the headline KG pipeline + one SPARQL and one relational
+# anchor, re-gated every round), then the 44 entries registered in round 3
+# that the round-3 driver run never reached, then the two rows-only entries
+# upgraded with property oracles this round, then everything already green
+# (registry order).  Python dicts preserve insertion order, so the driver
+# sees exactly this sequence.
+_DRIVER_ORDER = [
+    # flagship core — always driver-gated
+    "kg_extract_text",
+    "kg_triples",
+    "kg_linked_triples",
+    "kg_header_stats",
+    "sparql_mentions",
+    "lineitem_agg",
+    # never driver-checked through round 3 (VERDICT r3, next-round item 1)
+    "rollup_counts",
+    "winsorize_chars",
+    "corr_by_lang",
+    "label_centroids",
+    "url_dedup",
+    "dedup_keep_best",
+    "normalize_text",
+    "pii_scrub",
+    "quality_filter",
+    "unigram_lm_score",
+    "quantize_embeddings",
+    "curate_corpus",
+    "ivf_topk_exact",
+    "ngram_jaccard",
+    "dup_ngram_spans",
+    "remove_dup_spans",
+    "minhash_dup_property",
+    "semdedup_property",
+    "sample_docs",
+    "stratified_sample",
+    "quota_sample",
+    "temperature_sample",
+    "ccnet_buckets",
+    "bm25_topk",
+    "chunk_windows",
+    "funnel_steps",
+    "retention_cohorts",
+    "event_transitions",
+    "pack_conservation",
+    "incremental_dedup",
+    "value_histogram",
+    "bpe_token_counts",
+    "lang_vocab_size",
+    "pmi_bigrams",
+    "entity_triangles",
+    "corpus_report",
+    "domain_blocklist",
+    "token_quantiles",
+    "lang_token_quantiles",
+    "top_terms",
+    "heavy_hitter_terms",
+    "tfidf_top_terms",
+    "simhash_dup_property",
+    "approx_distinct",
+    # rows-only entries upgraded with property oracles in round 4
+    "lang_id",
+    "media_features",
+]
+
+
+def _ordered_names():
+    head = [n for n in _DRIVER_ORDER if n in REGISTRY]
+    seen = set(head)
+    return head + [n for n in REGISTRY if n not in seen]
+
+
 def queries():
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql():
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: REGISTRY[name][1]
+        for name in _ordered_names()
+        if REGISTRY[name][1] is not None
+    }
