@@ -288,3 +288,80 @@ def test_dictionary_distributed_final_tolerates_schemaless_empty_blocks():
     out = ray.get(_attach_ids.remote(empty, {}, 0))
     assert out.num_rows == 0
     assert set(out.schema.names) == {"term", "section", "sec_rank", "id"}
+
+
+def test_distributed_global_distinct_aggregates(monkeypatch):
+    """GLOBAL_AGG_COLLECT_LIMIT=0 forces the distributed no-GROUP-BY
+    DISTINCT/GROUP_CONCAT/SAMPLE path (per-block dedup combiner + groupby,
+    single-aggregate partial merges); results must match the collect path."""
+    import de_ray.query.engine as eng
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    n = 500
+    objs = [
+        f'"{i % 7}"^^<http://www.w3.org/2001/XMLSchema#integer>' for i in range(n)
+    ]
+    t = pa.table(
+        {
+            "subj": pa.array([f"urn:s{i}" for i in range(n)], pa.large_string()),
+            "pred": pa.array(["urn:p"] * n, pa.large_string()),
+            "obj": pa.array(objs, pa.large_string()),
+            "graph": pa.array(["g"] * n, pa.large_string()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    q = (
+        "SELECT (COUNT(DISTINCT ?o) AS ?n) (SUM(DISTINCT ?o) AS ?s) "
+        "(MIN(?o) AS ?mn) (MAX(?o) AS ?mx) "
+        '(GROUP_CONCAT(DISTINCT ?o; SEPARATOR="|") AS ?gc) '
+        "(SAMPLE(?o) AS ?sm) (COUNT(*) AS ?total) "
+        "WHERE { ?x <urn:p> ?o }"
+    )
+    base = evaluate(parse_query(q), DatasetSource(ds)).ds.take_all()[0]
+    monkeypatch.setattr(eng, "GLOBAL_AGG_COLLECT_LIMIT", 0)
+    dist = evaluate(parse_query(q), DatasetSource(ds)).ds.take_all()[0]
+    for k in ("n", "s", "mn", "mx", "gc", "total"):
+        assert dist[k] == base[k], k
+    assert dist["sm"] in set(objs)
+    assert base["n"] == '"7"^^<http://www.w3.org/2001/XMLSchema#integer>' or base[
+        "n"
+    ].startswith('"7"')
+
+
+def test_describe_var_single_scan():
+    """DESCRIBE ?x over a multi-thousand-solution binding must issue ONE
+    full scan semi-joined against the IRI set, not one scan per IRI."""
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    n = 3000
+    t = pa.table(
+        {
+            "subj": pa.array([f"urn:s{i}" for i in range(n)], pa.large_string()),
+            "pred": pa.array(
+                ["urn:p" if i % 2 else "urn:q" for i in range(n)], pa.large_string()
+            ),
+            "obj": pa.array([f'"{i}"' for i in range(n)], pa.large_string()),
+            "graph": pa.array(["g"] * n, pa.large_string()),
+        }
+    )
+    src = DatasetSource(rd.from_arrow(t))
+    calls = []
+    orig = src.scan
+
+    def counting_scan(s, p, o):
+        calls.append((s, p, o))
+        return orig(s, p, o)
+
+    src.scan = counting_scan
+    res = evaluate(
+        parse_query("DESCRIBE ?x WHERE { ?x <urn:p> ?o }"), src
+    )
+    rows = res.ds.take_all()
+    # the WHERE matches the odd-index subjects; DESCRIBE returns their triples
+    assert len(rows) == n // 2
+    assert all(r["pred"] == "urn:p" for r in rows)
+    # exactly one wildcard scan beyond the BGP's own pattern scan
+    wild = [c for c in calls if c == (None, None, None)]
+    assert len(wild) == 1, calls
