@@ -1011,6 +1011,128 @@ SQL_SIMHASH_DUP_PROPERTY = (
 )
 
 
+# Planted-paragraph corpus for the language-ID property oracle: one
+# deterministic paragraph of common function words per profile language.
+# LangId must label each with its planted language (verified accuracy, not
+# just determinism), and the planting arithmetic (doc_id % 6 → language) is
+# reproduced verbatim by the SQL oracle.
+_PLANT_LANGS = ["en", "de", "fr", "es", "it", "pt"]
+_PLANT_PARAS = {
+    "en": "the old man and the woman went to the house and said that it was "
+    "not good for the children on the road and then they went to the market "
+    "in the morning with the other people",
+    "de": "der alte mann und die frau gehen in das haus und sagen dass es "
+    "nicht gut ist mit den kindern auf dem weg und dann gehen sie in den "
+    "garten mit den anderen leuten am morgen",
+    "fr": "le vieil homme et la femme vont dans la maison et disent que ce "
+    "est pas bon avec les enfants sur le chemin et puis ils vont au marche "
+    "le matin avec les autres personnes",
+    "es": "el hombre viejo y la mujer van a la casa y dicen que no es bueno "
+    "con los chicos en el camino y luego van al mercado por la manana con "
+    "las otras personas de la ciudad",
+    "it": "il vecchio uomo e la donna vanno nella casa e dicono che non e "
+    "buono con i bambini sulla strada e poi vanno al mercato la mattina con "
+    "le altre persone della citta",
+    "pt": "o homem velho e a mulher vao para a casa e dizem que nao e bom "
+    "com os meninos no caminho e depois vao ao mercado de manha com as "
+    "outras pessoas da cidade",
+}
+
+
+def q_lang_id_property(sf_dir: str):
+    """Property oracle for the Cavnar–Trenkle language identifier
+    (upgrades ``lang_id`` from rows-only evidence, VERDICT r3 item 4):
+    plant a deterministic function-word paragraph per profile language on
+    every doc_id and require the actor-pool LangId stage to recover the
+    planted language — a real accuracy gate on known input, not just
+    determinism. The doc_id → language mapping is pure arithmetic so the
+    SQL oracle recomputes the expected labels exactly."""
+    from de_ray.dataops.text import LangId
+
+    ids = _docs(sf_dir, ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_pylist()
+        texts = [_PLANT_PARAS[_PLANT_LANGS[i % len(_PLANT_LANGS)]] for i in d]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": pa.array(texts, pa.large_string()),
+            }
+        )
+
+    planted = ids.map_batches(plant, batch_format="pyarrow")
+    pred = planted.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return pred.select_columns(["doc_id", "lang_pred"])
+
+
+SQL_LANG_ID_PROPERTY = (
+    "SELECT doc_id, CASE doc_id % 6 WHEN 0 THEN 'en' WHEN 1 THEN 'de' "
+    "WHEN 2 THEN 'fr' WHEN 3 THEN 'es' WHEN 4 THEN 'it' ELSE 'pt' END "
+    "AS lang_pred FROM documents"
+)
+
+
+def q_media_features_property(sf_dir: str):
+    """Property oracle for the media decode/feature plumbing (upgrades
+    ``media_features`` from rows-only evidence): duplicate every synthetic
+    media payload and require the actor-pool decode stage to emit
+    bit-identical feature vectors for identical payloads — across actors,
+    batches and the clone boundary. Same cloned-corpus construction as
+    :func:`q_minhash_dup_property`."""
+    from de_ray.dataops.multimodal import decode_features_stage, synth_media_table
+
+    n = 64
+    t = synth_media_table(n)
+    clone = t.set_column(
+        t.schema.get_field_index("media_id"),
+        "media_id",
+        pa.array([i + _CLONE_OFF for i in range(n)], pa.int64()),
+    )
+    ds = rd.from_arrow(pa.concat_tables([t, clone]))
+    feats = decode_features_stage(ds, concurrency=(1, 2))
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        return pd.DataFrame(
+            {
+                "orig_id": (df["media_id"] % _CLONE_OFF).astype("int64"),
+                "fhash": [
+                    int.from_bytes(
+                        hashlib.md5(
+                            np.asarray(v, dtype=np.float32).tobytes()
+                        ).digest()[:8],
+                        "little",
+                        signed=True,
+                    )
+                    for v in df["features"]
+                ],
+            }
+        )
+
+    def same_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("orig_id", sort=False)["fhash"].agg(["min", "max"])
+        return pd.DataFrame(
+            {
+                "media_id": g.index.astype("int64"),
+                "same_features": (g["min"] == g["max"]).astype("int64"),
+            }
+        )
+
+    from de_ray.functions.agg import adaptive_grouped_apply
+
+    return adaptive_grouped_apply(
+        feats.map_batches(digest, batch_format="pandas"), "orig_id", same_final
+    )
+
+
+SQL_MEDIA_FEATURES_PROPERTY = (
+    "SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS same_features "
+    "FROM documents WHERE doc_id < 64"
+)
+
+
 # --- rows-only checks (non-SQL-expressible) --------------------------------
 
 
@@ -3150,6 +3272,8 @@ REGISTRY = {
     "heavy_hitter_terms": (q_heavy_hitter_terms, SQL_HEAVY_HITTERS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "simhash_dup_property": (q_simhash_dup_property, SQL_SIMHASH_DUP_PROPERTY),
+    "lang_id_property": (q_lang_id_property, SQL_LANG_ID_PROPERTY),
+    "media_features_property": (q_media_features_property, SQL_MEDIA_FEATURES_PROPERTY),
     # rows-only (non-SQL-expressible: model/sketch/stateful ops)
     "approx_distinct": (q_approx_distinct, None),
     "lang_id": (q_lang_id, None),
@@ -3222,9 +3346,9 @@ _DRIVER_ORDER = [
     "tfidf_top_terms",
     "simhash_dup_property",
     "approx_distinct",
-    # rows-only entries upgraded with property oracles in round 4
-    "lang_id",
-    "media_features",
+    # round-4 property-oracle upgrades of the last rows-only evidence
+    "lang_id_property",
+    "media_features_property",
 ]
 
 
