@@ -13,7 +13,7 @@ Graph results (CONSTRUCT/DESCRIBE) serialize as canonical N-Triples (K2).
 from __future__ import annotations
 
 import json
-from typing import List, Optional
+from typing import Iterator, List, Optional
 
 from de_ray.model import BlankNode, Iri, Literal, canonical_to_nt, canonical_to_term
 from de_ray.query.engine import BooleanResult, GraphResult, SolutionsResult
@@ -41,15 +41,21 @@ def _csv_field(term: Optional[str]) -> str:
     return v
 
 
-def solutions_to_csv(res: SolutionsResult) -> str:
-    lines = [",".join(res.variables)]
+def iter_solutions_csv(res: SolutionsResult) -> Iterator[str]:
+    yield ",".join(res.variables) + "\r\n"
     for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
+        lines = []
         for r in batch.itertuples(index=False):
             row = dict(zip(batch.columns, r))
             lines.append(
                 ",".join(_csv_field(_norm(row.get(v))) for v in res.variables)
             )
-    return "\r\n".join(lines) + "\r\n"
+        if lines:
+            yield "\r\n".join(lines) + "\r\n"
+
+
+def solutions_to_csv(res: SolutionsResult) -> str:
+    return "".join(iter_solutions_csv(res))
 
 
 def _norm(v):
@@ -60,9 +66,10 @@ def _norm(v):
     return v
 
 
-def solutions_to_tsv(res: SolutionsResult) -> str:
-    lines = ["\t".join("?" + v for v in res.variables)]
+def iter_solutions_tsv(res: SolutionsResult) -> Iterator[str]:
+    yield "\t".join("?" + v for v in res.variables) + "\n"
     for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
+        lines = []
         for r in batch.itertuples(index=False):
             row = dict(zip(batch.columns, r))
             lines.append(
@@ -71,7 +78,12 @@ def solutions_to_tsv(res: SolutionsResult) -> str:
                     for v in res.variables
                 )
             )
-    return "\n".join(lines) + "\n"
+        if lines:
+            yield "\n".join(lines) + "\n"
+
+
+def solutions_to_tsv(res: SolutionsResult) -> str:
+    return "".join(iter_solutions_tsv(res))
 
 
 def _json_term(term: str) -> dict:
@@ -88,9 +100,14 @@ def _json_term(term: str) -> dict:
     return out
 
 
-def solutions_to_json(res: SolutionsResult) -> str:
-    bindings = []
+def iter_solutions_json(res: SolutionsResult) -> Iterator[str]:
+    # chunked emission of the exact bytes json.dumps(doc) would produce:
+    # the head object, then comma-joined binding objects, then the closer
+    head = json.dumps({"vars": res.variables}, separators=(",", ":"))
+    yield '{"head":' + head + ',"results":{"bindings":['
+    first = True
     for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
+        parts = []
         for r in batch.itertuples(index=False):
             row = dict(zip(batch.columns, r))
             b = {}
@@ -98,9 +115,16 @@ def solutions_to_json(res: SolutionsResult) -> str:
                 val = _norm(row.get(v))
                 if val is not None:
                     b[v] = _json_term(val)
-            bindings.append(b)
-    doc = {"head": {"vars": res.variables}, "results": {"bindings": bindings}}
-    return json.dumps(doc, separators=(",", ":"), ensure_ascii=False)
+            parts.append(json.dumps(b, separators=(",", ":"), ensure_ascii=False))
+        if parts:
+            chunk = ",".join(parts)
+            yield chunk if first else "," + chunk
+            first = False
+    yield "]}}"
+
+
+def solutions_to_json(res: SolutionsResult) -> str:
+    return "".join(iter_solutions_json(res))
 
 
 def _xml_escape(s: str, attr: bool = False) -> str:
@@ -123,10 +147,15 @@ def _xml_term(term: str) -> str:
     return f"<literal>{_xml_escape(t.lexical)}</literal>"
 
 
-def solutions_to_xml(res: SolutionsResult) -> str:
+def iter_solutions_xml(res: SolutionsResult) -> Iterator[str]:
     head = "".join(f'<variable name="{v}"/>' for v in res.variables)
-    rows = []
+    yield (
+        '<?xml version="1.0"?>'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        f"<head>{head}</head><results>"
+    )
     for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
+        rows = []
         for r in batch.itertuples(index=False):
             row = dict(zip(batch.columns, r))
             bindings = "".join(
@@ -135,11 +164,13 @@ def solutions_to_xml(res: SolutionsResult) -> str:
                 if _norm(row.get(v)) is not None
             )
             rows.append(f"<result>{bindings}</result>")
-    return (
-        '<?xml version="1.0"?>'
-        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
-        f"<head>{head}</head><results>{''.join(rows)}</results></sparql>"
-    )
+        if rows:
+            yield "".join(rows)
+    yield "</results></sparql>"
+
+
+def solutions_to_xml(res: SolutionsResult) -> str:
+    return "".join(iter_solutions_xml(res))
 
 
 def boolean_to(fmt: str, res: BooleanResult) -> str:
@@ -157,13 +188,18 @@ def boolean_to(fmt: str, res: BooleanResult) -> str:
     raise ValueError(f"ASK queries only support csv/tsv/json/xml, not {fmt}")
 
 
-def graph_to_nt(res: GraphResult) -> str:
-    lines: List[str] = []
+def iter_graph_nt(res: GraphResult) -> Iterator[str]:
     for batch in res.ds.iter_batches(batch_size=64 * 1024, batch_format="pandas"):
+        lines = []
         for r in batch.itertuples(index=False):
             d = dict(zip(batch.columns, r))
             lines.append(format_nt_line(d["subj"], d["pred"], d["obj"]))
-    return "\n".join(lines) + ("\n" if lines else "")
+        if lines:
+            yield "\n".join(lines) + "\n"
+
+
+def graph_to_nt(res: GraphResult) -> str:
+    return "".join(iter_graph_nt(res))
 
 
 def graph_to_turtle(res: GraphResult, trig_graph: str = None) -> str:
@@ -284,27 +320,44 @@ def graph_to_rdfxml(res: GraphResult) -> str:
     )
 
 
-def serialize_result(result, fmt: str = "csv") -> str:
+def serialize_result_chunks(result, fmt: str = "csv") -> Iterator[str]:
+    """Streamed serialization: yields the response in per-batch chunks so a
+    large SELECT/CONSTRUCT is written to the wire without ever holding the
+    full string (the reference streams via its ReadForWrite pull bridge,
+    src/serve.rs:1426-1502). Subject-grouped writers (turtle/rdfxml) need
+    the whole graph and yield a single chunk. ``"".join(chunks)`` is
+    byte-identical to :func:`serialize_result`."""
     fmt = fmt.lower()
     if isinstance(result, BooleanResult):
-        return boolean_to(fmt, result)
+        yield boolean_to(fmt, result)
+        return
     if isinstance(result, SolutionsResult):
         if fmt == "csv":
-            return solutions_to_csv(result)
-        if fmt == "tsv":
-            return solutions_to_tsv(result)
-        if fmt == "json":
-            return solutions_to_json(result)
-        if fmt == "xml":
-            return solutions_to_xml(result)
-        raise ValueError(f"SELECT supports csv/tsv/json/xml, not {fmt}")
+            yield from iter_solutions_csv(result)
+        elif fmt == "tsv":
+            yield from iter_solutions_tsv(result)
+        elif fmt == "json":
+            yield from iter_solutions_json(result)
+        elif fmt == "xml":
+            yield from iter_solutions_xml(result)
+        else:
+            raise ValueError(f"SELECT supports csv/tsv/json/xml, not {fmt}")
+        return
     if isinstance(result, GraphResult):
         if fmt in ("turtle", "ttl", "n3", "trig"):
             # real compact Turtle (valid N3; a bare TriG default-graph block)
-            return graph_to_turtle(result)
-        if fmt in GRAPH_FORMATS:
-            return graph_to_nt(result)
-        if fmt == "rdfxml":
-            return graph_to_rdfxml(result)
-        raise ValueError(f"graph results support {GRAPH_FORMATS + ('rdfxml',)}, not {fmt}")
+            yield graph_to_turtle(result)
+        elif fmt in GRAPH_FORMATS:
+            yield from iter_graph_nt(result)
+        elif fmt == "rdfxml":
+            yield graph_to_rdfxml(result)
+        else:
+            raise ValueError(
+                f"graph results support {GRAPH_FORMATS + ('rdfxml',)}, not {fmt}"
+            )
+        return
     raise ValueError(f"unknown result {result!r}")
+
+
+def serialize_result(result, fmt: str = "csv") -> str:
+    return "".join(serialize_result_chunks(result, fmt))

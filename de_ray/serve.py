@@ -480,14 +480,19 @@ async function run(){
 # ---------------------------------------------------------------------------
 
 
-def handle_request(
+def handle_request_stream(
     method: str,
     path: str,
     state: ServeState,
     headers: Optional[Dict[str, str]] = None,
     body: bytes = b"",
-) -> Tuple[int, str, bytes]:
-    """→ (status, content_type, body). Never raises for protocol errors."""
+):
+    """→ (status, content_type, body) where body is ``bytes`` OR an
+    iterator of ``str`` chunks (successful /query responses — written to
+    the wire chunk-by-chunk, never holding the full serialization).
+    Never raises for protocol errors; chunk iteration may raise if query
+    EXECUTION fails mid-stream, mirroring the reference's streaming
+    writer (src/serve.rs:1426-1502)."""
     headers = {k.lower(): v for k, v in (headers or {}).items()}
     parsed = urllib.parse.urlsplit(path)
     route = parsed.path
@@ -497,9 +502,28 @@ def handle_request(
     # threads; GraphTable.table()'s tail fold racing an INSERT can drop
     # acknowledged triples. One reentrant lock serializes dispatch — the
     # endpoint is read-mostly at CLI scale and the reference likewise
-    # serializes state access behind interior mutability.
+    # serializes state access behind interior mutability. Query-result
+    # chunks iterate AFTER release: they only read the immutable Arrow
+    # snapshot captured by state.source() during dispatch.
     with _STATE_LOCK:
         return _dispatch(method, route, params, headers, body, state)
+
+
+def handle_request(
+    method: str,
+    path: str,
+    state: ServeState,
+    headers: Optional[Dict[str, str]] = None,
+    body: bytes = b"",
+) -> Tuple[int, str, bytes]:
+    """→ (status, content_type, body). Never raises for protocol errors."""
+    status, ctype, out = handle_request_stream(method, path, state, headers, body)
+    if not isinstance(out, (bytes, bytearray)):
+        try:
+            out = "".join(out).encode()
+        except Exception as e:  # mid-stream execution error → 400 as before
+            return 400, "text/plain", str(e).encode()
+    return status, ctype, out
 
 
 _STATE_LOCK = __import__("threading").RLock()
@@ -537,7 +561,7 @@ def _dispatch(method, route, params, headers, body, state) -> Tuple[int, str, by
 def _handle_query(method, params, headers, body, state) -> Tuple[int, str, bytes]:
     from de_ray.query.engine import GraphResult, SolutionsResult, evaluate
     from de_ray.query.parser import parse_query
-    from de_ray.query.serialize import serialize_result
+    from de_ray.query.serialize import serialize_result_chunks
 
     query_text = None
     if method == "GET":
@@ -576,7 +600,7 @@ def _handle_query(method, params, headers, body, state) -> Tuple[int, str, bytes
     else:
         fmt = _negotiate(accept, _SOLUTION_TYPES, "json")
         mt = next(k for k, v in _SOLUTION_TYPES.items() if v == fmt)
-    return 200, mt, serialize_result(res, fmt).encode()
+    return 200, mt, serialize_result_chunks(res, fmt)
 
 
 def _graph_param(params) -> Optional[str]:
@@ -659,15 +683,31 @@ def make_server(load_dir: str, bind: str = "127.0.0.1:0"):
         def _run(self, method):
             ln = int(self.headers.get("Content-Length", "0") or 0)
             body = self.rfile.read(ln) if ln else b""
-            status, ctype, out = handle_request(
+            status, ctype, out = handle_request_stream(
                 method, self.path, state, dict(self.headers), body
             )
+            if isinstance(out, (bytes, bytearray)):
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                if method != "HEAD":
+                    self.wfile.write(out)
+                return
+            # query-result chunks: stream to the wire with chunked
+            # transfer-encoding — the full response string is never built
             self.send_response(status)
             self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(out)))
+            self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
             if method != "HEAD":
-                self.wfile.write(out)
+                for chunk in out:
+                    data = chunk.encode()
+                    if data:
+                        self.wfile.write(
+                            f"{len(data):X}\r\n".encode() + data + b"\r\n"
+                        )
+                self.wfile.write(b"0\r\n\r\n")
 
         def do_GET(self):
             self._run("GET")

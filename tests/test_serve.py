@@ -199,3 +199,83 @@ def test_live_socket_roundtrip(tmp_path):
         assert data["results"]["bindings"][0]["o"]["value"] == "v"
     finally:
         server.shutdown()
+
+
+def test_streamed_chunks_match_monolithic():
+    """serialize_result_chunks must be byte-identical to serialize_result
+    across all solution formats and produce >1 chunk for multi-batch
+    results (the large-SELECT streaming path, VERDICT r3 item 5)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+    from de_ray.query.serialize import serialize_result, serialize_result_chunks
+
+    n = 5000
+    t = pa.table(
+        {
+            "subj": pa.array([f"urn:s{i}" for i in range(n)], pa.large_string()),
+            "pred": pa.array(["urn:p"] * n, pa.large_string()),
+            "obj": pa.array([f'"v{i}"' for i in range(n)], pa.large_string()),
+            "graph": pa.array(["g"] * n, pa.large_string()),
+        }
+    )
+    src = DatasetSource(rd.from_arrow(t).repartition(4))
+    sel = "SELECT ?s ?o WHERE { ?s <urn:p> ?o } ORDER BY ?s"  # deterministic
+    res = evaluate(parse_query(sel), src)
+    for fmt in ("csv", "tsv", "json", "xml"):
+        res2 = evaluate(parse_query(sel), src)
+        chunks = list(serialize_result_chunks(res2, fmt))
+        assert len(chunks) > 1, fmt
+        assert "".join(chunks) == serialize_result(res, fmt), fmt
+    g = evaluate(
+        parse_query("CONSTRUCT { ?s <urn:p> ?o } WHERE { ?s <urn:p> ?o }"), src
+    )
+    g2 = evaluate(
+        parse_query("CONSTRUCT { ?s <urn:p> ?o } WHERE { ?s <urn:p> ?o }"), src
+    )
+    chunks = list(serialize_result_chunks(g2, "ntriple"))
+    # CONSTRUCT emits in streaming (unordered) block order: compare as sets
+    assert sorted("".join(chunks).splitlines()) == sorted(
+        serialize_result(g, "ntriple").splitlines()
+    )
+
+
+def test_http_server_streams_chunked(tmp_path):
+    """A /query over the real HTTP server must arrive with chunked
+    transfer-encoding and decode to the same body the pure handler gives."""
+    import http.client
+    import threading
+
+    from de_ray.serve import make_server
+
+    server = make_server(str(tmp_path))
+    server.de_ray_state.replace(
+        "file:///banana.hdt",
+        [(f"{EX}Banana", f"{EX}hasColor", '"yellow"')],
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.request(
+            "POST",
+            "/query",
+            body=b"SELECT ?s ?o WHERE { ?s <http://example.org/hasColor> ?o }",
+            headers={
+                "Content-Type": "application/sparql-query",
+                "Accept": "text/csv",
+            },
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Transfer-Encoding") == "chunked"
+        assert resp.getheader("Content-Length") is None
+        body = resp.read().decode()
+        assert "http://example.org/Banana" in body and "yellow" in body
+        conn.close()
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
