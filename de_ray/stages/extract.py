@@ -28,14 +28,25 @@ class HtmlTextExtractor:
         self.script_re = re.compile(rb"<(script|style)[^>]*>.*?</\1>", re.S)
         self.para_re = re.compile(rb"<p[^>]*>(.*?)</p>", re.S)
         self.tag_re = re.compile(rb"<[^>]+>")
+        # malformed-input hardening (real Common-Crawl HTML): comments may
+        # wrap <p> markup, CDATA brackets confuse the tag stripper, an
+        # unclosed <script>/<style> would otherwise leak code into text,
+        # and a payload truncated mid-tag leaves a dangling "<..." run
+        self.comment_re = re.compile(rb"<!--.*?(?:-->|\Z)", re.S)
+        self.cdata_re = re.compile(rb"<!\[CDATA\[(.*?)(?:\]\]>|\Z)", re.S)
+        self.open_script_re = re.compile(rb"<(?:script|style)[^>]*>.*\Z", re.S)
+        self.trunc_tag_re = re.compile(rb"<[^>]*\Z")
 
     def extract_one(self, html: bytes) -> str:
-        body = self.script_re.sub(b"", html)
+        body = self.comment_re.sub(b"", html)
+        body = self.cdata_re.sub(rb"\1", body)
+        body = self.script_re.sub(b"", body)
+        body = self.open_script_re.sub(b"", body)  # unclosed → drop to EOF
         m = self.article_re.search(body)
         scope = m.group(1) if m else body
         paras = self.para_re.findall(scope)
         if not paras:
-            paras = [self.tag_re.sub(b"", scope)]
+            paras = [self.trunc_tag_re.sub(b"", self.tag_re.sub(b"", scope))]
         return "\n\n".join(
             _html.unescape(p.decode("utf-8", errors="replace")) for p in paras
         )
