@@ -327,13 +327,13 @@ def apply_update(state: ServeState, text: str) -> None:
             )
         elif word == "LOAD":
             silent = bool(tk.try_word("SILENT"))
-            _src = parser._term(tk)
+            src = parser._term(tk)
             dest = None
             if tk.try_word("INTO"):
                 if not tk.try_word("GRAPH"):
                     raise UpdateError(400, "expected GRAPH after INTO")
                 dest = parser._term(tk)
-            ops.append(("load", dest, silent))
+            ops.append(("load", (src, dest), silent))
         elif word in ("CLEAR", "DROP"):
             silent = bool(tk.try_word("SILENT"))
             tgt = tk.try_word("GRAPH", "NAMED", "ALL", "DEFAULT")
@@ -370,21 +370,36 @@ def apply_update(state: ServeState, text: str) -> None:
                         "to new graphs.",
                     )
         elif kind == "load":
-            if payload is None:
+            src, dest = payload
+            if dest is None:
                 raise UpdateError(
                     403,
                     "LOAD to default graph is not allowed. Only named graphs can "
                     "be created.",
                 )
-            if state.contains(payload) and not silent:
-                raise UpdateError(403, f"Graph {payload} already exists.")
-            # 501 belongs to VALIDATION: a LOAD deep in a multi-op request
-            # must not leave earlier ops half-applied before erroring
-            raise UpdateError(
-                501,
-                "LOAD operation is not yet implemented. Please use INSERT DATA "
-                "or the /store endpoint with PUT to add new graphs.",
-            )
+            if state.contains(dest) and not silent:
+                raise UpdateError(403, f"Graph {dest} already exists.")
+            # beyond-reference: the reference validates LOAD then 501s at
+            # execution (src/serve.rs:1045-1059); we execute file:// loads
+            # through the library's own RDF parsers. Network IRIs keep the
+            # 501 (no outbound HTTP in this engine's serve envelope).
+            # Errors raise in VALIDATION: a LOAD deep in a multi-op request
+            # must not leave earlier ops half-applied before erroring.
+            if not src.startswith("file://"):
+                if not silent:
+                    raise UpdateError(
+                        501,
+                        "LOAD from network IRIs is not implemented. Use a "
+                        "file:// IRI, INSERT DATA, or the /store endpoint "
+                        "with PUT to add new graphs.",
+                    )
+            elif not silent:
+                try:
+                    _load_file_triples(src)
+                except UpdateError:
+                    raise
+                except Exception as e:
+                    raise UpdateError(400, f"cannot load {src}: {e}")
         elif kind == "drop":
             if not state.contains(payload) and not silent:
                 raise UpdateError(404, f"The graph {payload} does not exist")
@@ -396,10 +411,45 @@ def apply_update(state: ServeState, text: str) -> None:
         elif kind == "insert_data":
             for g, t in payload:
                 state.insert(g, [t])
+        elif kind == "load":
+            src, dest = payload
+            try:
+                triples = _load_file_triples(src)
+            except Exception:
+                if silent:
+                    continue  # SILENT: failed LOAD is a no-op
+                raise
+            if state.contains(dest):
+                continue  # SILENT existing-graph load is a no-op
+            state.replace(dest, triples)
         elif kind == "drop":
             state.drop(payload)
         elif kind == "drop_all":
             state.drop_all()
+
+
+def _load_file_triples(src_iri: str):
+    """Parse a ``file://`` RDF document into (s, p, o) triples with the
+    library's own parsers, routed by extension like the CLI's file-type
+    router (M2). CLI-scale driver-side parse, same as the /store body
+    loaders."""
+    import urllib.request
+
+    path = urllib.request.url2pathname(urllib.parse.urlsplit(src_iri).path)
+    if not os.path.exists(path):
+        raise UpdateError(400, f"LOAD source {src_iri} does not exist")
+    with open(path, "rb") as f:
+        data = f.read().decode("utf-8")
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".ttl", ".turtle", ".n3", ".trig"):
+        from de_ray.rdfio.turtle import parse_turtle
+
+        rows = parse_turtle(data)
+    elif ext in (".nt", ".nq", ".nquads"):
+        rows = parse_nt_text(data)
+    else:
+        raise UpdateError(400, f"LOAD cannot route extension {ext or '(none)'}")
+    return [r[:3] for r in rows]  # quads project to triples (M1)
 
 
 # ---------------------------------------------------------------------------

@@ -279,3 +279,72 @@ def test_http_server_streams_chunked(tmp_path):
     finally:
         server.shutdown()
         thread.join(timeout=10)
+
+
+def test_update_load_file(tmp_path, state):
+    """LOAD <file://...> INTO GRAPH executes (beyond the reference, which
+    validates then 501s — src/serve.rs:1045-1059). The loaded graph must
+    answer queries."""
+    f = tmp_path / "fruit.ttl"
+    f.write_text("@prefix ex: <http://example.org/> . ex:Kiwi ex:hasColor \"green\" .")
+    status, _, body = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"},
+        f"LOAD <file://{f}> INTO GRAPH <file:///kiwi.hdt>".encode(),
+    )
+    assert status == 204, body
+    status, _, body = _post_query(
+        state, "SELECT ?o WHERE { <http://example.org/Kiwi> <http://example.org/hasColor> ?o }"
+    )
+    assert status == 200
+    assert "green" in body.decode()
+
+
+def test_update_load_existing_graph_forbidden(tmp_path, state):
+    f = tmp_path / "x.nt"
+    f.write_text('<http://e/a> <http://e/b> "c" .\n')
+    status, _, body = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"},
+        f"LOAD <file://{f}> INTO GRAPH <file:///banana.hdt>".encode(),
+    )
+    assert status == 403
+    assert b"already exists" in body
+
+
+def test_update_load_network_still_501(state):
+    status, _, body = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"},
+        b"LOAD <http://remote.example/data.ttl> INTO GRAPH <file:///r.hdt>",
+    )
+    assert status == 501
+
+
+def test_update_load_default_graph_forbidden(tmp_path, state):
+    f = tmp_path / "x.nt"
+    f.write_text('<http://e/a> <http://e/b> "c" .\n')
+    status, _, _ = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"},
+        f"LOAD <file://{f}>".encode(),
+    )
+    assert status == 403
+
+
+def test_update_load_missing_file_400_and_silent_noop(state):
+    status, _, body = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"},
+        b"LOAD <file:///nonexistent/x.nt> INTO GRAPH <file:///y.hdt>",
+    )
+    assert status == 400
+    status, _, _ = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"},
+        b"LOAD SILENT <file:///nonexistent/x.nt> INTO GRAPH <file:///y.hdt>",
+    )
+    assert status == 204  # SILENT failure is a no-op
+    # and the graph was NOT created
+    status, _, body = handle_request("GET", "/store?graph=file%3A%2F%2F%2Fy.hdt", state)
+    assert status == 404
