@@ -68,7 +68,7 @@ def do_query(data: list[str], queries: list[str], fmt: str, out=None) -> None:
     _ensure_ray()
     from de_ray.query.engine import DatasetSource, MultiSource, StoreSource, evaluate
     from de_ray.query.parser import parse_query
-    from de_ray.query.serialize import serialize_result
+    from de_ray.query.serialize import serialize_result_chunks
     from de_ray.rdfio import read_rdf
 
     out = out or sys.stdout
@@ -107,7 +107,8 @@ def do_query(data: list[str], queries: list[str], fmt: str, out=None) -> None:
             # CONSTRUCT/DESCRIBE emit graphs: the solution-format default
             # would error — fall back to N-Triples like the reference
             eff_fmt = "ntriple"
-        out.write(serialize_result(res, eff_fmt))
+        for chunk in serialize_result_chunks(res, eff_fmt):
+            out.write(chunk)  # stream: never hold the full result string
 
 
 def do_view(target: str, out=None) -> None:
