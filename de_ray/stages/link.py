@@ -73,13 +73,21 @@ class EntityLinker:
 
 
 def link_entities_stage(ds, alias: Optional[Dict[str, str]] = None, concurrency=(1, 8),
-                        batch_size: int = 64 * 1024, compute: str = "tasks"):
+                        batch_size: Optional[int] = None, compute: str = "tasks"):
     """Apply entity linking over a triples Dataset with a broadcast alias dict.
 
     ``compute="tasks"`` (default): stateless tasks reading the alias dict
     through the process-local broadcast cache — fuses with neighbouring map
     stages. ``compute="actors"``: explicit actor pool (the pattern for
     heavyweight linkers holding big in-memory indexes).
+
+    ``batch_size=None`` (whole blocks) is deliberate on the tasks path:
+    the lookup is a vectorized dict-encode that handles any batch size,
+    and a large fixed batch_size makes the FUSED chain bundle that many
+    *input* rows per task — a 64k floor was silently capping the
+    flagship's read→extract→triples→link chain at ceil(n_docs/65536)
+    tasks (8 tasks for the 500k-doc bench corpus, 2× the chain wall on
+    32 CPUs).
     """
     import ray
 
