@@ -38,6 +38,11 @@ from de_ray.stages.link import link_entities_stage
 from de_ray.stages.triples import extract_triples_stage
 from de_ray.state.checkpoint import CheckpointedRun
 
+# fused-chain read granularity: docs per read block (≈0.4 s of
+# extract+triples+link compute per task — big enough to amortize task
+# dispatch, small enough to load-balance any cluster width)
+DOCS_PER_READ_BLOCK = 12_500
+
 
 def run_kg_pipeline(
     webtext_path: str,
@@ -85,17 +90,25 @@ def run_kg_pipeline(
         # tap). No intermediate parquet of extracted text — the text column
         # is consumed by the triple extractor in the same pass it is
         # produced (one full-corpus write+read less per run).
-        # Read blocks sized to the session: a group smaller than the CPU
-        # count would otherwise emit one block per file and run the whole
-        # fused chain at file-count parallelism (the bench corpus is 5
-        # files — measured 2× chain wall on 32 CPUs without the override).
-        n_files = len(files) if isinstance(files, (list, tuple)) else 1
+        # Read blocks sized to the DATA, not the file layout: one fused
+        # task per ~DOCS_PER_READ_BLOCK docs (≈0.4 s of chain compute).
+        # Without this the chain runs at file-count granularity — 5 files
+        # meant 2× the chain wall on 32 CPUs — and the block layout is
+        # identical at every cluster width (clean N-vs-4N comparisons;
+        # floored at the CPU count so tiny corpora still use the session,
+        # capped at 256×CPUs so a 10^12-doc group can't explode the plan).
+        import pyarrow.parquet as _pq
         import ray as _ray
 
+        flist = list(files) if isinstance(files, (list, tuple)) else [files]
+        n_docs_group = sum(_pq.read_metadata(f).num_rows for f in flist)
         cpus = int(_ray.cluster_resources().get("CPU", 8))
-        read_kw = {}
-        if n_files < cpus:
-            read_kw["override_num_blocks"] = cpus
+        nb = max(
+            len(flist),
+            cpus,
+            min(-(-n_docs_group // DOCS_PER_READ_BLOCK), 256 * cpus),
+        )
+        read_kw = {"override_num_blocks": nb}
         out = link_entities_stage(
             extract_triples_stage(
                 extract_text_stage(
