@@ -2551,12 +2551,16 @@ def evaluate(q: Query, source):
             # ride the same semi-join so triples are never duplicated.
             from de_ray.dataops.joins import semi_join
 
+            def _iri_col(df: pd.DataFrame, v: str) -> pa.Table:
+                # typed even when the block lacks the column (schema-dropped
+                # empty blocks) — a null-typed empty block would poison the
+                # semi-join's is_in value set
+                vals = df[v].dropna().tolist() if v in df.columns else []
+                return pa.table({"__iri": pa.array(vals, pa.large_string())})
+
             cols = [
                 ds.map_batches(
-                    lambda df, v=v: pd.DataFrame(
-                        {"__iri": df[v].dropna() if v in df.columns else []}
-                    ),
-                    batch_format="pandas",
+                    lambda df, v=v: _iri_col(df, v), batch_format="pandas"
                 )
                 for v in var_names
             ]
@@ -2565,7 +2569,11 @@ def evaluate(q: Query, source):
                 iris_ds = iris_ds.union(c)
             if const_iris:
                 iris_ds = iris_ds.union(
-                    rd.from_pandas(pd.DataFrame({"__iri": const_iris}))
+                    rd.from_arrow(
+                        pa.table(
+                            {"__iri": pa.array(const_iris, pa.large_string())}
+                        )
+                    )
                 )
             out = semi_join(
                 source.scan(None, None, None),

@@ -365,3 +365,31 @@ def test_describe_var_single_scan():
     # exactly one wildcard scan beyond the BGP's own pattern scan
     wild = [c for c in calls if c == (None, None, None)]
     assert len(wild) == 1, calls
+
+
+def test_describe_var_with_optional_unbound_column():
+    """DESCRIBE ?x where ?x comes from an OPTIONAL (some solution blocks
+    lack the column entirely, and an unbound constant term rides along):
+    the IRI-column stage must stay string-typed on empty blocks."""
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+
+    t = pa.table(
+        {
+            "subj": pa.array(["urn:a", "urn:b"], pa.large_string()),
+            "pred": pa.array(["urn:p", "urn:q"], pa.large_string()),
+            "obj": pa.array(["urn:b", '"lit"'], pa.large_string()),
+            "graph": pa.array(["g", "g"], pa.large_string()),
+        }
+    )
+    src = DatasetSource(rd.from_arrow(t))
+    res = evaluate(
+        parse_query(
+            "DESCRIBE ?y <urn:a> WHERE { ?s <urn:p> ?o . "
+            "OPTIONAL { ?o <urn:nope> ?y } }"
+        ),
+        src,
+    )
+    rows = sorted((r["subj"], r["pred"], r["obj"]) for r in res.ds.take_all())
+    # ?y never binds → only the constant term <urn:a> is described
+    assert rows == [("urn:a", "urn:p", "urn:b")]
