@@ -348,7 +348,7 @@ def apply_update(state: ServeState, text: str) -> None:
                 raise UpdateError(400, f"expected GRAPH/NAMED/ALL after {word}")
 
     # validation pass (reference src/serve.rs:798-962)
-    for kind, payload, silent in ops:
+    for i, (kind, payload, silent) in enumerate(ops):
         if kind == "create":
             if state.contains(payload) and not silent:
                 raise UpdateError(403, f"Graph {payload} already exists.")
@@ -383,8 +383,12 @@ def apply_update(state: ServeState, text: str) -> None:
             # execution (src/serve.rs:1045-1059); we execute file:// loads
             # through the library's own RDF parsers. Network IRIs keep the
             # 501 (no outbound HTTP in this engine's serve envelope).
-            # Errors raise in VALIDATION: a LOAD deep in a multi-op request
-            # must not leave earlier ops half-applied before erroring.
+            # The document is parsed HERE, once: errors must raise before
+            # any op executes (no half-applied multi-op requests), and the
+            # execution pass then only appends the cached triples. A
+            # resolved payload of None means "validated no-op" (SILENT
+            # failure or SILENT load into a pre-existing graph).
+            triples = None
             if not src.startswith("file://"):
                 if not silent:
                     raise UpdateError(
@@ -393,13 +397,18 @@ def apply_update(state: ServeState, text: str) -> None:
                         "file:// IRI, INSERT DATA, or the /store endpoint "
                         "with PUT to add new graphs.",
                     )
-            elif not silent:
+            elif not (silent and state.contains(dest)):
                 try:
-                    _load_file_triples(src)
+                    triples = _load_file_triples(src)
                 except UpdateError:
-                    raise
+                    if not silent:
+                        raise
+                    triples = None
                 except Exception as e:
-                    raise UpdateError(400, f"cannot load {src}: {e}")
+                    if not silent:
+                        raise UpdateError(400, f"cannot load {src}: {e}")
+                    triples = None
+            ops[i] = ("load", (dest, triples), silent)
         elif kind == "drop":
             if not state.contains(payload) and not silent:
                 raise UpdateError(404, f"The graph {payload} does not exist")
@@ -412,16 +421,13 @@ def apply_update(state: ServeState, text: str) -> None:
             for g, t in payload:
                 state.insert(g, [t])
         elif kind == "load":
-            src, dest = payload
-            try:
-                triples = _load_file_triples(src)
-            except Exception:
-                if silent:
-                    continue  # SILENT: failed LOAD is a no-op
-                raise
-            if state.contains(dest):
-                continue  # SILENT existing-graph load is a no-op
-            state.replace(dest, triples)
+            dest, triples = payload
+            if triples is None:
+                continue  # validated SILENT no-op
+            # insert (create-or-append): LOAD merges into the target, so
+            # CREATE GRAPH <g>; LOAD ... INTO <g> in one request works and
+            # two LOADs into the same new graph accumulate
+            state.insert(dest, triples)
         elif kind == "drop":
             state.drop(payload)
         elif kind == "drop_all":
@@ -429,27 +435,26 @@ def apply_update(state: ServeState, text: str) -> None:
 
 
 def _load_file_triples(src_iri: str):
-    """Parse a ``file://`` RDF document into (s, p, o) triples with the
-    library's own parsers, routed by extension like the CLI's file-type
-    router (M2). CLI-scale driver-side parse, same as the /store body
-    loaders."""
+    """Parse a ``file://`` RDF document into (s, p, o) triples via the
+    library's own extension router (``rdfio.sources._parse_file_row`` —
+    the same table the CLI's file-type router M2 uses, so Turtle/N3/TriG,
+    N-Triples/N-Quads AND RDF/XML (.rdf/.owl/.xml) all work and new
+    formats need no second routing table here). CLI-scale driver-side
+    parse, same as the /store body loaders."""
     import urllib.request
+
+    from de_ray.rdfio.sources import _parse_file_row
 
     path = urllib.request.url2pathname(urllib.parse.urlsplit(src_iri).path)
     if not os.path.exists(path):
         raise UpdateError(400, f"LOAD source {src_iri} does not exist")
     with open(path, "rb") as f:
-        data = f.read().decode("utf-8")
-    ext = os.path.splitext(path)[1].lower()
-    if ext in (".ttl", ".turtle", ".n3", ".trig"):
-        from de_ray.rdfio.turtle import parse_turtle
-
-        rows = parse_turtle(data)
-    elif ext in (".nt", ".nq", ".nquads"):
-        rows = parse_nt_text(data)
-    else:
-        raise UpdateError(400, f"LOAD cannot route extension {ext or '(none)'}")
-    return [r[:3] for r in rows]  # quads project to triples (M1)
+        data = f.read()
+    try:
+        rows = _parse_file_row({"path": path, "bytes": data})
+    except ValueError as e:  # unhandled extension / parse failure
+        raise UpdateError(400, f"cannot load {src_iri}: {e}")
+    return [(r["subj"], r["pred"], r["obj"]) for r in rows]
 
 
 # ---------------------------------------------------------------------------
@@ -727,6 +732,11 @@ def make_server(load_dir: str, bind: str = "127.0.0.1:0"):
     host, _, port = bind.partition(":")
 
     class Handler(http.server.BaseHTTPRequestHandler):
+        # chunked transfer-encoding is an HTTP/1.1 feature; the default
+        # HTTP/1.0 response line makes spec-following clients ignore the
+        # Transfer-Encoding header and read raw chunk framing as the body
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
 

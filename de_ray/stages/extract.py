@@ -38,9 +38,13 @@ class HtmlTextExtractor:
         self.trunc_tag_re = re.compile(rb"<[^>]*\Z")
 
     def extract_one(self, html: bytes) -> str:
-        body = self.comment_re.sub(b"", html)
+        # closed script/style blocks go FIRST: real pages embed '<!--'
+        # inside scripts (legal JS, old-style comment hiding), and an
+        # unterminated comment-opener there must not eat the rest of the
+        # document once the script block itself is gone
+        body = self.script_re.sub(b"", html)
+        body = self.comment_re.sub(b"", body)
         body = self.cdata_re.sub(rb"\1", body)
-        body = self.script_re.sub(b"", body)
         body = self.open_script_re.sub(b"", body)  # unclosed → drop to EOF
         m = self.article_re.search(body)
         scope = m.group(1) if m else body

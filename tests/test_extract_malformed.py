@@ -64,3 +64,11 @@ def test_huge_truncated_payload_no_blowup():
     assert out.startswith("para 0\n\npara 1")
     assert out.count("\n\n") == 999
     assert "tail is cut" not in out  # unterminated paragraph excluded
+
+
+def test_comment_opener_inside_closed_script():
+    """'<!--' inside a properly closed <script> must not eat the rest of
+    the document (closed scripts are removed before comment stripping)."""
+    payload = b"<p>keep</p><script>if(a<!--b){}</script><p>also keep</p>"
+    out = HtmlTextExtractor().extract_one(payload)
+    assert out == "keep\n\nalso keep"

@@ -348,3 +348,74 @@ def test_update_load_missing_file_400_and_silent_noop(state):
     # and the graph was NOT created
     status, _, body = handle_request("GET", "/store?graph=file%3A%2F%2F%2Fy.hdt", state)
     assert status == 404
+
+
+def test_update_create_then_load_same_request(tmp_path, state):
+    """CREATE GRAPH <g>; LOAD ... INTO <g> in ONE request must load the
+    data (regression: the execution pass skipped any LOAD whose target
+    existed by execution time, even when this same request created it)."""
+    f = tmp_path / "kiwi.ttl"
+    f.write_text("@prefix ex: <http://example.org/> . ex:Kiwi ex:hasColor \"green\" .")
+    status, _, body = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"},
+        (f"CREATE GRAPH <file:///kiwi.hdt> ; "
+         f"LOAD <file://{f}> INTO GRAPH <file:///kiwi.hdt>").encode(),
+    )
+    assert status == 204, body
+    status, _, body = _post_query(
+        state, "SELECT ?o WHERE { <http://example.org/Kiwi> <http://example.org/hasColor> ?o }"
+    )
+    assert "green" in body.decode()
+
+
+def test_update_two_loads_same_new_graph_accumulate(tmp_path, state):
+    a = tmp_path / "a.nt"; a.write_text('<http://e/a> <http://e/p> "1" .\n')
+    b = tmp_path / "b.nt"; b.write_text('<http://e/b> <http://e/p> "2" .\n')
+    status, _, body = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"},
+        (f"LOAD <file://{a}> INTO GRAPH <file:///ab.hdt> ; "
+         f"LOAD <file://{b}> INTO GRAPH <file:///ab.hdt>").encode(),
+    )
+    assert status == 204, body
+    status, _, body = _post_query(
+        state, "SELECT ?s WHERE { ?s <http://e/p> ?o }", accept="text/csv"
+    )
+    text = body.decode()
+    assert "http://e/a" in text and "http://e/b" in text
+
+
+def test_update_load_silent_network_does_not_touch_local_fs(state):
+    """LOAD SILENT <http://...> must be a no-op, NOT a local-path read of
+    the URL's path component."""
+    status, _, _ = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"},
+        b"LOAD SILENT <http://remote.example/etc/hostname> INTO GRAPH <file:///h.hdt>",
+    )
+    assert status == 204
+    status, _, _ = handle_request("GET", "/store?graph=file%3A%2F%2F%2Fh.hdt", state)
+    assert status == 404  # nothing was created
+
+
+def test_update_load_rdfxml(tmp_path, state):
+    """LOAD routes RDF/XML through the library's shared extension router."""
+    f = tmp_path / "fruit.rdf"
+    f.write_text(
+        '<?xml version="1.0"?>'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://example.org/">'
+        '<rdf:Description rdf:about="http://example.org/Plum">'
+        '<ex:hasColor>purple</ex:hasColor></rdf:Description></rdf:RDF>'
+    )
+    status, _, body = handle_request(
+        "POST", "/update", state,
+        {"Content-Type": "application/sparql-update"},
+        f"LOAD <file://{f}> INTO GRAPH <file:///plum.hdt>".encode(),
+    )
+    assert status == 204, body
+    status, _, body = _post_query(
+        state, "SELECT ?o WHERE { <http://example.org/Plum> <http://example.org/hasColor> ?o }"
+    )
+    assert "purple" in body.decode()
