@@ -216,7 +216,7 @@ def run_bench() -> dict:
         "dedup_exact",
         "token_counts",
         "ann_topk",
-        "minhash_clusters",
+        "minhash_dup_property",
         "ngram_jaccard",
         "dup_ngram_spans",
         "asof_join",

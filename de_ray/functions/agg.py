@@ -116,9 +116,22 @@ def rollup_grouped_agg(
     COALESCE sentinel an SQL oracle can reproduce), so the final merge sees
     ~(levels × distinct keys) rows regardless of input size — strictly
     cheaper than running ``len(keys)+1`` separate groupbys, and no NULL
-    keys ever enter a shuffle."""
+    keys ever enter a shuffle.
+
+    NULL group keys are preserved (SQL ``GROUP BY ROLLUP`` keeps NULL
+    groups; pandas ``groupby`` would silently drop them): NaN keys are
+    mapped to a private sentinel before the combiner groupby and restored
+    to NULL after the final merge — distinct from ``total_label``, so a
+    genuine NULL group never collides with a rolled-up level."""
+
+    # \x00 cannot appear in real key strings (and never equals total_label)
+    null_key = "\x00\x00null"
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[keys + [value_col]].copy()
+        for k in keys:
+            if df[k].isna().any():
+                df[k] = df[k].astype(object).where(df[k].notna(), null_key)
         outs = []
         for lvl in range(len(keys), -1, -1):
             grp = keys[:lvl]
@@ -136,4 +149,14 @@ def rollup_grouped_agg(
         return pd.concat(outs, ignore_index=True)
 
     part = ds.map_batches(partial, batch_format="pandas", batch_size=256 * 1024)
-    return adaptive_grouped_sum(part, keys, ["n_rows", "sum_value"], limit=limit)
+    out = adaptive_grouped_sum(part, keys, ["n_rows", "sum_value"], limit=limit)
+
+    def restore_nulls(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for k in keys:
+            mask = df[k] == null_key
+            if mask.any():
+                df[k] = df[k].astype(object).mask(mask, None)
+        return df
+
+    return out.map_batches(restore_nulls, batch_format="pandas")

@@ -706,23 +706,50 @@ SQL_COSINE_NEAR_DUP = (
 )
 
 
-def q_cosine_near_dup_lsh(sf_dir: str):
-    """Banded-LSH scale path (recall < 1 by design → rows-only evidence).
-    Hyperplane LSH prunes aggressively only at high cosine thresholds; the
-    synthetic corpus peaks at cos ≈ 0.51, so the operating point here uses
-    short bands and many tables (recall ≈ 0.94 at θ ≈ 66°, little pruning —
-    at the intended ≥ 0.9 threshold the defaults prune ~100× with the same
-    recall)."""
+def q_cosine_lsh_property(sf_dir: str):
+    """Banded-LSH near-dup, planted-clone property oracle (VERDICT r4
+    item 3c — upgrades the old rows-only cosine_near_dup_lsh): every 5th
+    vector is cloned under vec_id+100000; identical vectors produce
+    identical hyperplane signs in EVERY table, so each clone pair is a
+    guaranteed LSH candidate, and its exact-cosine verification score is
+    1.0 ≥ 0.999.  The synthetic corpus's max non-identical pairwise cosine
+    is ≈ 0.51, so at threshold 0.999 the detected pair set is EXACTLY the
+    planted pairs — which SQL recomputes from vec_id arithmetic."""
     from de_ray.dataops.similarity import cosine_near_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = cosine_near_dup_pairs(ds, threshold=0.4, n_planes=4, n_tables=16)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mask = ids % 5 == 0
+        clones = batch.filter(pa.array(mask))
+        clone_ids = pa.array(
+            np.asarray(clones.column("vec_id").to_pylist(), dtype=np.int64) + 100000
+        )
+        clones = clones.set_column(
+            clones.schema.get_field_index("vec_id"), "vec_id", clone_ids
+        )
+        return pa.concat_tables([batch, clones], promote_options="default")
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    out = cosine_near_dup_pairs(planted, threshold=0.999, n_planes=10, n_tables=8)
     df = out.to_pandas()
     if df.empty:
         df = pd.DataFrame(
             {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
         )
-    return df[["vec_a", "vec_b"]].sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return (
+        df[["vec_a", "vec_b"]]
+        .astype("int64")
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_COSINE_LSH_PROPERTY = (
+    "SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b FROM embeddings "
+    "WHERE vec_id % 5 = 0 ORDER BY vec_a"
+)
 
 
 # --- stream-shaped windows -------------------------------------------------
@@ -1137,41 +1164,81 @@ SQL_MEDIA_FEATURES_PROPERTY = (
 
 
 def q_approx_distinct(sf_dir: str):
-    """HyperLogLog sketch (rows-only: approximate by design; the pytest
-    gate asserts <5% error vs exact — tests/test_sample_stats.py)."""
+    """HyperLogLog sketch, property-gated (VERDICT r4 item 3a): the engine
+    emits the EXACT distinct count (distributed distinct) plus a boolean
+    asserting the HLL estimate lands within 5% of it; the oracle recomputes
+    the exact count with ``count(DISTINCT)`` and expects TRUE — a drifting
+    sketch or a wrong exact path both break the value hash."""
     from de_ray.dataops.stats import approx_distinct
+    from de_ray.functions.agg import adaptive_distinct
 
     est = approx_distinct(_docs(sf_dir, columns=["text"]), "text")
-    return pd.DataFrame([{"approx_distinct_text": est}])
-
-
-def q_lang_id(sf_dir: str):
-    from de_ray.dataops.text import LangId
-
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).select_columns(
-        ["doc_id", "lang_pred"]
+    exact = adaptive_distinct(_docs(sf_dir, columns=["text"]), "text").count()
+    return pd.DataFrame(
+        [
+            {
+                "exact_distinct": np.int64(exact),
+                "within_tolerance": bool(abs(est - exact) / max(exact, 1) < 0.05),
+            }
+        ]
     )
 
 
-def q_minhash_clusters(sf_dir: str):
-    from de_ray.dataops.dedup import minhash_dedup
-
-    return minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
-
-
-def q_simhash(sf_dir: str):
-    from de_ray.dataops.dedup import simhash_stage
-
-    return simhash_stage(_docs(sf_dir, ["doc_id", "text"]))
+SQL_APPROX_DISTINCT = (
+    "SELECT count(DISTINCT text)::BIGINT AS exact_distinct, "
+    "TRUE AS within_tolerance FROM documents"
+)
 
 
 def q_lsh_topk(sf_dir: str):
+    """Bucketed ANN, planted-neighbor property oracle (VERDICT r4 item
+    3b — upgrades the rows-only evidence): the query vector (vec 0) is
+    cloned 10× under vec_ids 100001..100010; clones share the query's
+    hyperplane signs in every table, so the LSH search is GUARANTEED to
+    probe their bucket, and the true top-11 at cosine 1.0 is exactly
+    {vec 0} ∪ clones (the synthetic corpus's max non-identical cosine is
+    ≈ 0.51).  The emitted (vec_id, score_r) rows are therefore forced,
+    and SQL recomputes them from vec_id arithmetic — a bucketing, probe
+    or scoring regression breaks the value hash.  (A recall gate on the
+    natural corpus would be meaningless: its neighbors are near-orthogonal,
+    the regime LSH explicitly does not serve.)"""
     from de_ray.dataops.similarity import lsh_topk
 
     emb_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     q0 = np.asarray(emb_tbl.column("embedding").to_pylist()[:1], dtype=np.float64)
-    return lsh_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q0, k=10)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mask = ids == 0
+        if not mask.any():
+            return batch
+        clone = batch.filter(pa.array(mask))
+        clones = pa.concat_tables([clone] * 10, promote_options="default")
+        clones = clones.set_column(
+            clones.schema.get_field_index("vec_id"),
+            "vec_id",
+            pa.array(np.arange(100001, 100011, dtype=np.int64)),
+        )
+        return pa.concat_tables([batch, clones], promote_options="default")
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    out = lsh_topk(planted, q0, k=11, n_planes=6).select_columns(["vec_id", "score"])
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["vec_id"] = df["vec_id"].astype("int64")
+        df["score_r"] = df["score"].round(4)
+        return df[["vec_id", "score_r"]].sort_values("vec_id")
+
+    return rnd(out.to_pandas()).reset_index(drop=True)
+
+
+SQL_LSH_TOPK = (
+    "SELECT 0::BIGINT AS vec_id, 1.0 AS score_r "
+    "UNION ALL SELECT (100000 + i)::BIGINT, 1.0 FROM generate_series(1, 10) t(i) "
+    "ORDER BY vec_id"
+)
 
 
 def q_media_features(sf_dir: str):
@@ -2953,7 +3020,7 @@ def q_rollup_counts(sf_dir: str):
 
 SQL_ROLLUP_COUNTS = (
     "SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source, "
-    "count(*) AS n_rows, sum(n_chars) AS sum_value FROM documents "
+    "count(*) AS n_rows, sum(n_chars)::BIGINT AS sum_value FROM documents "
     "GROUP BY ROLLUP(lang, source)"
 )
 
@@ -3274,15 +3341,23 @@ REGISTRY = {
     "simhash_dup_property": (q_simhash_dup_property, SQL_SIMHASH_DUP_PROPERTY),
     "lang_id_property": (q_lang_id_property, SQL_LANG_ID_PROPERTY),
     "media_features_property": (q_media_features_property, SQL_MEDIA_FEATURES_PROPERTY),
-    # rows-only (non-SQL-expressible: model/sketch/stateful ops)
-    "approx_distinct": (q_approx_distinct, None),
-    "lang_id": (q_lang_id, None),
-    "cosine_near_dup_lsh": (q_cosine_near_dup_lsh, None),
-    "minhash_clusters": (q_minhash_clusters, None),
-    "simhash": (q_simhash, None),
-    "lsh_topk": (q_lsh_topk, None),
+    # round-5 property upgrades of former rows-only evidence (VERDICT r4
+    # item 3): the sketch/ANN estimates are gated against SQL-recomputable
+    # exact values or planted invariants
+    "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
+    "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
+    "cosine_lsh_property": (q_cosine_lsh_property, SQL_COSINE_LSH_PROPERTY),
+    # rows-only BY DESIGN — exactly two remain, each with an oracle-gated
+    # twin carrying its correctness evidence:
+    #  - pack_chunks emits real chunk text (not SQL-expressible beyond the
+    #    token-conservation invariant, which pack_conservation gates);
+    #  - media_features runs the actor-pool decode stage end-to-end (the
+    #    decode stub's bit-identity is gated by media_features_property).
     "media_features": (q_media_features, None),
 }
+# retired rows-only entries (lang_id, minhash_clusters, simhash): their
+# operators are fully exercised by the oracle-gated twins lang_id_property,
+# minhash_dup_property and simhash_dup_property (VERDICT r4 item 3c).
 
 
 # The driver gates a bounded prefix of queries() each round (~30-50 entries),
@@ -3301,8 +3376,17 @@ _DRIVER_ORDER = [
     "kg_header_stats",
     "sparql_mentions",
     "lineitem_agg",
-    # never driver-checked through round 3 (VERDICT r3, next-round item 1)
+    # round-5 priority: the only entries without a green driver row —
+    # the two r4-registered property oracles the r4 run ended before
+    # reaching, the r4 hash-mismatch fix, and the three r5 property
+    # upgrades of former rows-only evidence (VERDICT r4 items 1-3)
+    "lang_id_property",
+    "media_features_property",
     "rollup_counts",
+    "approx_distinct",
+    "lsh_topk",
+    "cosine_lsh_property",
+    # never driver-checked through round 3 (VERDICT r3, next-round item 1)
     "winsorize_chars",
     "corr_by_lang",
     "label_centroids",
@@ -3345,10 +3429,6 @@ _DRIVER_ORDER = [
     "heavy_hitter_terms",
     "tfidf_top_terms",
     "simhash_dup_property",
-    "approx_distinct",
-    # round-4 property-oracle upgrades of the last rows-only evidence
-    "lang_id_property",
-    "media_features_property",
 ]
 
 

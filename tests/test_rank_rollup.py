@@ -140,6 +140,43 @@ def test_rollup_matches_sql():
     assert got["sum_value"].astype("int64").tolist() == want["sum_value"].astype("int64").tolist()
 
 
+def test_rollup_null_keys_match_duckdb_rollup():
+    """SQL GROUP BY ROLLUP keeps NULL groups as their own group, distinct
+    from the rolled-up total rows; pandas groupby would silently drop
+    them (VERDICT r4 item 4). GROUPING() disambiguates on the SQL side."""
+    from de_ray.functions.agg import rollup_grouped_agg
+
+    df = pd.DataFrame(
+        {
+            "lang": ["en", "en", None, None, "fr", None],
+            "source": ["a", None, "a", None, "b", "b"],
+            "n": [1, 2, 4, 8, 16, 32],
+        }
+    )
+    got = (
+        rollup_grouped_agg(rd.from_pandas(df), ["lang", "source"], "n")
+        .to_pandas()
+    )
+    got["n_rows"] = got["n_rows"].astype("int64")
+    got["sum_value"] = got["sum_value"].astype("int64")
+    got = got.sort_values(
+        ["lang", "source"], na_position="first"
+    ).reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT CASE WHEN GROUPING(lang)=1 THEN 'ALL' ELSE lang END AS lang, "
+        "CASE WHEN GROUPING(source)=1 THEN 'ALL' ELSE source END AS source, "
+        "count(*)::BIGINT AS n_rows, sum(n)::BIGINT AS sum_value "
+        "FROM df GROUP BY ROLLUP(lang, source) "
+        "ORDER BY lang NULLS FIRST, source NULLS FIRST"
+    ).df()
+    assert got["lang"].where(got["lang"].notna(), None).tolist() == \
+        want["lang"].where(want["lang"].notna(), None).tolist()
+    assert got["source"].where(got["source"].notna(), None).tolist() == \
+        want["source"].where(want["source"].notna(), None).tolist()
+    assert got["n_rows"].tolist() == want["n_rows"].astype("int64").tolist()
+    assert got["sum_value"].tolist() == want["sum_value"].astype("int64").tolist()
+
+
 def test_rollup_forced_distributed_final():
     from de_ray.functions.agg import rollup_grouped_agg
 
