@@ -27,6 +27,8 @@ HDTs in their compressed in-memory form, ``src/sparql.rs:101-117``).
 
 from __future__ import annotations
 
+import itertools
+import logging
 import os
 import urllib.parse
 from typing import Dict, List, Optional, Tuple
@@ -122,19 +124,47 @@ class ServeState:
     for bulk-loaded stores), mutated through the narrow append-only API the
     update matrix allows."""
 
-    def __init__(self):
+    def __init__(
+        self,
+        *,
+        load_roots: Optional[List[str]] = None,
+        allow_network_load: bool = False,
+    ):
         self.graphs: Dict[str, GraphTable] = {}
+        # LOAD policy (ADVICE r4): ``load_roots`` restricts file:// LOAD to
+        # realpath-prefix matches (None = unrestricted, for in-process
+        # library use where the caller already has file access — the HTTP
+        # server constructs state via from_dir, which defaults to the
+        # served directory); ``allow_network_load`` opts in to http(s)
+        # LOAD (default off: no outbound HTTP, the IRI keeps the 501).
+        self.load_roots = (
+            None if load_roots is None else [os.path.realpath(r) for r in load_roots]
+        )
+        self.allow_network_load = allow_network_load
 
     @classmethod
-    def from_dir(cls, path: str) -> "ServeState":
+    def from_dir(
+        cls,
+        path: str,
+        *,
+        load_roots: Optional[List[str]] = None,
+        allow_network_load: bool = False,
+    ) -> "ServeState":
         """Load every completed store directory and ``.hdt`` file under
         ``path`` (reference dir scan, src/serve.rs:61-72). Store scans stay
         Arrow end-to-end: batches stream from the decode tasks and are
-        split per graph with vectorized filters."""
+        split per graph with vectorized filters.
+
+        file:// LOAD defaults to the served directory only (realpath
+        prefix check) — POST /update must not be a read primitive over the
+        whole filesystem; pass explicit ``load_roots`` to widen."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        st = cls()
+        st = cls(
+            load_roots=[path] if load_roots is None else load_roots,
+            allow_network_load=allow_network_load,
+        )
         if not os.path.isdir(path):
             return st
         for name in sorted(os.listdir(path)):
@@ -381,15 +411,20 @@ def apply_update(state: ServeState, text: str) -> None:
                 raise UpdateError(403, f"Graph {dest} already exists.")
             # beyond-reference: the reference validates LOAD then 501s at
             # execution (src/serve.rs:1045-1059); we execute file:// loads
-            # through the library's own RDF parsers. Network IRIs keep the
-            # 501 (no outbound HTTP in this engine's serve envelope).
+            # through the library's own RDF parsers, restricted to
+            # state.load_roots (realpath prefix — /update must not be a
+            # filesystem read primitive, ADVICE r4), and http(s) loads only
+            # when the server opted in via allow_network_load (default
+            # off: the IRI keeps the reference's 501).
             # The document is parsed HERE, once: errors must raise before
             # any op executes (no half-applied multi-op requests), and the
             # execution pass then only appends the cached triples. A
             # resolved payload of None means "validated no-op" (SILENT
             # failure or SILENT load into a pre-existing graph).
             triples = None
-            if not src.startswith("file://"):
+            is_file = src.startswith("file://")
+            is_net = src.startswith("http://") or src.startswith("https://")
+            if not is_file and not (is_net and state.allow_network_load):
                 if not silent:
                     raise UpdateError(
                         501,
@@ -399,7 +434,10 @@ def apply_update(state: ServeState, text: str) -> None:
                     )
             elif not (silent and state.contains(dest)):
                 try:
-                    triples = _load_file_triples(src)
+                    if is_file:
+                        triples = _load_file_triples(src, roots=state.load_roots)
+                    else:
+                        triples = _load_network_triples(src)
                 except UpdateError:
                     if not silent:
                         raise
@@ -434,18 +472,30 @@ def apply_update(state: ServeState, text: str) -> None:
             state.drop_all()
 
 
-def _load_file_triples(src_iri: str):
+def _load_file_triples(src_iri: str, roots: Optional[List[str]] = None):
     """Parse a ``file://`` RDF document into (s, p, o) triples via the
     library's own extension router (``rdfio.sources._parse_file_row`` —
     the same table the CLI's file-type router M2 uses, so Turtle/N3/TriG,
     N-Triples/N-Quads AND RDF/XML (.rdf/.owl/.xml) all work and new
     formats need no second routing table here). CLI-scale driver-side
-    parse, same as the /store body loaders."""
+    parse, same as the /store body loaders.
+
+    ``roots`` (when given) is an allow-list of directories: the source's
+    realpath must sit inside one of them. Checked BEFORE existence so a
+    denied path leaks nothing about the filesystem."""
     import urllib.request
 
     from de_ray.rdfio.sources import _parse_file_row
 
     path = urllib.request.url2pathname(urllib.parse.urlsplit(src_iri).path)
+    if roots is not None:
+        real = os.path.realpath(path)
+        if not any(
+            real == r or real.startswith(r.rstrip(os.sep) + os.sep) for r in roots
+        ):
+            raise UpdateError(
+                403, f"LOAD source {src_iri} is outside the allowed load roots"
+            )
     if not os.path.exists(path):
         raise UpdateError(400, f"LOAD source {src_iri} does not exist")
     with open(path, "rb") as f:
@@ -453,6 +503,48 @@ def _load_file_triples(src_iri: str):
     try:
         rows = _parse_file_row({"path": path, "bytes": data})
     except ValueError as e:  # unhandled extension / parse failure
+        raise UpdateError(400, f"cannot load {src_iri}: {e}")
+    return [(r["subj"], r["pred"], r["obj"]) for r in rows]
+
+
+_NET_LOAD_CAP = 128 * 1024 * 1024  # reference body cap, src/serve.rs:42
+_CT_TO_EXT = {
+    "text/turtle": ".ttl",
+    "application/n-triples": ".nt",
+    "application/n-quads": ".nq",
+    "application/trig": ".trig",
+    "text/n3": ".n3",
+    "application/rdf+xml": ".rdf",
+}
+
+
+def _load_network_triples(src_iri: str):
+    """Fetch + parse an ``http(s)://`` RDF document (opt-in via
+    ``allow_network_load`` — beyond the reference, which 501s all LOAD
+    execution at src/serve.rs:1045-1059). Format comes from the URL path
+    extension, falling back to the response Content-Type; the body is
+    capped at the reference's 128 MB request limit."""
+    import urllib.request
+
+    from de_ray.rdfio.sources import _parse_file_row
+
+    try:
+        with urllib.request.urlopen(src_iri, timeout=30) as resp:
+            data = resp.read(_NET_LOAD_CAP + 1)
+            ctype = (resp.headers.get("Content-Type") or "").split(";")[0].strip()
+    except UpdateError:
+        raise
+    except Exception as e:
+        raise UpdateError(400, f"cannot fetch {src_iri}: {e}")
+    if len(data) > _NET_LOAD_CAP:
+        raise UpdateError(400, f"LOAD source {src_iri} exceeds the 128 MB cap")
+    path = urllib.parse.urlsplit(src_iri).path
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in (".nt", ".nq", ".ttl", ".n3", ".trig", ".rdf", ".xml", ".owl"):
+        ext = _CT_TO_EXT.get(ctype.lower(), ext)
+    try:
+        rows = _parse_file_row({"path": f"remote{ext or '.ttl'}", "bytes": data})
+    except ValueError as e:
         raise UpdateError(400, f"cannot load {src_iri}: {e}")
     return [(r["subj"], r["pred"], r["obj"]) for r in rows]
 
@@ -718,17 +810,28 @@ def _handle_store(method, params, headers, body, state) -> Tuple[int, str, bytes
 # ---------------------------------------------------------------------------
 
 
-def serve(load_dir: str, bind: str = "127.0.0.1:7878"):
+def serve(load_dir: str, bind: str = "127.0.0.1:7878", **load_policy):
     """Run the HTTP endpoint (blocking). Returns the server object when
     constructed with ``start=False`` via :func:`make_server`."""
-    server = make_server(load_dir, bind)
+    server = make_server(load_dir, bind, **load_policy)
     server.serve_forever()
 
 
-def make_server(load_dir: str, bind: str = "127.0.0.1:0"):
+def make_server(
+    load_dir: str,
+    bind: str = "127.0.0.1:0",
+    *,
+    load_roots: Optional[List[str]] = None,
+    allow_network_load: bool = False,
+):
+    """``load_roots`` / ``allow_network_load`` set the LOAD policy
+    (ADVICE r4): by default POST /update may LOAD file:// sources only
+    from inside ``load_dir``, and network IRIs 501."""
     import http.server
 
-    state = ServeState.from_dir(load_dir)
+    state = ServeState.from_dir(
+        load_dir, load_roots=load_roots, allow_network_load=allow_network_load
+    )
     host, _, port = bind.partition(":")
 
     class Handler(http.server.BaseHTTPRequestHandler):
@@ -755,19 +858,57 @@ def make_server(load_dir: str, bind: str = "127.0.0.1:0"):
                     self.wfile.write(out)
                 return
             # query-result chunks: stream to the wire with chunked
-            # transfer-encoding — the full response string is never built
+            # transfer-encoding — the full response string is never built.
+            # An HTTP/1.0 client ignores Transfer-Encoding and would read
+            # raw chunk framing as the body (ADVICE r4), so for anything
+            # below HTTP/1.1 buffer the chunks and send Content-Length.
+            if self.request_version != "HTTP/1.1":
+                try:
+                    data = "".join(out).encode()
+                except Exception as e:
+                    self.send_error(400, str(e)[:200])
+                    return
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                if method != "HEAD":
+                    self.wfile.write(data)
+                return
+            # Pull the first chunk BEFORE the status line: a lazy query
+            # error that fires immediately (the common case — plan-time
+            # and first-batch failures) still becomes a clean 400 instead
+            # of a truncated 200 (ADVICE r4).
+            chunks = iter(out)
+            try:
+                first = next(chunks, "")
+            except Exception as e:
+                self.send_error(400, str(e)[:200])
+                return
             self.send_response(status)
             self.send_header("Content-Type", ctype)
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
             if method != "HEAD":
-                for chunk in out:
-                    data = chunk.encode()
-                    if data:
-                        self.wfile.write(
-                            f"{len(data):X}\r\n".encode() + data + b"\r\n"
-                        )
-                self.wfile.write(b"0\r\n\r\n")
+                try:
+                    for chunk in itertools.chain([first], chunks):
+                        data = chunk.encode()
+                        if data:
+                            self.wfile.write(
+                                f"{len(data):X}\r\n".encode() + data + b"\r\n"
+                            )
+                    self.wfile.write(b"0\r\n\r\n")
+                except Exception:
+                    # mid-stream failure: no terminal chunk can be sent —
+                    # close the connection so the client sees truncation,
+                    # and log instead of letting the request thread die
+                    # silently (ADVICE r4)
+                    logging.getLogger(__name__).exception(
+                        "mid-stream failure serializing %s %s",
+                        method,
+                        self.path,
+                    )
+                    self.close_connection = True
 
         def do_GET(self):
             self._run("GET")

@@ -419,3 +419,254 @@ def test_update_load_rdfxml(tmp_path, state):
         state, "SELECT ?o WHERE { <http://example.org/Plum> <http://example.org/hasColor> ?o }"
     )
     assert "purple" in body.decode()
+
+
+# --- LOAD policy (ADVICE r4: /update must not be a filesystem/network read
+# primitive; file:// restricted to load_roots, http(s) behind an opt-in) ----
+
+
+def test_load_outside_roots_403(tmp_path):
+    """A server built from a directory only LOADs file:// sources inside
+    it: a path outside the root is refused BEFORE any existence check."""
+    from de_ray.serve import ServeState
+
+    served = tmp_path / "served"
+    served.mkdir()
+    outside = tmp_path / "secret.ttl"
+    outside.write_text(
+        '@prefix ex: <http://example.org/> . ex:S ex:leak "secret" .'
+    )
+    st = ServeState.from_dir(str(served))
+    status, _, body = handle_request(
+        "POST", "/update", st,
+        {"Content-Type": "application/sparql-update"},
+        f"LOAD <file://{outside}> INTO GRAPH <file:///x.hdt>".encode(),
+    )
+    assert status == 403
+    assert not st.contains("file:///x.hdt")
+    # nonexistent outside path gives the SAME status (no fs probing)
+    status2, _, _ = handle_request(
+        "POST", "/update", st,
+        {"Content-Type": "application/sparql-update"},
+        f"LOAD <file://{tmp_path}/nope.ttl> INTO GRAPH <file:///y.hdt>".encode(),
+    )
+    assert status2 == 403
+
+
+def test_load_inside_roots_allowed(tmp_path):
+    from de_ray.serve import ServeState
+
+    f = tmp_path / "fruit.ttl"
+    f.write_text('@prefix ex: <http://example.org/> . ex:Fig ex:hasColor "brown" .')
+    st = ServeState.from_dir(str(tmp_path))
+    status, _, body = handle_request(
+        "POST", "/update", st,
+        {"Content-Type": "application/sparql-update"},
+        f"LOAD <file://{f}> INTO GRAPH <file:///fig.hdt>".encode(),
+    )
+    assert status == 204, body
+    assert st.contains("file:///fig.hdt")
+
+
+def test_load_symlink_escape_403(tmp_path):
+    """realpath check: a symlink inside the root pointing outside it is
+    still refused."""
+    import os
+
+    from de_ray.serve import ServeState
+
+    served = tmp_path / "served"
+    served.mkdir()
+    outside = tmp_path / "outside.ttl"
+    outside.write_text('@prefix ex: <http://example.org/> . ex:S ex:p "v" .')
+    link = served / "link.ttl"
+    os.symlink(outside, link)
+    st = ServeState.from_dir(str(served))
+    status, _, _ = handle_request(
+        "POST", "/update", st,
+        {"Content-Type": "application/sparql-update"},
+        f"LOAD <file://{link}> INTO GRAPH <file:///l.hdt>".encode(),
+    )
+    assert status == 403
+
+
+def test_network_load_opt_in(tmp_path):
+    """With allow_network_load=True, LOAD <http://...> fetches and parses
+    the document (format from the URL extension); default stays 501
+    (test_update_load_network_still_501)."""
+    import functools
+    import http.server
+    import threading
+
+    from de_ray.serve import ServeState
+
+    doc_dir = tmp_path / "docs"
+    doc_dir.mkdir()
+    (doc_dir / "remote.ttl").write_text(
+        '@prefix ex: <http://example.org/> . ex:Lime ex:hasColor "lime" .'
+    )
+    httpd = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        functools.partial(
+            http.server.SimpleHTTPRequestHandler, directory=str(doc_dir)
+        ),
+    )
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        host, port = httpd.server_address
+        st = ServeState(allow_network_load=True)
+        status, _, body = handle_request(
+            "POST", "/update", st,
+            {"Content-Type": "application/sparql-update"},
+            f"LOAD <http://{host}:{port}/remote.ttl> INTO GRAPH <file:///lime.hdt>".encode(),
+        )
+        assert status == 204, body
+        status, _, body = _post_query(
+            st,
+            "SELECT ?o WHERE { <http://example.org/Lime> <http://example.org/hasColor> ?o }",
+        )
+        assert "lime" in body.decode()
+        # a missing remote document is a 400, not a silent success
+        status, _, _ = handle_request(
+            "POST", "/update", st,
+            {"Content-Type": "application/sparql-update"},
+            f"LOAD <http://{host}:{port}/gone.ttl> INTO GRAPH <file:///g.hdt>".encode(),
+        )
+        assert status == 400
+    finally:
+        httpd.shutdown()
+
+
+def test_json_head_unicode_var_raw_utf8():
+    """A non-ASCII variable name must serialize as raw UTF-8 in "head",
+    matching the ensure_ascii=False binding values (ADVICE r4)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+    from de_ray.query.serialize import serialize_result
+
+    t = pa.table(
+        {
+            "subj": pa.array(["urn:s"], pa.large_string()),
+            "pred": pa.array(["urn:p"], pa.large_string()),
+            "obj": pa.array(['"näme"'], pa.large_string()),
+            "graph": pa.array(["g"], pa.large_string()),
+        }
+    )
+    src = DatasetSource(rd.from_arrow(t))
+    res = evaluate(parse_query("SELECT ?wärt WHERE { ?s <urn:p> ?wärt }"), src)
+    out = serialize_result(res, "json")
+    assert '"vars":["wärt"]' in out and "\\u" not in out.split('"results"')[0]
+    assert "näme" in out
+
+
+def test_http10_client_gets_content_length_not_chunked(tmp_path):
+    """An HTTP/1.0 client ignores Transfer-Encoding; the server must
+    buffer and send Content-Length instead of chunk framing (ADVICE r4)."""
+    import socket
+    import threading
+
+    from de_ray.serve import make_server
+
+    server = make_server(str(tmp_path), bind="127.0.0.1:0")
+    server.de_ray_state.replace("file:///g.nt", [(f"{EX}s", f"{EX}p", '"v"')])
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        host, port = server.server_address
+        q = b"SELECT ?o WHERE { ?s ?p ?o }"
+        req = (
+            b"POST /query HTTP/1.0\r\n"
+            b"Host: x\r\nContent-Type: application/sparql-query\r\n"
+            b"Content-Length: " + str(len(q)).encode() + b"\r\n\r\n" + q
+        )
+        with socket.create_connection((host, port), timeout=10) as s:
+            s.sendall(req)
+            raw = b""
+            while True:
+                part = s.recv(65536)
+                if not part:
+                    break
+                raw += part
+        headers, _, body = raw.partition(b"\r\n\r\n")
+        h = headers.lower()
+        assert b"content-length:" in h and b"transfer-encoding" not in h
+        assert body.startswith(b'{"head"') and b'"v"' in body
+    finally:
+        server.shutdown()
+
+
+def test_streamed_turtle_rdfxml_multichunk_roundtrip():
+    """Turtle/RDF-XML now stream per batch (VERDICT r4 item 6): a
+    multi-batch CONSTRUCT yields >1 chunk, mid-document @prefix /
+    element-local xmlns declarations parse back to the same triple set,
+    and a one-batch graph keeps the old monolithic bytes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from de_ray.query.engine import DatasetSource, evaluate
+    from de_ray.query.parser import parse_query
+    from de_ray.query.serialize import (
+        GraphResult,
+        serialize_result,
+        serialize_result_chunks,
+    )
+    from de_ray.rdfio.rdfxml import parse_rdfxml
+    from de_ray.rdfio.turtle import parse_turtle
+
+    n = 3000
+    # two namespaces, the second appearing only in later rows so that the
+    # streamed form must declare it after the opening chunk
+    t = pa.table(
+        {
+            "subj": pa.array([f"http://ex.org/s{i}" for i in range(n)], pa.large_string()),
+            "pred": pa.array(
+                [
+                    ("http://ex.org/p" if i < n // 2 else f"http://late.org/q{i % 3}")
+                    for i in range(n)
+                ],
+                pa.large_string(),
+            ),
+            "obj": pa.array([f'"v{i}"' for i in range(n)], pa.large_string()),
+            "graph": pa.array(["g"] * n, pa.large_string()),
+        }
+    )
+    src = DatasetSource(rd.from_arrow(t).repartition(6))
+    q = "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }"
+    want = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in t.select(["subj", "pred", "obj"]).to_pylist()
+    }
+    for fmt, parse in (("turtle", parse_turtle), ("rdfxml", parse_rdfxml)):
+        res = evaluate(parse_query(q), src)
+        # force small batches so the generator must emit several chunks
+        res.ds = res.ds.repartition(6)
+        import de_ray.query.serialize as ser
+
+        chunks = []
+        orig = res.ds.iter_batches
+
+        def small_batches(batch_size=None, batch_format="pandas", _o=orig):
+            return _o(batch_size=512, batch_format=batch_format)
+
+        res.ds.iter_batches = small_batches
+        chunks = list(serialize_result_chunks(res, fmt))
+        assert len(chunks) > 2, fmt
+        got = {tuple(tr)[:3] for tr in parse("".join(chunks))}
+        assert got == want, fmt
+    # one-batch graph: unchanged monolithic layout (golden shape)
+    small = GraphResult(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array(["http://ex.org/a"], pa.large_string()),
+                    "pred": pa.array(["http://ex.org/p"], pa.large_string()),
+                    "obj": pa.array(['"x"'], pa.large_string()),
+                }
+            )
+        )
+    )
+    ttl = serialize_result(small, "turtle")
+    assert ttl.startswith("@prefix ns0: <http://ex.org/> .\n\n")
+    assert ttl.rstrip().endswith('ns0:a ns0:p "x" .')
