@@ -866,7 +866,7 @@ def make_server(
                 try:
                     data = "".join(out).encode()
                 except Exception as e:
-                    self.send_error(400, str(e)[:200])
+                    self.send_error(400, " ".join(str(e).split())[:200] or "query failed")
                     return
                 self.send_response(status)
                 self.send_header("Content-Type", ctype)
@@ -883,7 +883,7 @@ def make_server(
             try:
                 first = next(chunks, "")
             except Exception as e:
-                self.send_error(400, str(e)[:200])
+                self.send_error(400, " ".join(str(e).split())[:200] or "query failed")
                 return
             self.send_response(status)
             self.send_header("Content-Type", ctype)
