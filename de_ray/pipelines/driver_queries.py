@@ -709,14 +709,22 @@ SQL_COSINE_NEAR_DUP = (
 def q_cosine_lsh_property(sf_dir: str):
     """Banded-LSH near-dup, planted-clone property oracle (VERDICT r4
     item 3c — upgrades the old rows-only cosine_near_dup_lsh): every 5th
-    vector is cloned under vec_id+100000; identical vectors produce
+    vector is cloned under an offset vec_id; identical vectors produce
     identical hyperplane signs in EVERY table, so each clone pair is a
     guaranteed LSH candidate, and its exact-cosine verification score is
     1.0 ≥ 0.999.  The synthetic corpus's max non-identical pairwise cosine
     is ≈ 0.51, so at threshold 0.999 the detected pair set is EXACTLY the
-    planted pairs — which SQL recomputes from vec_id arithmetic."""
+    planted pairs — which SQL recomputes from vec_id arithmetic.  Clone
+    ids offset by max(vec_id)+1 (not a fixed constant), so the planting
+    stays collision-free at ANY corpus scale (review r5)."""
     from de_ray.dataops.similarity import cosine_near_dup_pairs
 
+    base = int(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .column("vec_id")
+        .to_pandas()
+        .max()
+    ) + 1
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
     def plant(batch: pa.Table) -> pa.Table:
@@ -724,7 +732,7 @@ def q_cosine_lsh_property(sf_dir: str):
         mask = ids % 5 == 0
         clones = batch.filter(pa.array(mask))
         clone_ids = pa.array(
-            np.asarray(clones.column("vec_id").to_pylist(), dtype=np.int64) + 100000
+            np.asarray(clones.column("vec_id").to_pylist(), dtype=np.int64) + base
         )
         clones = clones.set_column(
             clones.schema.get_field_index("vec_id"), "vec_id", clone_ids
@@ -747,8 +755,9 @@ def q_cosine_lsh_property(sf_dir: str):
 
 
 SQL_COSINE_LSH_PROPERTY = (
-    "SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b FROM embeddings "
-    "WHERE vec_id % 5 = 0 ORDER BY vec_a"
+    "SELECT vec_id AS vec_a, "
+    "vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_b "
+    "FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_a"
 )
 
 
@@ -1193,7 +1202,7 @@ SQL_APPROX_DISTINCT = (
 def q_lsh_topk(sf_dir: str):
     """Bucketed ANN, planted-neighbor property oracle (VERDICT r4 item
     3b — upgrades the rows-only evidence): the query vector (vec 0) is
-    cloned 10× under vec_ids 100001..100010; clones share the query's
+    cloned 10× under the first 10 free vec_ids; clones share the query's
     hyperplane signs in every table, so the LSH search is GUARANTEED to
     probe their bucket, and the true top-11 at cosine 1.0 is exactly
     {vec 0} ∪ clones (the synthetic corpus's max non-identical cosine is
@@ -1201,11 +1210,14 @@ def q_lsh_topk(sf_dir: str):
     and SQL recomputes them from vec_id arithmetic — a bucketing, probe
     or scoring regression breaks the value hash.  (A recall gate on the
     natural corpus would be meaningless: its neighbors are near-orthogonal,
-    the regime LSH explicitly does not serve.)"""
+    the regime LSH explicitly does not serve.)  Clone ids offset by
+    max(vec_id)+1 so the planting stays collision-free at any corpus
+    scale (review r5)."""
     from de_ray.dataops.similarity import lsh_topk
 
     emb_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     q0 = np.asarray(emb_tbl.column("embedding").to_pylist()[:1], dtype=np.float64)
+    base = int(emb_tbl.column("vec_id").to_pandas().max()) + 1
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
     def plant(batch: pa.Table) -> pa.Table:
@@ -1218,7 +1230,7 @@ def q_lsh_topk(sf_dir: str):
         clones = clones.set_column(
             clones.schema.get_field_index("vec_id"),
             "vec_id",
-            pa.array(np.arange(100001, 100011, dtype=np.int64)),
+            pa.array(np.arange(base, base + 10, dtype=np.int64)),
         )
         return pa.concat_tables([batch, clones], promote_options="default")
 
@@ -1236,8 +1248,9 @@ def q_lsh_topk(sf_dir: str):
 
 SQL_LSH_TOPK = (
     "SELECT 0::BIGINT AS vec_id, 1.0 AS score_r "
-    "UNION ALL SELECT (100000 + i)::BIGINT, 1.0 FROM generate_series(1, 10) t(i) "
-    "ORDER BY vec_id"
+    "UNION ALL "
+    "SELECT ((SELECT max(vec_id) FROM embeddings) + i)::BIGINT, 1.0 "
+    "FROM generate_series(1, 10) t(i) ORDER BY vec_id"
 )
 
 
@@ -3019,7 +3032,11 @@ def q_rollup_counts(sf_dir: str):
 
 
 SQL_ROLLUP_COUNTS = (
-    "SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source, "
+    # GROUPING() (not coalesce) labels rolled-up levels, so a genuine NULL
+    # group key stays NULL and never conflates with the 'ALL' rows —
+    # matching rollup_grouped_agg's NULL-preserving semantics (review r5)
+    "SELECT CASE WHEN GROUPING(lang)=1 THEN 'ALL' ELSE lang END AS lang, "
+    "CASE WHEN GROUPING(source)=1 THEN 'ALL' ELSE source END AS source, "
     "count(*) AS n_rows, sum(n_chars)::BIGINT AS sum_value FROM documents "
     "GROUP BY ROLLUP(lang, source)"
 )

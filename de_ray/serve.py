@@ -302,10 +302,9 @@ def _parse_quads(parser: Parser, tk: _T) -> List[Tuple[Optional[str], Triple]]:
             tk.next()
 
 
-def apply_update(state: ServeState, text: str) -> None:
-    """Validate-then-execute, two passes like the reference
-    (``src/serve.rs:783-1121``). Raises UpdateError with the matching
-    HTTP status."""
+def _parse_update_ops(text: str):
+    """Parse an update request into an ops list — state-free, so network
+    LOAD prefetch can reuse it OUTSIDE the dispatch lock."""
     parser = Parser()
     tk = _T(text)
     ops = []
@@ -376,6 +375,43 @@ def apply_update(state: ServeState, text: str) -> None:
                 raise UpdateError(403, "the default graph cannot be cleared")
             else:
                 raise UpdateError(400, f"expected GRAPH/NAMED/ALL after {word}")
+    return ops
+
+
+def prefetch_network_loads(state: ServeState, text: str) -> Dict[str, object]:
+    """Fetch http(s) LOAD documents BEFORE the dispatch lock is taken (a
+    slow remote must not stall every other request — review r5): returns
+    {src_iri: triples-list | Exception} for apply_update to consume under
+    the lock. Parse errors are swallowed here — apply_update re-raises
+    them properly. No-op unless the server opted into network LOAD."""
+    cache: Dict[str, object] = {}
+    if not state.allow_network_load:
+        return cache
+    try:
+        ops = _parse_update_ops(text)
+    except Exception:
+        return cache
+    for kind, payload, _silent in ops:
+        if kind != "load":
+            continue
+        src, _dest = payload
+        if src.startswith("http://") or src.startswith("https://"):
+            if src not in cache:
+                try:
+                    cache[src] = _load_network_triples(src)
+                except Exception as e:
+                    cache[src] = e
+    return cache
+
+
+def apply_update(
+    state: ServeState, text: str, net_cache: Optional[Dict[str, object]] = None
+) -> None:
+    """Validate-then-execute, two passes like the reference
+    (``src/serve.rs:783-1121``). Raises UpdateError with the matching
+    HTTP status. ``net_cache`` carries pre-fetched network LOAD payloads
+    (from :func:`prefetch_network_loads`, fetched outside the lock)."""
+    ops = _parse_update_ops(text)
 
     # validation pass (reference src/serve.rs:798-962)
     for i, (kind, payload, silent) in enumerate(ops):
@@ -436,6 +472,11 @@ def apply_update(state: ServeState, text: str) -> None:
                 try:
                     if is_file:
                         triples = _load_file_triples(src, roots=state.load_roots)
+                    elif net_cache is not None and src in net_cache:
+                        cached = net_cache[src]
+                        if isinstance(cached, Exception):
+                            raise cached
+                        triples = cached
                     else:
                         triples = _load_network_triples(src)
                 except UpdateError:
@@ -518,19 +559,46 @@ _CT_TO_EXT = {
 }
 
 
-def _load_network_triples(src_iri: str):
+def _load_network_triples(src_iri: str, deadline_sec: float = 60.0):
     """Fetch + parse an ``http(s)://`` RDF document (opt-in via
     ``allow_network_load`` — beyond the reference, which 501s all LOAD
     execution at src/serve.rs:1045-1059). Format comes from the URL path
     extension, falling back to the response Content-Type; the body is
-    capped at the reference's 128 MB request limit."""
+    capped at the reference's 128 MB request limit.
+
+    Hardening (review r5): redirects are refused — a redirect could
+    bounce the server into internal-only hosts (SSRF) — and the read
+    enforces a TOTAL wall deadline, not just urllib's per-socket-op
+    timeout, so a byte-trickling remote cannot pin the request thread."""
+    import time
+    import urllib.error
     import urllib.request
 
     from de_ray.rdfio.sources import _parse_file_row
 
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            raise urllib.error.HTTPError(
+                req.full_url, code, "redirects are not followed for LOAD", headers, fp
+            )
+
+    opener = urllib.request.build_opener(_NoRedirect)
     try:
-        with urllib.request.urlopen(src_iri, timeout=30) as resp:
-            data = resp.read(_NET_LOAD_CAP + 1)
+        start = time.monotonic()
+        with opener.open(src_iri, timeout=15) as resp:
+            parts = []
+            total = 0
+            while total <= _NET_LOAD_CAP:
+                if time.monotonic() - start > deadline_sec:
+                    raise UpdateError(
+                        400, f"LOAD source {src_iri} exceeded the fetch deadline"
+                    )
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                parts.append(chunk)
+                total += len(chunk)
+            data = b"".join(parts)
             ctype = (resp.headers.get("Content-Type") or "").split(";")[0].strip()
     except UpdateError:
         raise
@@ -652,8 +720,15 @@ def handle_request_stream(
     # serializes state access behind interior mutability. Query-result
     # chunks iterate AFTER release: they only read the immutable Arrow
     # snapshot captured by state.source() during dispatch.
+    # Network LOAD documents are fetched BEFORE the lock (review r5: a
+    # slow remote held the lock and stalled every concurrent request).
+    net_cache = None
+    if route == "/update" and method == "POST" and state.allow_network_load:
+        text = _update_text(headers, body)
+        if text is not None:
+            net_cache = prefetch_network_loads(state, text)
     with _STATE_LOCK:
-        return _dispatch(method, route, params, headers, body, state)
+        return _dispatch(method, route, params, headers, body, state, net_cache)
 
 
 def handle_request(
@@ -676,7 +751,21 @@ def handle_request(
 _STATE_LOCK = __import__("threading").RLock()
 
 
-def _dispatch(method, route, params, headers, body, state) -> Tuple[int, str, bytes]:
+def _update_text(headers, body) -> Optional[str]:
+    """Decode a POST /update body per its content type (None → 415)."""
+    ct = headers.get("content-type", "")
+    base = ct.split(";")[0]
+    if base == "application/x-www-form-urlencoded":
+        form = urllib.parse.parse_qs(body.decode("utf-8"))
+        return form.get("update", [""])[0]
+    if base in ("application/sparql-update", "text/plain", ""):
+        return body.decode("utf-8")
+    return None
+
+
+def _dispatch(
+    method, route, params, headers, body, state, net_cache=None
+) -> Tuple[int, str, bytes]:
     try:
         if route == "/" and method in ("GET", "HEAD"):
             return 200, "text/html", _UI_HTML
@@ -685,16 +774,12 @@ def _dispatch(method, route, params, headers, body, state) -> Tuple[int, str, by
         if route == "/update":
             if method != "POST":
                 return 405, "text/plain", b"use POST for /update"
-            ct = headers.get("content-type", "")
-            if ct.split(";")[0] == "application/x-www-form-urlencoded":
-                form = urllib.parse.parse_qs(body.decode("utf-8"))
-                text = form.get("update", [""])[0]
-            elif ct.split(";")[0] in ("application/sparql-update", "text/plain", ""):
-                text = body.decode("utf-8")
-            else:
+            text = _update_text(headers, body)
+            if text is None:
+                ct = headers.get("content-type", "")
                 return 415, "text/plain", f"unsupported media type {ct}".encode()
             try:
-                apply_update(state, text)
+                apply_update(state, text, net_cache)
             except UpdateError as e:
                 return e.status, "text/plain", str(e).encode()
             return 204, "text/plain", b""
@@ -857,24 +942,8 @@ def make_server(
                 if method != "HEAD":
                     self.wfile.write(out)
                 return
-            # query-result chunks: stream to the wire with chunked
-            # transfer-encoding — the full response string is never built.
-            # An HTTP/1.0 client ignores Transfer-Encoding and would read
-            # raw chunk framing as the body (ADVICE r4), so for anything
-            # below HTTP/1.1 buffer the chunks and send Content-Length.
-            if self.request_version != "HTTP/1.1":
-                try:
-                    data = "".join(out).encode()
-                except Exception as e:
-                    self.send_error(400, " ".join(str(e).split())[:200] or "query failed")
-                    return
-                self.send_response(status)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(data)))
-                self.end_headers()
-                if method != "HEAD":
-                    self.wfile.write(data)
-                return
+            # query-result chunks: stream to the wire — the full response
+            # string is never built, for ANY client version.
             # Pull the first chunk BEFORE the status line: a lazy query
             # error that fires immediately (the common case — plan-time
             # and first-batch failures) still becomes a clean 400 instead
@@ -883,21 +952,36 @@ def make_server(
             try:
                 first = next(chunks, "")
             except Exception as e:
-                self.send_error(400, " ".join(str(e).split())[:200] or "query failed")
+                self._send_clean_error(400, e)
                 return
+            # An HTTP/1.0 client ignores Transfer-Encoding and would read
+            # raw chunk framing as the body (ADVICE r4); buffering instead
+            # would hand any client an O(result) memory knob (review r5).
+            # HTTP/1.0's native framing is close-delimited: stream the raw
+            # chunks and close the connection when done.
+            chunked = self.request_version == "HTTP/1.1"
             self.send_response(status)
             self.send_header("Content-Type", ctype)
-            self.send_header("Transfer-Encoding", "chunked")
+            if chunked:
+                self.send_header("Transfer-Encoding", "chunked")
+            else:
+                self.send_header("Connection", "close")
+                self.close_connection = True
             self.end_headers()
             if method != "HEAD":
                 try:
                     for chunk in itertools.chain([first], chunks):
                         data = chunk.encode()
-                        if data:
+                        if not data:
+                            continue
+                        if chunked:
                             self.wfile.write(
                                 f"{len(data):X}\r\n".encode() + data + b"\r\n"
                             )
-                    self.wfile.write(b"0\r\n\r\n")
+                        else:
+                            self.wfile.write(data)
+                    if chunked:
+                        self.wfile.write(b"0\r\n\r\n")
                 except Exception:
                     # mid-stream failure: no terminal chunk can be sent —
                     # close the connection so the client sees truncation,
@@ -909,6 +993,16 @@ def make_server(
                         self.path,
                     )
                     self.close_connection = True
+
+        def _send_clean_error(self, code, exc):
+            """send_error with a status-line-safe reason: collapse
+            whitespace AND force ASCII — BaseHTTPRequestHandler encodes
+            the status line latin-1 strict, so a non-ASCII parse-error
+            fragment (IRIs, literals) would otherwise kill the response
+            entirely (review r5)."""
+            msg = " ".join(str(exc).split())[:200]
+            msg = msg.encode("ascii", "replace").decode("ascii") or "query failed"
+            self.send_error(code, msg)
 
         def do_GET(self):
             self._run("GET")

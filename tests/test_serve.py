@@ -563,8 +563,10 @@ def test_json_head_unicode_var_raw_utf8():
 
 
 def test_http10_client_gets_content_length_not_chunked(tmp_path):
-    """An HTTP/1.0 client ignores Transfer-Encoding; the server must
-    buffer and send Content-Length instead of chunk framing (ADVICE r4)."""
+    """An HTTP/1.0 client ignores Transfer-Encoding; the server must not
+    send chunk framing (ADVICE r4). Buffering to Content-Length would
+    hand any client an O(result) memory knob (review r5), so the response
+    streams close-delimited: raw body bytes, Connection: close."""
     import socket
     import threading
 
@@ -591,8 +593,11 @@ def test_http10_client_gets_content_length_not_chunked(tmp_path):
                 raw += part
         headers, _, body = raw.partition(b"\r\n\r\n")
         h = headers.lower()
-        assert b"content-length:" in h and b"transfer-encoding" not in h
+        assert b"transfer-encoding" not in h
+        assert b"connection: close" in h
+        # close-delimited: raw JSON from the first byte, no chunk framing
         assert body.startswith(b'{"head"') and b'"v"' in body
+        assert body.rstrip().endswith(b"}")
     finally:
         server.shutdown()
 
@@ -670,3 +675,71 @@ def test_streamed_turtle_rdfxml_multichunk_roundtrip():
     ttl = serialize_result(small, "turtle")
     assert ttl.startswith("@prefix ns0: <http://ex.org/> .\n\n")
     assert ttl.rstrip().endswith('ns0:a ns0:p "x" .')
+
+
+def test_nonascii_query_error_clean_400(tmp_path):
+    """A lazy serialization error whose message contains non-ASCII (e.g. a
+    non-QName-able IRI with CJK chars) must reach the client as a clean
+    400, not a dropped connection — BaseHTTPRequestHandler encodes the
+    status line latin-1 strict (review r5)."""
+    import http.client
+    import threading
+
+    from de_ray.serve import make_server
+
+    server = make_server(str(tmp_path), bind="127.0.0.1:0")
+    server.de_ray_state.replace(
+        "file:///g.nt", [("http://ex.org/s", "http://ex.org/名前", '"v"')]
+    )
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        host, port = server.server_address
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        conn.request(
+            "POST", "/query",
+            body="CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }",
+            headers={
+                "Content-Type": "application/sparql-query",
+                "Accept": "application/rdf+xml",
+            },
+        )
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 400
+        assert b"cannot make QName" in body
+    finally:
+        server.shutdown()
+
+
+def test_network_load_refuses_redirects(tmp_path):
+    """Opt-in network LOAD must not follow redirects — a redirect could
+    bounce the server into internal-only hosts (SSRF, review r5)."""
+    import http.server
+    import threading
+
+    from de_ray.serve import ServeState
+
+    class Redirector(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(302)
+            self.send_header("Location", "http://127.0.0.1:1/internal.ttl")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Redirector)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        host, port = httpd.server_address
+        st = ServeState(allow_network_load=True)
+        status, _, body = handle_request(
+            "POST", "/update", st,
+            {"Content-Type": "application/sparql-update"},
+            f"LOAD <http://{host}:{port}/doc.ttl> INTO GRAPH <file:///r.hdt>".encode(),
+        )
+        assert status == 400
+        assert b"redirect" in body.lower()
+        assert not st.contains("file:///r.hdt")
+    finally:
+        httpd.shutdown()
