@@ -385,7 +385,8 @@ def write_store(
 def _distinct_graphs(triples_ds: rd.Dataset) -> List[str]:
     """Sorted distinct graph names — a column-pruned scan with per-batch
     unique partials (graphs are few: one per input file/crawl)."""
-    if "graph" not in triples_ds.schema().names:
+    sch = triples_ds.schema()  # None for a fully-empty schema-less input
+    if sch is None or "graph" not in sch.names:
         return [""]
 
     def uniq(batch: pa.Table) -> pa.Table:

@@ -407,7 +407,10 @@ def _join_encode(triples_ds: rd.Dataset, dict_build: DictionaryBuild,
         obj_map, join_type="inner", num_partitions=num_partitions,
         on=("obj",), right_on=("term",),
     ).rename_columns({"id": "o_id"})
-    cols = ["s_id", "p_id", "o_id"] + (["graph"] if "graph" in triples_ds.schema().names else [])
+    _tsch = triples_ds.schema()
+    cols = ["s_id", "p_id", "o_id"] + (
+        ["graph"] if _tsch is not None and "graph" in _tsch.names else []
+    )
     return ds.select_columns(cols)
 
 

@@ -1803,7 +1803,9 @@ def _order_and_slice(q: Query, vars_out: List[str], ds: rd.Dataset) -> rd.Datase
             key_cols += [f"__k{i}_tier", f"__k{i}_num", f"__k{i}_str"]
             descending += [desc, desc, desc]
         ds = ds.sort(key_cols, descending=descending)
-        ds = ds.drop_columns([c for c in ds.schema().names if c.startswith("__k")])
+        # drop the exact columns add_keys added — ds.schema() is None for a
+        # zero-row result here, so introspecting it crashed empty ORDER BYs
+        ds = ds.drop_columns(key_cols)
     if q.offset or q.limit is not None:
         n = (q.offset or 0) + (q.limit if q.limit is not None else 0)
         if q.limit is not None:

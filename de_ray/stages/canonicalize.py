@@ -74,7 +74,13 @@ def canonicalize_stage(ds, num_buckets: int = 64, cols=None,
     bucket-groupby shuffle. Both paths are exact — the limit only trades
     latency, and at 10^12-doc scale the distributed path always runs.
     """
-    cols = list(cols) if cols is not None else [c for c in KEY_COLS if c in ds.schema().names]
+    if cols is not None:
+        cols = list(cols)
+    else:
+        sch = ds.schema()  # None for a fully-empty schema-less Dataset
+        if sch is None:
+            return ds  # nothing to dedup
+        cols = [c for c in KEY_COLS if c in sch.names]
     import ray.data as rd
 
     local = ds.map_batches(
