@@ -234,7 +234,10 @@ def grouped_quantile_disc(
         df = df[[key, col]].dropna(subset=[col]).sort_values(
             [key, col], kind="mergesort"
         )
-        sizes = df.groupby(key, sort=True)[col].size()
+        # dropna=False keeps NULL-key groups (SQL GROUP BY semantics);
+        # sort_values puts NaN keys last and sorted groupby orders them
+        # last too, so the cumsum positions stay aligned
+        sizes = df.groupby(key, sort=True, dropna=False)[col].size()
         starts = sizes.cumsum() - sizes
         vals = df[col].to_numpy()
         out = {key: sizes.index.to_numpy()}
@@ -264,12 +267,23 @@ def grouped_zscore(
     arithmetic is plain float64 ``mean = s/n``, ``var = ss/n - mean²`` —
     integer-valued partials are exact below 2^53, so a DuckDB oracle using
     the *same formula* (not STDDEV_POP's Welford path) matches bitwise.
-    Groups with zero variance score 0.0 on both sides.
+    Groups with zero variance score 0.0 on both sides. NULL group keys
+    form their own group (SQL ``PARTITION BY`` semantics) via a private
+    sentinel — pandas groupby would silently drop them and the broadcast
+    dict cannot key on NaN (adversarial-contract-fuzz finding, round 5).
     """
     import ray
 
+    null_key = "\x01\x01__null__"
+
+    def _keyed(s: pd.Series) -> pd.Series:
+        return s.astype(object).where(s.notna(), null_key) if s.isna().any() else s
+
     part = ds.map_batches(
-        lambda df: df.assign(_sq=df[value_col].astype("float64") ** 2)
+        lambda df: df.assign(
+            **{group_col: _keyed(df[group_col])},
+            _sq=df[value_col].astype("float64") ** 2,
+        )
         .groupby(group_col, as_index=False)
         .agg(n=(value_col, "count"), s=(value_col, "sum"), ss=("_sq", "sum")),
         batch_format="pandas",
@@ -291,8 +305,9 @@ def grouped_zscore(
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         means, stds = get_broadcast(ref, lambda x: x)
-        m = df[group_col].map(means).to_numpy(dtype="float64")
-        sd = df[group_col].map(stds).to_numpy(dtype="float64")
+        g = _keyed(df[group_col])
+        m = g.map(means).to_numpy(dtype="float64")
+        sd = g.map(stds).to_numpy(dtype="float64")
         x = df[value_col].to_numpy(dtype="float64")
         with np.errstate(divide="ignore", invalid="ignore"):
             z = np.where(sd > 0.0, (x - m) / sd, 0.0)

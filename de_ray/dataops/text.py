@@ -686,13 +686,19 @@ def lm_quality_buckets(
     )
     qlo, qhi = (f"q{round(q * 100)}" for q in qs)
     thr = grouped_quantile_disc(scored, strata_col, "lm_score", list(qs)).to_pandas()
-    lo = dict(zip(thr[strata_col], thr[qlo]))
-    hi = dict(zip(thr[strata_col], thr[qhi]))
+    # NULL strata get their own thresholds (SQL PARTITION BY semantics);
+    # a NaN-keyed dict is unreachable through Series.map, so key them with
+    # a private sentinel (adversarial-contract-fuzz finding, round 5)
+    null_key = "\x01\x01__null__"
+    tkey = thr[strata_col].astype(object).where(thr[strata_col].notna(), null_key)
+    lo = dict(zip(tkey, thr[qlo]))
+    hi = dict(zip(tkey, thr[qhi]))
 
     def label(df: pd.DataFrame) -> pd.DataFrame:
         s = df["lm_score"].to_numpy()
-        lo_v = df[strata_col].map(lo).to_numpy(dtype=float)
-        hi_v = df[strata_col].map(hi).to_numpy(dtype=float)
+        g = df[strata_col].astype(object).where(df[strata_col].notna(), null_key)
+        lo_v = g.map(lo).to_numpy(dtype=float)
+        hi_v = g.map(hi).to_numpy(dtype=float)
         b = np.where(s <= lo_v, labels[0], np.where(s <= hi_v, labels[1], labels[2]))
         return df.assign(bucket=b)[[id_col, strata_col, "lm_score", "bucket"]]
 
@@ -749,14 +755,17 @@ def corpus_report(ds, text_col: str = "text", strata_col: str = "lang"):
                 "toks": per_doc_toks,
             }
         )
-        return df.groupby(strata_col, as_index=False).agg(
+        # dropna=False: NULL strata are real docs — dropping them silently
+        # under-counted n_docs/n_tokens AND lost a stratum from the
+        # entropy (adversarial-contract-fuzz finding, round 5)
+        return df.groupby(strata_col, as_index=False, dropna=False).agg(
             n=(strata_col, "size"), chars=("chars", "sum"), toks=("toks", "sum")
         )
 
     parts = ds.select_columns([strata_col, text_col]).map_batches(
         partial, batch_format="pyarrow", batch_size=64 * 1024
     )
-    dfp = parts.to_pandas().groupby(strata_col, as_index=False).sum()
+    dfp = parts.to_pandas().groupby(strata_col, as_index=False, dropna=False).sum()
     N, C, T = int(dfp["n"].sum()), int(dfp["chars"].sum()), int(dfp["toks"].sum())
     p = dfp["n"].to_numpy() / N
     entropy = round(-float(np.sum(p * np.log(p))), 6)

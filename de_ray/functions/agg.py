@@ -124,8 +124,12 @@ def rollup_grouped_agg(
     to NULL after the final merge — distinct from ``total_label``, so a
     genuine NULL group never collides with a rolled-up level."""
 
-    # \x00 cannot appear in real key strings (and never equals total_label)
-    null_key = "\x00\x00null"
+    # control-char prefix cannot appear in real key strings (and never
+    # equals total_label). NOT \x00: pandas 2.2's object factorization
+    # collides "\x00..."-prefixed keys with "" in groupby, silently merging
+    # the empty-string group into the NULL group (found by the adversarial
+    # driver-contract fuzz, tests/test_driver_contract_fuzz.py)
+    null_key = "\x01\x01__null__"
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[keys + [value_col]].copy()

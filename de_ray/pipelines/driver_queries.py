@@ -93,13 +93,19 @@ def grouped_count(ds: rd.Dataset, keys, alias: str = "n") -> rd.Dataset:
     key_list = keys if isinstance(keys, list) else [keys]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(key_list, as_index=False).size()
+        # dropna=False: SQL GROUP BY keeps NULL key groups; pandas would
+        # silently drop them (adversarial-contract-fuzz finding, round 5)
+        out = df.groupby(key_list, as_index=False, dropna=False).size()
         return out.rename(columns={"size": alias})
 
     part = ds.map_batches(partial, batch_format="pandas", batch_size=128 * 1024)
     part = part.materialize()
     if part.count() <= GROUPED_COUNT_DRIVER_LIMIT:
-        merged = part.to_pandas().groupby(key_list, as_index=False)[alias].sum()
+        merged = (
+            part.to_pandas()
+            .groupby(key_list, as_index=False, dropna=False)[alias]
+            .sum()
+        )
         merged[alias] = merged[alias].astype("int64")
         return rd.from_pandas(merged)
     out = part.groupby(key_list).aggregate(Sum(alias, alias_name=alias))
@@ -2409,7 +2415,8 @@ SQL_CCNET_BUCKETS = (
     "SELECT sl.doc_id, sl.lang, sl.lm_score, "
     "CASE WHEN sl.lm_score <= thr.q35 THEN 'tail' "
     "WHEN sl.lm_score <= thr.q70 THEN 'middle' ELSE 'head' END AS bucket "
-    "FROM sl JOIN thr USING (lang)"
+    # NOT USING(lang): NULL langs are their own stratum on the engine side
+    "FROM sl JOIN thr ON sl.lang IS NOT DISTINCT FROM thr.lang"
 )
 
 
@@ -3008,7 +3015,10 @@ SQL_ZSCORE_BY_LANG = (
     "m AS (SELECT lang, s/n AS mu, sqrt(greatest(ss/n - (s/n)*(s/n), 0)) AS sd FROM g) "
     "SELECT d.doc_id, d.lang, CASE WHEN m.sd > 0 THEN "
     "round((d.n_chars - m.mu) / m.sd, 6) ELSE 0.0 END AS z_chars "
-    "FROM documents d JOIN m ON d.lang = m.lang"
+    # IS NOT DISTINCT FROM: a NULL lang is its own group (PARTITION BY
+    # semantics), matching the engine's sentinel-keyed groups; a plain
+    # equi-join would silently drop NULL-lang docs (review r5 fuzz)
+    "FROM documents d JOIN m ON d.lang IS NOT DISTINCT FROM m.lang"
 )
 
 
