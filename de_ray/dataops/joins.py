@@ -70,14 +70,51 @@ def _pandas_dtypes(schema: pa.Schema) -> dict:
     return dict(pa.schema(schema).empty_table().to_pandas().dtypes)
 
 
-def _tagged_union(left: rd.Dataset, right: rd.Dataset, shared_ok: Sequence[str] = ()):
+def _side_schema(ds: rd.Dataset, hint) -> pa.Schema:
+    """Arrow schema of a join side; for an EMPTY side (Ray reports schema
+    None once any map ran over an empty dataset) falls back to ``hint`` —
+    the schema the caller captured BEFORE keying — plus the key column."""
+    sch = ds.schema()
+    if sch is not None:
+        return pa.schema(sch.base_schema)
+    if hint is None:
+        raise ValueError(
+            "cannot join an empty schema-less Dataset: construct empty "
+            "inputs via pyarrow (rd.from_arrow) so column names survive"
+        )
+    try:
+        base = pa.schema(hint.base_schema)
+    except Exception:
+        base = pa.schema([pa.field(n, pa.large_string()) for n in hint.names])
+    if _KEY not in base.names:
+        base = base.append(pa.field(_KEY, pa.large_string()))
+    return base
+
+
+def _empty_union_frame(lcols, rcols, dtypes) -> pd.DataFrame:
+    """Typed zero-row frame in the tagged-union layout — handed to the
+    join kernel when the whole union is empty (e.g. zero purchase events
+    on a shard), so the kernel still emits its real output columns."""
+    cols = lcols + [c for c in rcols if c not in lcols] + [_SIDE]
+    return pd.DataFrame(
+        {c: pd.Series(dtype=dtypes.get(c, "int8")) for c in cols}
+    )
+
+
+def _tagged_union(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    shared_ok: Sequence[str] = (),
+    lhint=None,
+    rhint=None,
+):
     """Union two Datasets with disjoint-ish schemas: each side gains the
     other's columns as typed nulls plus a ``__side`` tag. Columns named in
     ``shared_ok`` may exist on both sides (same meaning, e.g. a bin/bucket
     key) and are kept as one column. Returns
     (union_ds, left_cols, right_cols, dtype_map)."""
     left, right = _ensure_arrow(left), _ensure_arrow(right)
-    ls, rs = pa.schema(left.schema().base_schema), pa.schema(right.schema().base_schema)
+    ls, rs = _side_schema(left, lhint), _side_schema(right, rhint)
     lcols, rcols = list(ls.names), list(rs.names)
     shared = (set(lcols) & set(rcols)) - set(shared_ok)
     if shared:
@@ -113,14 +150,22 @@ def _split_sides(g: pd.DataFrame, lcols, rcols, dtypes):
 
 
 def _bucketed_apply(
-    ds: rd.Dataset, key: str, fn, limit: int, num_buckets: int
+    ds: rd.Dataset, key: str, fn, limit: int, num_buckets: int, empty_frame=None
 ) -> rd.Dataset:
     """Size-adaptive grouped apply on a single key column (the joins' own
     variant of functions.agg.adaptive_grouped_apply: same cutover, but the
-    frames carry mixed-side rows so the kernel splits them itself)."""
+    frames carry mixed-side rows so the kernel splits them itself).
+    ``empty_frame`` is the typed union-layout frame used when the whole
+    union is empty (schema-less), so the kernel still runs and the result
+    keeps the join's real output columns."""
+    from de_ray.functions.agg import from_pandas_keep_schema, to_pandas_keep_schema
+
     ds = ds.materialize()
-    if ds.count() <= limit:
-        return rd.from_pandas(fn(ds.to_pandas()).reset_index(drop=True))
+    if ds.count() <= limit or ds.schema() is None:
+        df = to_pandas_keep_schema(ds)
+        if df.shape[1] == 0 and empty_frame is not None:
+            df = empty_frame
+        return from_pandas_keep_schema(fn(df).reset_index(drop=True))
     from de_ray.stages.canonicalize import stable_row_hash
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
@@ -162,9 +207,15 @@ def asof_join(
     Column names must be disjoint across sides. Distributed shape: one
     hash shuffle on the key, one ``pd.merge_asof(by=key)`` per bucket.
     """
+    lhint, rhint = left.schema(), right.schema()
     union, lcols, rcols, dtypes = _tagged_union(
-        _with_key(left, by_left), _with_key(right, by_right), shared_ok=(_KEY,)
+        _with_key(left, by_left),
+        _with_key(right, by_right),
+        shared_ok=(_KEY,),
+        lhint=lhint,
+        rhint=rhint,
     )
+    empty_frame = _empty_union_frame(lcols, rcols, dtypes)
     lcols = [c for c in lcols if c != _KEY]
     rcols = [c for c in rcols if c != _KEY]
     probe = next(c for c in rcols if c != by_right)
@@ -193,7 +244,9 @@ def asof_join(
             out = out[out[probe].notna()]
         return out.reset_index(drop=True)
 
-    return _bucketed_apply(union, _KEY, kernel, limit, num_buckets)
+    return _bucketed_apply(
+        union, _KEY, kernel, limit, num_buckets, empty_frame=empty_frame
+    )
 
 
 def range_join(
@@ -214,9 +267,15 @@ def range_join(
     ``[right[lo], right[hi]]`` (``closed`` ∈ both|left|right|neither).
     One hash shuffle on the key; per bucket an equality merge + one
     vectorized interval mask."""
+    lhint, rhint = left.schema(), right.schema()
     union, lcols, rcols, dtypes = _tagged_union(
-        _with_key(left, by_left), _with_key(right, by_right), shared_ok=(_KEY,)
+        _with_key(left, by_left),
+        _with_key(right, by_right),
+        shared_ok=(_KEY,),
+        lhint=lhint,
+        rhint=rhint,
     )
+    empty_frame = _empty_union_frame(lcols, rcols, dtypes)
     lcols = [c for c in lcols if c != _KEY]
     rcols = [c for c in rcols if c != _KEY]
 
@@ -227,7 +286,9 @@ def range_join(
         le = out[on] <= out[hi] if closed in ("both", "right") else out[on] < out[hi]
         return out[ge & le].reset_index(drop=True)
 
-    return _bucketed_apply(union, _KEY, kernel, limit, num_buckets)
+    return _bucketed_apply(
+        union, _KEY, kernel, limit, num_buckets, empty_frame=empty_frame
+    )
 
 
 def equi_join(

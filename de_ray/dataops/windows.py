@@ -254,8 +254,16 @@ def event_transitions(
     counts = counts.map_batches(as_int, batch_format="pandas")
     if k is None:
         return counts
-    head = counts.to_pandas().sort_values(
+    from de_ray.functions.agg import from_pandas_keep_schema, to_pandas_keep_schema
+
+    df = to_pandas_keep_schema(counts)
+    if df.shape[1] == 0:  # zero transitions anywhere (e.g. one event total)
+        df = pd.DataFrame(
+            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+             "n": pd.Series(dtype="int64")}
+        )
+    head = df.sort_values(
         ["n", "a", "b"], ascending=[False, True, True], kind="mergesort"
     )
     # same return type on both paths (a Dataset), unlike a bare DataFrame
-    return rd.from_pandas(head.head(k).reset_index(drop=True))
+    return from_pandas_keep_schema(head.head(k).reset_index(drop=True))

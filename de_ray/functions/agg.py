@@ -25,6 +25,44 @@ from ray.data.aggregate import Sum
 DRIVER_FINAL_LIMIT = 500_000
 
 
+def to_pandas_keep_schema(ds: rd.Dataset) -> pd.DataFrame:
+    """``Dataset.to_pandas()`` that keeps column names for EMPTY datasets.
+
+    Ray's to_pandas returns a zero-column frame for an all-empty dataset
+    even when ``ds.schema()`` still carries the names — a downstream
+    ``groupby``/column access then KeyErrors on a legitimately-empty
+    shard (zero purchases, zero matches). Reconstructs object-dtype
+    columns from the schema names."""
+    df = ds.to_pandas()
+    if df.shape[1] == 0:
+        sch = ds.schema()
+        if sch is not None and sch.names:
+            df = pd.DataFrame({n: pd.Series(dtype=object) for n in sch.names})
+    return df
+
+
+def from_pandas_keep_schema(df: pd.DataFrame) -> rd.Dataset:
+    """``from_pandas`` that keeps the schema of an EMPTY frame (Ray drops
+    it; routing through an Arrow table preserves names and types)."""
+    if len(df) == 0:
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    return rd.from_pandas(df)
+
+
+def finalize_typed(ds: rd.Dataset, dtypes: dict):
+    """Materialize-and-guard for possibly-empty pipeline results: any map
+    over an empty Dataset silently drops the schema in Ray, so a zero-row
+    result would present as a zero-COLUMN table. Returns the Dataset when
+    it has rows, else a typed empty pandas frame with the caller's known
+    output columns."""
+    ds = ds.materialize()
+    if ds.count() == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in dtypes.items()})
+    return ds
+
+
 def adaptive_grouped_sum(
     partials: rd.Dataset,
     keys: Union[str, List[str]],
@@ -36,12 +74,12 @@ def adaptive_grouped_sum(
     val_list = [value_cols] if isinstance(value_cols, str) else list(value_cols)
     partials = partials.materialize()
     if partials.count() <= limit:
-        df = partials.to_pandas()
+        df = to_pandas_keep_schema(partials)
         if df.empty and any(c not in df.columns for c in key_list):
             # zero-row inputs yield schema-less empty blocks
             df = pd.DataFrame(columns=key_list + val_list)
         out = df.groupby(key_list, as_index=False)[val_list].sum()
-        return rd.from_pandas(out)
+        return from_pandas_keep_schema(out)
     aggs = [Sum(v, alias_name=v) for v in val_list]
     return partials.groupby(key_list).aggregate(*aggs)
 
@@ -64,7 +102,9 @@ def adaptive_grouped_apply(
     key_list = [keys] if isinstance(keys, str) else list(keys)
     ds = ds.materialize()
     if ds.count() <= limit:
-        return rd.from_pandas(fn(ds.to_pandas()).reset_index(drop=True))
+        return from_pandas_keep_schema(
+            fn(to_pandas_keep_schema(ds)).reset_index(drop=True)
+        )
     from de_ray.stages.canonicalize import stable_row_hash
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:

@@ -1665,8 +1665,13 @@ def q_asof_join(sf_dir: str):
         by_right="p_user",
         how="inner",
     )
-    return out.select_columns(["event_id", "p_event_id"]).map_batches(
-        lambda df: df.astype("int64"), batch_format="pandas"
+    from de_ray.functions.agg import finalize_typed
+
+    return finalize_typed(
+        out.select_columns(["event_id", "p_event_id"]).map_batches(
+            lambda df: df.astype("int64"), batch_format="pandas"
+        ),
+        {"event_id": "int64", "p_event_id": "int64"},
     )
 
 
@@ -1681,8 +1686,16 @@ def q_range_join(sf_dir: str):
     same user — (purchase, event) pairs, half-open (p_ts, p_ts+1h]."""
     from de_ray.dataops.joins import range_join
 
+    from de_ray.functions.agg import finalize_typed
+
+    empty = {"event_id": "int64", "p_event_id": "int64"}
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
-    pur = _purchases(sf_dir).map_batches(
+    pur0 = _purchases(sf_dir).materialize()
+    if pur0.count() == 0:
+        # maps over an empty Dataset drop its schema in Ray, so the p_hi
+        # assignment below would hand range_join a schema-less side
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in empty.items()})
+    pur = pur0.map_batches(
         lambda df: df.assign(p_hi=df["p_ts"] + pd.Timedelta(hours=1)),
         batch_format="pandas",
     )
@@ -1696,8 +1709,11 @@ def q_range_join(sf_dir: str):
         hi="p_hi",
         closed="right",
     )
-    return out.select_columns(["event_id", "p_event_id"]).map_batches(
-        lambda df: df.astype("int64"), batch_format="pandas"
+    return finalize_typed(
+        out.select_columns(["event_id", "p_event_id"]).map_batches(
+            lambda df: df.astype("int64"), batch_format="pandas"
+        ),
+        empty,
     )
 
 

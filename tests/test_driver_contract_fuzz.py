@@ -45,22 +45,31 @@ WORDS = ["alpha", "beta", "gamma", "δέλτα", "foo", "bar", "", "x", "Ω"]
 
 
 def _random_events(rng: random.Random, n: int) -> pd.DataFrame:
-    """Adversarial `events` values: NULLs, negatives, far-out-of-range,
-    exact bin edges, NaN-adjacent floats."""
+    """Adversarial `events`: NULL/negative/edge `value`s, DUPLICATE exact
+    timestamps within a user (the tie case every window/asof operator must
+    define), session-gap boundary spacings, real funnel step names so the
+    funnel/purchase-deriving queries exercise their full paths."""
     specials = [None, -5.0, 0.0, 1.0, 19.0, 19.999, 20.0, 1e9, -0.0001]
+    types = ["view", "click", "purchase", "error", "signup"]
     rows = []
+    ts = pd.Timestamp("2024-01-01")
     for i in range(n):
         v = (
             rng.choice(specials)
             if rng.random() < 0.4
             else round(rng.uniform(-2, 25), 3)
         )
+        if i and rng.random() < 0.3:
+            ts = rows[-1]["ts"]  # exact duplicate timestamp (tie)
+        else:
+            # includes the 30-minute session-gap boundary exactly
+            ts = ts + pd.Timedelta(minutes=rng.choice([0, 1, 5, 30, 31, 600]))
         rows.append(
             {
                 "event_id": i,
-                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
-                "user_id": i % 7,
-                "event_type": rng.choice(["a", "b"]),
+                "ts": ts,
+                "user_id": i % 4,
+                "event_type": rng.choice(types),
                 "value": v,
                 "props": "",
             }
@@ -131,6 +140,97 @@ def test_adversarial_corpus_matches_oracle(name, seed, n, tmp_path):
     con = duckdb.connect()
     for t in ("documents", "events"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = _normalize(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns), f"{name}: schema"
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, rtol=1e-6
+    )
+
+
+# events-based operators: the adversarial axis is duplicate timestamps
+# (tie semantics), session-gap boundary spacings, and NULL values.
+# semi/anti_join need the TPC-H orders table and are covered by their
+# sf0.01 contract rows instead.
+EVENT_QUERIES = [
+    "events_by_type",
+    "events_daily_user",
+    "session_windows",
+    "sliding_windows",
+    "tumbling_value",
+    "funnel_steps",
+    "retention_cohorts",
+    "event_transitions",
+    "asof_join",
+    "range_join",
+    "interval_join",
+]
+
+
+@pytest.mark.parametrize("seed,n", [(5, 200), (41, 30), (53, 1)])
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_adversarial_events_match_oracle(name, seed, n, tmp_path):
+    rng = random.Random(seed)
+    events = _random_events(rng, n)
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False),
+                   str(sf / "events.parquet"))
+    fn, sql = REGISTRY[name]
+    got = _normalize(_to_df(fn(str(sf))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = _normalize(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns), f"{name}: schema"
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, rtol=1e-6
+    )
+
+
+def _random_embeddings(rng: random.Random, n: int, dim: int = 8) -> pd.DataFrame:
+    """Adversarial embeddings for the ELEMENTWISE ops: zero vectors,
+    huge/tiny magnitudes, exact duplicates. (Cosine-family queries are
+    excluded: a zero vector's cosine is undefined and the planted property
+    oracles assume the synthetic corpus's no-duplicates geometry.)"""
+    rows = []
+    for i in range(n):
+        kind = rng.random()
+        if kind < 0.15:
+            v = [0.0] * dim  # zero vector
+        elif kind < 0.3 and rows:
+            v = rows[rng.randrange(len(rows))]["embedding"]  # duplicate
+        elif kind < 0.4:
+            v = [rng.uniform(-1, 1) * 1e6 for _ in range(dim)]
+        elif kind < 0.5:
+            v = [rng.uniform(-1, 1) * 1e-6 for _ in range(dim)]
+        else:
+            v = [round(rng.uniform(-1, 1), 6) for _ in range(dim)]
+        rows.append(
+            {"vec_id": i, "embedding": list(map(float, v)), "label": i % 3}
+        )
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("seed,n", [(11, 60), (47, 1)])
+@pytest.mark.parametrize("name", ["quantize_embeddings", "label_centroids"])
+def test_adversarial_embeddings_match_oracle(name, seed, n, tmp_path):
+    rng = random.Random(seed)
+    emb = _random_embeddings(rng, n)
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    t = pa.table(
+        {
+            "vec_id": pa.array(emb["vec_id"], pa.int64()),
+            "embedding": pa.array(emb["embedding"], pa.list_(pa.float32())),
+            "label": pa.array(emb["label"], pa.int32()),
+        }
+    )
+    pq.write_table(t, str(sf / "embeddings.parquet"))
+    fn, sql = REGISTRY[name]
+    got = _normalize(_to_df(fn(str(sf))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
     want = _normalize(con.sql(sql).df())
     assert list(got.columns) == list(want.columns), f"{name}: schema"
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
