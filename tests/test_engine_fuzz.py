@@ -81,6 +81,21 @@ def _queries(rng: random.Random):
         'SELECT DISTINCT ?s WHERE { ?s ?p ?o '
         f'FILTER(STRSTARTS(STR(?s), "{EX}s")) }} ORDER BY ?s',
         f"CONSTRUCT {{ ?s <{EX}made> ?o }} WHERE {{ ?s {p} ?o }}",
+        # harder algebra: paths, MINUS, VALUES, HAVING, nested OPTIONAL
+        f"SELECT DISTINCT ?s ?o WHERE {{ ?s {p}+ ?o }} ORDER BY ?s ?o",
+        f"SELECT DISTINCT ?s ?o WHERE {{ ?s ({p}|{p2}) ?o }} ORDER BY ?s ?o",
+        f"SELECT DISTINCT ?s ?o WHERE {{ ?s {p}/{p2} ?o }} ORDER BY ?s ?o",
+        f"SELECT DISTINCT ?s WHERE {{ ?s {p} ?o MINUS {{ ?s {p2} ?o2 }} }} "
+        "ORDER BY ?s",
+        f"SELECT DISTINCT ?s ?o WHERE {{ VALUES ?s {{ <{EX}s0> <{EX}s3> "
+        f"<{EX}s5> }} ?s {p} ?o }} ORDER BY ?s ?o",
+        f"SELECT ?s (COUNT(*) AS ?n) WHERE {{ ?s {p} ?o }} GROUP BY ?s "
+        "HAVING (COUNT(*) >= 2) ORDER BY ?s",
+        f"SELECT DISTINCT ?s ?y WHERE {{ ?s {p} ?o OPTIONAL {{ ?o {p2} ?x "
+        f"OPTIONAL {{ ?x {p} ?y }} }} }} ORDER BY ?s ?y",
+        f"SELECT DISTINCT ?s WHERE {{ ?s {p} ?o "
+        f"FILTER NOT EXISTS {{ ?s {p2} ?z }} }} ORDER BY ?s",
+        f"SELECT DISTINCT ?o WHERE {{ ?s ^{p} ?o }} ORDER BY ?o",
     ]
 
 
@@ -97,9 +112,10 @@ def _rows(res):
         if v not in df.columns:
             df[v] = None
     vals = df[cols].astype(object).where(df[cols].notna(), None)
-    rows = sorted(map(tuple, vals.itertuples(index=False, name=None)))
+    key = lambda r: tuple((v is None, v if v is not None else "") for v in r)
+    rows = sorted(map(tuple, vals.itertuples(index=False, name=None)), key=key)
     if not hasattr(res, "variables"):
-        rows = sorted(set(rows))  # graphs are SETs of triples
+        rows = sorted(set(rows), key=key)  # graphs are SETs of triples
     return rows
 
 
