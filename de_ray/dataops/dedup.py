@@ -914,18 +914,14 @@ def dup_span_stats(
             }
         )
 
+    from de_ray.functions.agg import from_pandas_keep_schema
+
+    per_doc = per_doc.materialize()  # count() below must not re-run the pipeline
     if per_doc.count() == 0:
         # a fully-empty merge yields schema-less blocks that skip finish()
-        # entirely — emit ONE typed empty Arrow block so downstream (and
-        # the driver's schema compare) sees the operator's real columns
-        # (from_arrow, not from_pandas: Ray drops an empty pandas frame's
-        # schema)
-        import pyarrow as _pa
-        import ray.data as _rd
-
-        return _rd.from_arrow(
-            _pa.Table.from_pandas(finish(pd.DataFrame()), preserve_index=False)
-        )
+        # entirely — emit ONE typed empty block so downstream (and the
+        # driver's schema compare) sees the operator's real columns
+        return from_pandas_keep_schema(finish(pd.DataFrame()))
     return per_doc.map_batches(finish, batch_format="pandas")
 
 

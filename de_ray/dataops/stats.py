@@ -246,8 +246,17 @@ def grouped_quantile_disc(
             out[f"q{round(q * 100)}"] = vals[pos]
         return pd.DataFrame(out)
 
+    empty = pd.DataFrame(
+        {key: pd.Series(dtype=object)}
+        | {f"q{round(q * 100)}": pd.Series(dtype="float64") for q in qs}
+    )
     return adaptive_grouped_apply(
-        ds.select_columns([key, col]), key, kernel, limit=limit, num_buckets=num_buckets
+        ds.select_columns([key, col]),
+        key,
+        kernel,
+        limit=limit,
+        num_buckets=num_buckets,
+        empty_result=empty,
     )
 
 
@@ -274,10 +283,7 @@ def grouped_zscore(
     """
     import ray
 
-    null_key = "\x01\x01__null__"
-
-    def _keyed(s: pd.Series) -> pd.Series:
-        return s.astype(object).where(s.notna(), null_key) if s.isna().any() else s
+    from de_ray.functions.agg import null_safe_key as _keyed
 
     part = ds.map_batches(
         lambda df: df.assign(

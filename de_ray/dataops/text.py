@@ -688,15 +688,16 @@ def lm_quality_buckets(
     thr = grouped_quantile_disc(scored, strata_col, "lm_score", list(qs)).to_pandas()
     # NULL strata get their own thresholds (SQL PARTITION BY semantics);
     # a NaN-keyed dict is unreachable through Series.map, so key them with
-    # a private sentinel (adversarial-contract-fuzz finding, round 5)
-    null_key = "\x01\x01__null__"
-    tkey = thr[strata_col].astype(object).where(thr[strata_col].notna(), null_key)
+    # the shared sentinel (adversarial-contract-fuzz finding, round 5)
+    from de_ray.functions.agg import null_safe_key
+
+    tkey = null_safe_key(thr[strata_col])
     lo = dict(zip(tkey, thr[qlo]))
     hi = dict(zip(tkey, thr[qhi]))
 
     def label(df: pd.DataFrame) -> pd.DataFrame:
         s = df["lm_score"].to_numpy()
-        g = df[strata_col].astype(object).where(df[strata_col].notna(), null_key)
+        g = null_safe_key(df[strata_col])
         lo_v = g.map(lo).to_numpy(dtype=float)
         hi_v = g.map(hi).to_numpy(dtype=float)
         b = np.where(s <= lo_v, labels[0], np.where(s <= hi_v, labels[1], labels[2]))
@@ -762,10 +763,27 @@ def corpus_report(ds, text_col: str = "text", strata_col: str = "lang"):
             n=(strata_col, "size"), chars=("chars", "sum"), toks=("toks", "sum")
         )
 
+    from de_ray.functions.agg import to_pandas_keep_schema
+
     parts = ds.select_columns([strata_col, text_col]).map_batches(
         partial, batch_format="pyarrow", batch_size=64 * 1024
     )
-    dfp = parts.to_pandas().groupby(strata_col, as_index=False, dropna=False).sum()
+    raw = to_pandas_keep_schema(parts.materialize())
+    if raw.shape[1] == 0 or raw.empty:
+        # empty corpus: a well-typed zero report, not a groupby KeyError
+        # or a 0/0 (review r5)
+        return pd.DataFrame(
+            [
+                {
+                    "n_docs": 0,
+                    "n_tokens": 0,
+                    "avg_chars": float("nan"),
+                    "n_strata": 0,
+                    "strata_entropy": float("nan"),
+                }
+            ]
+        )
+    dfp = raw.groupby(strata_col, as_index=False, dropna=False).sum()
     N, C, T = int(dfp["n"].sum()), int(dfp["chars"].sum()), int(dfp["toks"].sum())
     p = dfp["n"].to_numpy() / N
     entropy = round(-float(np.sum(p * np.log(p))), 6)

@@ -27,7 +27,7 @@ def tumbling_window(
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(window=df[ts_col].dt.floor(freq))
-        out = df.groupby([key, "window"], as_index=False).agg(
+        out = df.groupby([key, "window"], as_index=False, dropna=False).agg(
             n_events=(ts_col, "size"), sum_value=(value_col, "sum")
         )
         return out
@@ -71,7 +71,7 @@ def sliding_window_counts(
                 )
             )
         out = pd.concat(rows, ignore_index=True)
-        return out.groupby([key, "window_start"], as_index=False).size().rename(
+        return out.groupby([key, "window_start"], as_index=False, dropna=False).size().rename(
             columns={"size": "n_events"}
         )
 
@@ -170,14 +170,14 @@ def funnel_counts(
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df[type_col].isin(steps)]
-        return d.groupby([user_col, type_col], as_index=False)[ts_col].min()
+        return d.groupby([user_col, type_col], as_index=False, dropna=False)[ts_col].min()
 
     parts = ds.select_columns([user_col, type_col, ts_col]).map_batches(
         partial, batch_format="pandas", batch_size=256 * 1024
     )
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        p = df.groupby([user_col, type_col])[ts_col].min().unstack()
+        p = df.groupby([user_col, type_col], dropna=False)[ts_col].min().unstack()
         counts = []
         ok = None
         prev = None
@@ -232,12 +232,16 @@ def event_transitions(
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         srt = df.sort_values([user_col, ts_col, tiebreak_col], kind="mergesort")
-        same = srt[user_col].to_numpy()[1:] == srt[user_col].to_numpy()[:-1]
+        u = srt[user_col].to_numpy()
+        # NaN-aware: NULL user ids form ONE partition (SQL PARTITION BY
+        # groups NULLs together); plain == would split every NaN apart
+        nulls = pd.isna(u)
+        same = (u[1:] == u[:-1]) | (nulls[1:] & nulls[:-1])
         a = srt[type_col].to_numpy()[:-1][same]
         b = srt[type_col].to_numpy()[1:][same]
         out = (
             pd.DataFrame({"a": a, "b": b})
-            .groupby(["a", "b"], as_index=False)
+            .groupby(["a", "b"], as_index=False, dropna=False)
             .size()
             .rename(columns={"size": "n"})
         )

@@ -24,6 +24,20 @@ from ray.data.aggregate import Sum
 
 DRIVER_FINAL_LIMIT = 500_000
 
+# Shared NULL-group sentinel for pandas groupby/broadcast-dict keying.
+# NOT \x00-prefixed: pandas 2.2's object factorization collides
+# "\x00..."-keys with "" in groupby (adversarial-contract-fuzz finding,
+# round 5). One constant + one keying helper — the round's sentinel
+# change had to be hunted across modules once already.
+NULL_SENTINEL = "\x01\x01__null__"
+
+
+def null_safe_key(s: pd.Series) -> pd.Series:
+    """Replace NaN/None in a key Series with :data:`NULL_SENTINEL` so the
+    NULL group survives pandas groupby (dropna default) and stays
+    reachable through dict ``Series.map`` lookups."""
+    return s.astype(object).where(s.notna(), NULL_SENTINEL) if s.isna().any() else s
+
 
 def to_pandas_keep_schema(ds: rd.Dataset) -> pd.DataFrame:
     """``Dataset.to_pandas()`` that keeps column names for EMPTY datasets.
@@ -78,7 +92,10 @@ def adaptive_grouped_sum(
         if df.empty and any(c not in df.columns for c in key_list):
             # zero-row inputs yield schema-less empty blocks
             df = pd.DataFrame(columns=key_list + val_list)
-        out = df.groupby(key_list, as_index=False)[val_list].sum()
+        # dropna=False: the distributed (>limit) Arrow aggregate keeps
+        # NULL keys — the driver merge must agree or results become
+        # data-size-dependent (review r5)
+        out = df.groupby(key_list, as_index=False, dropna=False)[val_list].sum()
         return from_pandas_keep_schema(out)
     aggs = [Sum(v, alias_name=v) for v in val_list]
     return partials.groupby(key_list).aggregate(*aggs)
@@ -90,6 +107,7 @@ def adaptive_grouped_apply(
     fn,
     limit: int = DRIVER_FINAL_LIMIT,
     num_buckets: int = 64,
+    empty_result: "pd.DataFrame | None" = None,
 ) -> rd.Dataset:
     """Apply a MANY-KEY vectorized pandas kernel over whole key groups.
 
@@ -102,9 +120,12 @@ def adaptive_grouped_apply(
     key_list = [keys] if isinstance(keys, str) else list(keys)
     ds = ds.materialize()
     if ds.count() <= limit:
-        return from_pandas_keep_schema(
-            fn(to_pandas_keep_schema(ds)).reset_index(drop=True)
-        )
+        df = to_pandas_keep_schema(ds)
+        if df.shape[1] == 0 and empty_result is not None:
+            # schema-less empty input: the kernel cannot run — return the
+            # caller's typed empty output instead of a KeyError
+            return from_pandas_keep_schema(empty_result)
+        return from_pandas_keep_schema(fn(df).reset_index(drop=True))
     from de_ray.stages.canonicalize import stable_row_hash
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
@@ -164,18 +185,12 @@ def rollup_grouped_agg(
     to NULL after the final merge — distinct from ``total_label``, so a
     genuine NULL group never collides with a rolled-up level."""
 
-    # control-char prefix cannot appear in real key strings (and never
-    # equals total_label). NOT \x00: pandas 2.2's object factorization
-    # collides "\x00..."-prefixed keys with "" in groupby, silently merging
-    # the empty-string group into the NULL group (found by the adversarial
-    # driver-contract fuzz, tests/test_driver_contract_fuzz.py)
-    null_key = "\x01\x01__null__"
+    null_key = NULL_SENTINEL
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[keys + [value_col]].copy()
         for k in keys:
-            if df[k].isna().any():
-                df[k] = df[k].astype(object).where(df[k].notna(), null_key)
+            df[k] = null_safe_key(df[k])
         outs = []
         for lvl in range(len(keys), -1, -1):
             grp = keys[:lvl]

@@ -101,13 +101,17 @@ def grouped_count(ds: rd.Dataset, keys, alias: str = "n") -> rd.Dataset:
     part = ds.map_batches(partial, batch_format="pandas", batch_size=128 * 1024)
     part = part.materialize()
     if part.count() <= GROUPED_COUNT_DRIVER_LIMIT:
-        merged = (
-            part.to_pandas()
-            .groupby(key_list, as_index=False, dropna=False)[alias]
-            .sum()
+        from de_ray.functions.agg import (
+            from_pandas_keep_schema,
+            to_pandas_keep_schema,
         )
+
+        df = to_pandas_keep_schema(part)
+        if df.shape[1] == 0:  # empty schema-less shard: typed empty out
+            df = pd.DataFrame(columns=key_list + [alias])
+        merged = df.groupby(key_list, as_index=False, dropna=False)[alias].sum()
         merged[alias] = merged[alias].astype("int64")
-        return rd.from_pandas(merged)
+        return from_pandas_keep_schema(merged)
     out = part.groupby(key_list).aggregate(Sum(alias, alias_name=alias))
 
     def as_int(df: pd.DataFrame) -> pd.DataFrame:

@@ -59,8 +59,13 @@ def _random_events(rng: random.Random, n: int) -> pd.DataFrame:
             if rng.random() < 0.4
             else round(rng.uniform(-2, 25), 3)
         )
+        user = i % 4
         if i and rng.random() < 0.3:
-            ts = rows[-1]["ts"]  # exact duplicate timestamp (tie)
+            # exact duplicate timestamp FOR THE SAME USER — the tie shape
+            # window/asof tie-breaking must define (i%4 alone would put
+            # consecutive rows on different users, review r5)
+            ts = rows[-1]["ts"]
+            user = rows[-1]["user_id"]
         else:
             # includes the 30-minute session-gap boundary exactly
             ts = ts + pd.Timedelta(minutes=rng.choice([0, 1, 5, 30, 31, 600]))
@@ -68,12 +73,17 @@ def _random_events(rng: random.Random, n: int) -> pd.DataFrame:
             {
                 "event_id": i,
                 "ts": ts,
-                "user_id": i % 4,
+                "user_id": user,
                 "event_type": rng.choice(types),
                 "value": v,
                 "props": "",
             }
         )
+    # NULL user_id / event_type are deliberately NOT generated: NULL
+    # equality in joins (SQL: never equal) vs pandas merge-by semantics,
+    # and lead()-boundary NULLs vs value NULLs in the transition oracle,
+    # are genuinely different CONTRACTS, not operator bugs — the
+    # operators' own NULL handling is unit-tested instead.
     return pd.DataFrame(rows)
 
 

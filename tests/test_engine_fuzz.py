@@ -23,8 +23,12 @@ EX = "http://example.org/"
 
 def _random_nt(rng: random.Random, n: int = 70) -> str:
     """Seeded random graph: a few subjects/predicates, object mix of IRIs,
-    plain literals, language-tagged literals and typed ints; duplicate
-    statements included on purpose (exercises store dedup vs raw)."""
+    plain literals, language-tagged literals and typed ints. The statement
+    SET is duplicate-free by construction: the raw Dataset path keeps
+    repeated NT lines while the store dedups them, so duplicated input
+    would make non-DISTINCT multiplicity (COUNT(*)) legitimately diverge
+    between the two backends — the reference sidesteps this the same way
+    (raw queries implicitly build an HDT first, src/query.rs:264-297)."""
     lines = set()
     while len(lines) < n:
         s = f"<{EX}s{rng.randint(0, 7)}>"
