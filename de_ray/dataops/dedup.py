@@ -45,14 +45,16 @@ def exact_dedup(
             subset=[key_col], keep="first"
         )
 
-    from de_ray.functions.agg import adaptive_grouped_apply
+    from de_ray.functions.agg import adaptive_grouped_apply, empty_df_from_schema
 
+    pre = ds.schema()  # fully-empty inputs lose their schema through maps
     part = ds.map_batches(local_min, batch_format="pandas", batch_size=64 * 1024)
     # the size-adaptive final (driver pandas vs stable-hash bucket groupby)
     # is the library-standard adaptive_grouped_apply — one implementation
     # to maintain, same cutover semantics as before
     return adaptive_grouped_apply(
-        part, key_col, local_min, limit=driver_final_limit, num_buckets=num_buckets
+        part, key_col, local_min, limit=driver_final_limit,
+        num_buckets=num_buckets, empty_result=empty_df_from_schema(pre),
     )
 
 
@@ -954,8 +956,14 @@ def keep_best_dedup(
             subset=[key_col], keep="first"
         )
 
+    from de_ray.functions.agg import empty_df_from_schema
+
+    pre = ds.schema()
     part = ds.map_batches(local_best, batch_format="pandas", batch_size=64 * 1024)
-    return adaptive_grouped_apply(part, key_col, local_best, limit=driver_final_limit)
+    return adaptive_grouped_apply(
+        part, key_col, local_best, limit=driver_final_limit,
+        empty_result=empty_df_from_schema(pre),
+    )
 
 
 def remove_dup_spans(

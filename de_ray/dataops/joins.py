@@ -70,10 +70,12 @@ def _pandas_dtypes(schema: pa.Schema) -> dict:
     return dict(pa.schema(schema).empty_table().to_pandas().dtypes)
 
 
-def _side_schema(ds: rd.Dataset, hint) -> pa.Schema:
+def _side_schema(ds: rd.Dataset, hint, extra=(_KEY, None)) -> pa.Schema:
     """Arrow schema of a join side; for an EMPTY side (Ray reports schema
     None once any map ran over an empty dataset) falls back to ``hint`` —
-    the schema the caller captured BEFORE keying — plus the key column."""
+    the schema the caller captured BEFORE keying — plus the column the
+    keying map would have added (``extra``: name, type; type None =
+    large_string)."""
     sch = ds.schema()
     if sch is not None:
         return pa.schema(sch.base_schema)
@@ -86,8 +88,9 @@ def _side_schema(ds: rd.Dataset, hint) -> pa.Schema:
         base = pa.schema(hint.base_schema)
     except Exception:
         base = pa.schema([pa.field(n, pa.large_string()) for n in hint.names])
-    if _KEY not in base.names:
-        base = base.append(pa.field(_KEY, pa.large_string()))
+    name, typ = extra
+    if name is not None and name not in base.names:
+        base = base.append(pa.field(name, typ or pa.large_string()))
     return base
 
 
@@ -107,6 +110,7 @@ def _tagged_union(
     shared_ok: Sequence[str] = (),
     lhint=None,
     rhint=None,
+    hint_extra=(_KEY, None),
 ):
     """Union two Datasets with disjoint-ish schemas: each side gains the
     other's columns as typed nulls plus a ``__side`` tag. Columns named in
@@ -114,7 +118,8 @@ def _tagged_union(
     key) and are kept as one column. Returns
     (union_ds, left_cols, right_cols, dtype_map)."""
     left, right = _ensure_arrow(left), _ensure_arrow(right)
-    ls, rs = _side_schema(left, lhint), _side_schema(right, rhint)
+    ls = _side_schema(left, lhint, hint_extra)
+    rs = _side_schema(right, rhint, hint_extra)
     lcols, rcols = list(ls.names), list(rs.names)
     shared = (set(lcols) & set(rcols)) - set(shared_ok)
     if shared:
@@ -160,9 +165,10 @@ def _bucketed_apply(
     keeps the join's real output columns."""
     from de_ray.functions.agg import from_pandas_keep_schema, to_pandas_keep_schema
 
+    pre_schema = ds.schema()  # materialize() erases it when empty
     ds = ds.materialize()
     if ds.count() <= limit or ds.schema() is None:
-        df = to_pandas_keep_schema(ds)
+        df = to_pandas_keep_schema(ds, fallback_schema=pre_schema)
         if df.shape[1] == 0 and empty_frame is not None:
             df = empty_frame
         return from_pandas_keep_schema(fn(df).reset_index(drop=True))
@@ -506,9 +512,14 @@ def interval_join(
         out["_bin"] = (starts + offs).astype("int64")
         return out
 
+    lhint, rhint = left.schema(), right.schema()
     lt = left.map_batches(bin_left, batch_format="pandas")
     rt = right.map_batches(bin_right, batch_format="pandas")
-    union, lcols, rcols, dtypes = _tagged_union(lt, rt, shared_ok=("_bin",))
+    union, lcols, rcols, dtypes = _tagged_union(
+        lt, rt, shared_ok=("_bin",), lhint=lhint, rhint=rhint,
+        hint_extra=("_bin", pa.int64()),
+    )
+    empty_frame = _empty_union_frame(lcols, rcols, dtypes)
     lcols = [c for c in lcols if c != "_bin"]
     rcols = [c for c in rcols if c != "_bin"]
 
@@ -521,4 +532,6 @@ def interval_join(
         le = out[on] <= out[hi] if closed in ("both", "right") else out[on] < out[hi]
         return out[ge & le].reset_index(drop=True)
 
-    return _bucketed_apply(union, "_bin", kernel, limit, num_buckets)
+    return _bucketed_apply(
+        union, "_bin", kernel, limit, num_buckets, empty_frame=empty_frame
+    )

@@ -72,6 +72,10 @@ def quantile_disc(
         return pd.DataFrame({"n": [len(v)], "lo": [v.min()], "hi": [v.max()]})
 
     st = ds.map_batches(stats, batch_format="pandas", batch_size=256 * 1024).to_pandas()
+    if st.shape[1] == 0 or st.empty:
+        # fully-empty input: the stats map never ran (Ray skips empty
+        # datasets) — same answer as n == 0 below
+        return [math.nan] * len(qs)
     n = int(st["n"].sum())
     if n == 0:
         return [math.nan] * len(qs)
@@ -295,9 +299,16 @@ def grouped_zscore(
         batch_format="pandas",
         batch_size=256 * 1024,
     )
-    from de_ray.functions.agg import adaptive_grouped_sum
+    from de_ray.functions.agg import adaptive_grouped_sum, to_pandas_keep_schema
 
-    moments = adaptive_grouped_sum(part, group_col, ["n", "s", "ss"]).to_pandas()
+    moments = to_pandas_keep_schema(
+        adaptive_grouped_sum(part, group_col, ["n", "s", "ss"])
+    )
+    if moments.shape[1] == 0:  # fully-empty input: no groups to score
+        moments = pd.DataFrame(
+            {group_col: pd.Series(dtype=object)}
+            | {c: pd.Series(dtype="float64") for c in ("n", "s", "ss")}
+        )
     mean = moments["s"].to_numpy(dtype="float64") / moments["n"].to_numpy(dtype="float64")
     var = moments["ss"].to_numpy(dtype="float64") / moments["n"].to_numpy(dtype="float64") - mean * mean
     std = np.sqrt(np.maximum(var, 0.0))

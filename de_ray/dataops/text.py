@@ -277,6 +277,9 @@ def heavy_hitters(
                 .materialize()
                 .to_arrow_refs()
             )
+            # a fully-empty merge leaves zero-COLUMN blocks behind (Ray
+            # schema amnesia on empties) — drop them before concat
+            if "w" in (tb.schema.names if isinstance(tb, pa.Table) else tb.schema.names)
         ]
         or [_empty]
     )
@@ -446,7 +449,17 @@ def unigram_logprob_score(
     from de_ray.state.broadcast import get_broadcast
 
     vocab = term_frequencies(ds, text_col=text_col).materialize()
-    total = int(vocab.sum("n"))
+    tot = vocab.sum("n")  # None on a fully-empty corpus
+    if tot is None:
+        from de_ray.functions.agg import from_pandas_keep_schema
+
+        return from_pandas_keep_schema(
+            pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "lm_score": pd.Series(dtype="float64")}
+            )
+        )
+    total = int(tot)
 
     _tf_frame = _tf_frame_fn(id_col, text_col)
 
@@ -684,8 +697,17 @@ def lm_quality_buckets(
         on_left=id_col,
         on_right=id_col,
     )
+    from de_ray.functions.agg import to_pandas_keep_schema
+
     qlo, qhi = (f"q{round(q * 100)}" for q in qs)
-    thr = grouped_quantile_disc(scored, strata_col, "lm_score", list(qs)).to_pandas()
+    thr = to_pandas_keep_schema(
+        grouped_quantile_disc(scored, strata_col, "lm_score", list(qs))
+    )
+    if thr.shape[1] == 0:  # empty corpus: no thresholds, no buckets
+        thr = pd.DataFrame(
+            {strata_col: pd.Series(dtype=object)}
+            | {f"q{round(q * 100)}": pd.Series(dtype="float64") for q in qs}
+        )
     # NULL strata get their own thresholds (SQL PARTITION BY semantics);
     # a NaN-keyed dict is unreachable through Series.map, so key them with
     # the shared sentinel (adversarial-contract-fuzz finding, round 5)

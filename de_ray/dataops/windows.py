@@ -197,7 +197,20 @@ def funnel_counts(
             }
         )
 
-    per_bucket = adaptive_grouped_apply(parts, user_col, kernel)
+    # empty corpus: the kernel on a typed empty frame yields the correct
+    # all-zero step table (Ray loses mapped-empty schemas, review r5)
+    per_bucket = adaptive_grouped_apply(
+        parts,
+        user_col,
+        kernel,
+        empty_result=kernel(
+            pd.DataFrame(
+                {user_col: pd.Series(dtype=object),
+                 type_col: pd.Series(dtype=object),
+                 ts_col: pd.Series(dtype="datetime64[us]")}
+            )
+        ),
+    )
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(["step", "event_type"], as_index=False)["users"].sum()
@@ -248,7 +261,15 @@ def event_transitions(
         return out
 
     cols = [user_col, ts_col, type_col, tiebreak_col]
-    per_bucket = adaptive_grouped_apply(ds.select_columns(cols), user_col, kernel)
+    per_bucket = adaptive_grouped_apply(
+        ds.select_columns(cols),
+        user_col,
+        kernel,
+        empty_result=pd.DataFrame(
+            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+             "n": pd.Series(dtype="int64")}
+        ),
+    )
     counts = adaptive_grouped_sum(per_bucket, ["a", "b"], "n")
 
     def as_int(df: pd.DataFrame) -> pd.DataFrame:

@@ -39,19 +39,35 @@ def null_safe_key(s: pd.Series) -> pd.Series:
     return s.astype(object).where(s.notna(), NULL_SENTINEL) if s.isna().any() else s
 
 
-def to_pandas_keep_schema(ds: rd.Dataset) -> pd.DataFrame:
+def empty_df_from_schema(sch) -> "pd.DataFrame | None":
+    """Typed zero-row frame from a Ray schema (None when unknowable)."""
+    if sch is None or not sch.names:
+        return None
+    try:
+        import pyarrow as pa
+
+        return pa.schema(sch.base_schema).empty_table().to_pandas()
+    except Exception:
+        return pd.DataFrame({n: pd.Series(dtype=object) for n in sch.names})
+
+
+def to_pandas_keep_schema(ds: rd.Dataset, fallback_schema=None) -> pd.DataFrame:
     """``Dataset.to_pandas()`` that keeps column names for EMPTY datasets.
 
     Ray's to_pandas returns a zero-column frame for an all-empty dataset
     even when ``ds.schema()`` still carries the names — a downstream
     ``groupby``/column access then KeyErrors on a legitimately-empty
-    shard (zero purchases, zero matches). Reconstructs object-dtype
-    columns from the schema names."""
+    shard (zero purchases, zero matches). Reconstructs typed columns from
+    the schema names; ``fallback_schema`` (captured BEFORE a
+    ``materialize()``, which erases an empty dataset's schema) is used
+    when the dataset itself no longer knows."""
     df = ds.to_pandas()
     if df.shape[1] == 0:
-        sch = ds.schema()
-        if sch is not None and sch.names:
-            df = pd.DataFrame({n: pd.Series(dtype=object) for n in sch.names})
+        rebuilt = empty_df_from_schema(ds.schema())
+        if rebuilt is None:
+            rebuilt = empty_df_from_schema(fallback_schema)
+        if rebuilt is not None:
+            df = rebuilt
     return df
 
 
@@ -86,9 +102,10 @@ def adaptive_grouped_sum(
     """Sum ``value_cols`` per key over an already-combined partials Dataset."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
     val_list = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    pre_schema = partials.schema()  # materialize() erases it when empty
     partials = partials.materialize()
     if partials.count() <= limit:
-        df = to_pandas_keep_schema(partials)
+        df = to_pandas_keep_schema(partials, fallback_schema=pre_schema)
         if df.empty and any(c not in df.columns for c in key_list):
             # zero-row inputs yield schema-less empty blocks
             df = pd.DataFrame(columns=key_list + val_list)
@@ -118,9 +135,10 @@ def adaptive_grouped_apply(
     call per bucket instead of one Python call per key (the pathological
     tiny-groups pattern VERDICT r1 #8 flags)."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
+    pre_schema = ds.schema()  # materialize() erases it when empty
     ds = ds.materialize()
     if ds.count() <= limit:
-        df = to_pandas_keep_schema(ds)
+        df = to_pandas_keep_schema(ds, fallback_schema=pre_schema)
         if df.shape[1] == 0 and empty_result is not None:
             # schema-less empty input: the kernel cannot run — return the
             # caller's typed empty output instead of a KeyError

@@ -522,7 +522,17 @@ def q_events_by_type(sf_dir: str):
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    return adaptive_grouped_apply(part, "event_type", final)
+    return adaptive_grouped_apply(
+        part,
+        "event_type",
+        final,
+        empty_result=pd.DataFrame(
+            {"event_type": pd.Series(dtype=object),
+             "n_events": pd.Series(dtype="int64")}
+            | {c: pd.Series(dtype="float64")
+               for c in ("sum_value", "min_value", "max_value")}
+        ),
+    )
 
 
 SQL_EVENTS_BY_TYPE = (
@@ -1651,6 +1661,11 @@ def _purchases(sf_dir: str) -> rd.Dataset:
         part,
         ["p_user", "p_ts"],
         lambda df: df.groupby(["p_user", "p_ts"], as_index=False)["p_event_id"].max(),
+        empty_result=pd.DataFrame(
+            {"p_user": pd.Series(dtype="int64"),
+             "p_ts": pd.Series(dtype="datetime64[us]"),
+             "p_event_id": pd.Series(dtype="int64")}
+        ),
     )
 
 
@@ -1741,12 +1756,21 @@ def q_interval_join(sf_dir: str):
             {"w_id": w["event_id"], "lo": w["ts"], "hi": w["ts"] + pd.Timedelta(minutes=30)}
         )
 
+    from de_ray.functions.agg import finalize_typed
+
+    empty = {"event_id": "int64", "w_id": "int64"}
+    if ev.count() == 0:  # metadata-cheap for parquet; the windows map
+        # over an empty read would hand interval_join a schema-less side
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in empty.items()})
     win = ev.map_batches(windows, batch_format="pandas")
     out = interval_join(
         ev, win, on="ts", lo="lo", hi="hi", bin_width=pd.Timedelta(minutes=30)
     )
-    return out.select_columns(["event_id", "w_id"]).map_batches(
-        lambda df: df.astype("int64"), batch_format="pandas"
+    return finalize_typed(
+        out.select_columns(["event_id", "w_id"]).map_batches(
+            lambda df: df.astype("int64"), batch_format="pandas"
+        ),
+        empty,
     )
 
 
@@ -2804,6 +2828,8 @@ def q_token_quantiles(sf_dir: str):
     )
     qs = [0.25, 0.5, 0.9, 0.99]
     vals = quantile_disc(ds, "n_tokens", qs)
+    if any(v != v for v in vals):  # empty corpus: quantiles are NaN/NULL
+        return pd.DataFrame([{f"q{round(q * 100)}": None for q in qs}])
     return pd.DataFrame(
         [{f"q{round(q * 100)}": int(v) for q, v in zip(qs, vals)}]
     ).astype("int64")

@@ -89,8 +89,16 @@ def canonicalize_stage(ds, num_buckets: int = 64, cols=None,
         batch_size=128 * 1024,
     ).materialize()
     if local.count() <= driver_final_limit:
-        df = local.to_pandas().drop_duplicates(subset=cols).reset_index(drop=True)
-        return rd.from_pandas(df)
+        from de_ray.functions.agg import (
+            from_pandas_keep_schema,
+            to_pandas_keep_schema,
+        )
+
+        df = to_pandas_keep_schema(local)
+        if df.shape[1] == 0:  # fully-empty input: typed empty result
+            df = pd.DataFrame(columns=cols)
+        df = df.drop_duplicates(subset=cols).reset_index(drop=True)
+        return from_pandas_keep_schema(df)
     bucketed = local.map_batches(
         _LocalDedupAndBucket(num_buckets, cols),
         batch_format="pandas",

@@ -247,3 +247,38 @@ def test_adversarial_embeddings_match_oracle(name, seed, n, tmp_path):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=False, rtol=1e-6
     )
+
+
+def test_empty_corpus_no_crash(tmp_path):
+    """A fully-empty corpus (the limit of an empty shard) must not crash
+    ANY fuzzed query: Ray loses an empty dataset's schema through every
+    map/materialize, so legitimately-empty inputs exercised every
+    operator's empty-shape handling (review r5; 15 crashes before the
+    empty-shard hardening, zero after)."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string()),
+             "lang": pa.array([], pa.string()), "source": pa.array([], pa.string()),
+             "n_chars": pa.array([], pa.int64())}
+        ),
+        str(sf / "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "ts": pa.array([], pa.timestamp("us")),
+             "user_id": pa.array([], pa.int64()),
+             "event_type": pa.array([], pa.string()),
+             "value": pa.array([], pa.float64()),
+             "props": pa.array([], pa.string())}
+        ),
+        str(sf / "events.parquet"),
+    )
+    for name in QUERIES + EVENT_QUERIES:
+        fn, _sql = REGISTRY[name]
+        df = _to_df(fn(str(sf)))  # must not raise
+        # empty, a single zero/NaN report row, or the funnel's all-zero
+        # per-step table
+        assert len(df) <= 3, name
