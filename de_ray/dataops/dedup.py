@@ -47,14 +47,15 @@ def exact_dedup(
 
     from de_ray.functions.agg import adaptive_grouped_apply, empty_df_from_schema
 
-    pre = ds.schema()  # fully-empty inputs lose their schema through maps
+    lazy_in = ds  # schema resolved lazily, only if the result is empty
     part = ds.map_batches(local_min, batch_format="pandas", batch_size=64 * 1024)
     # the size-adaptive final (driver pandas vs stable-hash bucket groupby)
     # is the library-standard adaptive_grouped_apply — one implementation
     # to maintain, same cutover semantics as before
     return adaptive_grouped_apply(
         part, key_col, local_min, limit=driver_final_limit,
-        num_buckets=num_buckets, empty_result=empty_df_from_schema(pre),
+        num_buckets=num_buckets,
+        empty_result_fn=lambda: empty_df_from_schema(lazy_in.schema()),
     )
 
 
@@ -958,11 +959,11 @@ def keep_best_dedup(
 
     from de_ray.functions.agg import empty_df_from_schema
 
-    pre = ds.schema()
+    lazy_in = ds  # schema resolved lazily, only if the result is empty
     part = ds.map_batches(local_best, batch_format="pandas", batch_size=64 * 1024)
     return adaptive_grouped_apply(
         part, key_col, local_best, limit=driver_final_limit,
-        empty_result=empty_df_from_schema(pre),
+        empty_result_fn=lambda: empty_df_from_schema(lazy_in.schema()),
     )
 
 

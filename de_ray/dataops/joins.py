@@ -79,6 +79,10 @@ def _side_schema(ds: rd.Dataset, hint, extra=(_KEY, None)) -> pa.Schema:
     sch = ds.schema()
     if sch is not None:
         return pa.schema(sch.base_schema)
+    # only reached when the keyed side is EMPTY — resolving the hint (a
+    # LAZY pre-keying dataset handle, or a schema) is free there
+    if isinstance(hint, rd.Dataset):
+        hint = hint.schema()
     if hint is None:
         raise ValueError(
             "cannot join an empty schema-less Dataset: construct empty "
@@ -165,10 +169,16 @@ def _bucketed_apply(
     keeps the join's real output columns."""
     from de_ray.functions.agg import from_pandas_keep_schema, to_pandas_keep_schema
 
-    pre_schema = ds.schema()  # materialize() erases it when empty
+    lazy = ds
     ds = ds.materialize()
     if ds.count() <= limit or ds.schema() is None:
-        df = to_pandas_keep_schema(ds, fallback_schema=pre_schema)
+        df = to_pandas_keep_schema(ds)
+        if df.shape[1] == 0:
+            from de_ray.functions.agg import empty_df_from_schema
+
+            rebuilt = empty_df_from_schema(lazy.schema())  # free when empty
+            if rebuilt is not None:
+                df = rebuilt
         if df.shape[1] == 0 and empty_frame is not None:
             df = empty_frame
         return from_pandas_keep_schema(fn(df).reset_index(drop=True))
@@ -213,7 +223,7 @@ def asof_join(
     Column names must be disjoint across sides. Distributed shape: one
     hash shuffle on the key, one ``pd.merge_asof(by=key)`` per bucket.
     """
-    lhint, rhint = left.schema(), right.schema()
+    lhint, rhint = left, right  # resolved lazily, only on the empty path
     union, lcols, rcols, dtypes = _tagged_union(
         _with_key(left, by_left),
         _with_key(right, by_right),
@@ -273,7 +283,7 @@ def range_join(
     ``[right[lo], right[hi]]`` (``closed`` ∈ both|left|right|neither).
     One hash shuffle on the key; per bucket an equality merge + one
     vectorized interval mask."""
-    lhint, rhint = left.schema(), right.schema()
+    lhint, rhint = left, right  # resolved lazily, only on the empty path
     union, lcols, rcols, dtypes = _tagged_union(
         _with_key(left, by_left),
         _with_key(right, by_right),
@@ -512,7 +522,7 @@ def interval_join(
         out["_bin"] = (starts + offs).astype("int64")
         return out
 
-    lhint, rhint = left.schema(), right.schema()
+    lhint, rhint = left, right  # resolved lazily, only on the empty path
     lt = left.map_batches(bin_left, batch_format="pandas")
     rt = right.map_batches(bin_right, batch_format="pandas")
     union, lcols, rcols, dtypes = _tagged_union(
